@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds over the headline set (excluding Spark
+session startup), which is the number compared against BASELINE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tegallega_spark.session import get_spark  # noqa: E402
+from tegallega_spark.queries import SPARK_QUERIES  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (scan-agg, join-agg, window, dedup, similarity, text).
+HEADLINE = [
+    "q01_pricing_summary",    # full-scan multi-agg
+    "q02_filter_project",     # pushdown scan
+    "q05_region_revenue",     # star join + agg
+    "q08_argmin_join",        # argmin groupBy
+    "q11_dedup_first_wins",   # window dedup
+    "q18_running_sum",        # cumulative window
+    "q21_topk_per_group",     # top-k window
+    "q24_sessionize",         # lag + agg
+    "q29_pivot",              # pivot
+    "q36_tumbling_window",    # event-time window agg
+    "q37_exact_dedup_docs",   # text fingerprint dedup
+    "q40_minhash_neardup",    # MinHash-LSH
+    "q42_lang_detect",        # text analysis
+    "q43_ann_topk",           # similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("tegallega-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action (not timed)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df = q(spark, sf_dir)
+        # noop sink fully materializes every column (count() would let
+        # Catalyst prune the projections and flatter the numbers)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

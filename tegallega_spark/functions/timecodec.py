@@ -1,0 +1,41 @@
+"""GTFS time codecs (reference: generate_gtfs.py:26-38, 295-306).
+
+GTFS times are offsets into a service day, NOT timestamps: hours may exceed
+23 (a 25:10 departure is 1:10 AM the next calendar day on the same service
+day).  Internal representation is IntegerType seconds; serialization is
+HH:MM:SS with unbounded hours.  Pure column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+
+def hhmm_to_seconds(col: Column) -> Column:
+    """'HH:MM' → seconds (reference generate_gtfs.py:26-29)."""
+    parts = F.split(col, ":")
+    return (parts.getItem(0).cast("int") * 3600 + parts.getItem(1).cast("int") * 60)
+
+
+def gtfs_time_to_seconds(col: Column) -> Column:
+    """GTFS-aware parse: hours ≥ 24 allowed; malformed/empty → 0
+    (reference generate_gtfs.py:295-306)."""
+    trimmed = F.trim(col)
+    ok = trimmed.rlike(r"^\d{1,3}:\d{1,2}(:\d{1,2})?$")
+    parts = F.split(trimmed, ":")
+    secs = (
+        parts.getItem(0).cast("int") * 3600
+        + parts.getItem(1).cast("int") * 60
+        + F.coalesce(parts.getItem(2).cast("int"), F.lit(0))
+    )
+    return F.when(ok, secs).otherwise(F.lit(0))
+
+
+def seconds_to_hhmmss(col: Column) -> Column:
+    """Seconds → 'HH:MM:SS', hours may exceed 23; input rounded half-even to
+    match Python round() (reference generate_gtfs.py:31-38)."""
+    s = F.bround(col).cast("long")
+    return F.format_string(
+        "%02d:%02d:%02d", (s / 3600).cast("long"), ((s % 3600) / 60).cast("long"), s % 60
+    )

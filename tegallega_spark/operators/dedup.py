@@ -1,0 +1,280 @@
+"""Deduplication operators.
+
+Reference patterns: first-wins dedup by stop_id (generate_gtfs.py:115-123),
+last-wins dedup by relationId (update-routes.js:37).  Extended with the
+large-scale near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) a
+training-data pipeline needs.
+
+Scale notes (100 TB):
+- keep-first/last are a single shuffle on the dedup key (window + filter);
+  AQE handles skewed keys.
+- MinHash-LSH: signature computation is embarrassingly parallel (per-row
+  column math over exploded shingles); candidate generation joins on
+  (band_id, band_hash) buckets so the shuffle volume is #bands × #docs tiny
+  rows, never the quadratic pair space.
+- SimHash: 64-bit fingerprint per doc via bit-bucketed hash sums; near-dup
+  candidates join on band substrings of the fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (hash-groupBy under the hood)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """First occurrence per key wins, 'first' defined by order_col ascending
+    (reference generate_gtfs.py:115 — first route's stop metadata kept)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_last(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Last occurrence per key wins (reference update-routes.js:37 — JS Map
+    insertion semantics)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def _normalized_words(text: Column) -> Column:
+    """Lowercase word tokens with empties removed."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column, as array<string>.
+
+    Pure column expressions (transform over a sequence of offsets) — no UDF.
+    """
+    words = _normalized_words(text)
+    num = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), num),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # a doc shorter than n words contributes its whole text as one shingle
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(shingles)
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i).  array<bigint> of length num_hashes.
+
+    Deterministic, JVM-side, no UDF: xxhash64 with distinct seeds stands in
+    for independent hash permutations (standard practice; see MMDS ch.3).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i.cast("string")))
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: shingle → signature → split signature into `bands` bands →
+    hash each band → self-join on (band_idx, band_hash) → estimate Jaccard
+    as fraction of matching signature positions → filter ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    At scale the only shuffle is the band-bucket join; the quadratic
+    candidate space is never materialized because only bucket-colliding
+    pairs meet.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity on shingle sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets via an inverted-index join.
+
+    explode shingles → join on shingle → count common per pair →
+    |A∩B| / (|A|+|B|-|A∩B|).  The join on shingle is the inverted index:
+    pair candidates only materialize when they share ≥1 shingle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).withColumn("__card", F.size("__sh"))
+    exploded = sh.select("__id", "__card", F.explode("__sh").alias("shingle"))
+    a = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__card").alias("card_a"), "shingle"
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__card").alias("card_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "card_a", "card_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash fingerprint as bigint, pure column math.
+
+    For each of 64 bit positions, sum +1/-1 over shingles according to that
+    bit of xxhash64(shingle); bit set iff the sum is positive.
+    """
+    shingles = word_shingles(text, shingle_n)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    def bit_of(i):
+        # shiftright on bigint keeps sign for bit 63; mask with 1 fixes it
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    bits = [
+        F.when(bit_of(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(1 << i).cast("long")
+        for i in range(63)  # skip the sign bit to stay positive
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 63-bit fingerprint into `bands`
+    chunks; by pigeonhole, any pair within max_hamming (< bands) shares at
+    least one identical chunk → equi-join per chunk, then exact Hamming
+    filter via bit_count(xor)."""
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col), shingle_n).alias("__fp")
+    )
+    chunk_bits = 64 // bands
+    banded = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__fp"), b * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"), "band_idx", "band_val")
+    b = banded.select(F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"), "band_idx", "band_val")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

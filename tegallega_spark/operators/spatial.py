@@ -1,0 +1,153 @@
+"""Spatial join / projection operators (SURVEY.md §2.3 J3-J5, §2.5 W10).
+
+The reference brute-forces nearest-neighbor per stop against its route's
+shape (generate_gtfs.py:354-365, O(stops × shape_pts) Python loops) and
+projects stops onto segments (update-routes.js:206-246).  Here the same
+semantics are an equi-join on the route key followed by a min_by argmin —
+one shuffle, broadcastable shape side, and the candidate space bounded by
+the route key (never a global cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from tegallega_spark.functions.geo import haversine_km, haversine_m, lerp
+from tegallega_spark.functions.ids import virtual_stop_id
+
+
+def nearest_vertex_join(
+    stops: DataFrame,
+    shape_pts: DataFrame,
+    key: str = "relation_id",
+    stop_id: str = "stop_id",
+) -> DataFrame:
+    """For every stop, the closest vertex of its route's polyline and that
+    vertex's cumulative distance (reference generate_gtfs.py:354-365).
+
+    Equi-join on the route key bounds candidates to one route's vertices;
+    min_by picks the argmin without a window sort.  Shape side per key is
+    small (≤ ~400 vertices) so AQE broadcasts it.
+    """
+    joined = stops.alias("s").join(shape_pts.alias("p"), key)
+    dist = haversine_km(
+        F.col("s.lon"), F.col("s.lat"), F.col("p.lon"), F.col("p.lat")
+    )
+    return (
+        joined.withColumn("__d", dist)
+        .groupBy(key, stop_id)
+        .agg(
+            F.min_by(F.struct("p.vertex_idx", "p.cum_dist"), F.col("__d")).alias("__nn"),
+            F.min("__d").alias("nn_dist_km"),
+        )
+        .select(key, stop_id, F.col("__nn.vertex_idx").alias("nn_vertex_idx"),
+                F.col("__nn.cum_dist").alias("shape_dist"), "nn_dist_km")
+    )
+
+
+def project_onto_segments(
+    points: DataFrame,
+    vertices: DataFrame,
+    key: str = "relation_id",
+    point_id: str = "stop_id",
+) -> DataFrame:
+    """Point-to-segment projection with fractional index (reference
+    update-routes.js:206-246).
+
+    vertices must carry (key, vertex_idx, lon, lat); consecutive vertices
+    form segments via lag.  For each point: argmin over segments of the
+    distance to the projected point; returns fractional position
+    frac_idx = seg_idx + t and the projected coordinates.
+
+    Equirectangular local projection (same as the reference, which works on
+    raw lon/lat deltas) is fine at city scale; all column math.
+    """
+    w = Window.partitionBy(key).orderBy("vertex_idx")
+    segs = (
+        vertices.withColumn("lon2", F.lead("lon").over(w))
+        .withColumn("lat2", F.lead("lat").over(w))
+        .filter(F.col("lon2").isNotNull())
+        .select(key, F.col("vertex_idx").alias("seg_idx"),
+                F.col("lon").alias("ax"), F.col("lat").alias("ay"),
+                F.col("lon2").alias("bx"), F.col("lat2").alias("by"))
+    )
+    j = points.alias("pt").join(segs.alias("sg"), key)
+    apx = F.col("pt.lon") - F.col("sg.ax")
+    apy = F.col("pt.lat") - F.col("sg.ay")
+    abx = F.col("sg.bx") - F.col("sg.ax")
+    aby = F.col("sg.by") - F.col("sg.ay")
+    ab2 = abx * abx + aby * aby
+    t = F.when(ab2 > 0, F.least(F.greatest((apx * abx + apy * aby) / ab2, F.lit(0.0)), F.lit(1.0))).otherwise(F.lit(0.0))
+    px = lerp(F.col("sg.ax"), F.col("sg.bx"), t)
+    py = lerp(F.col("sg.ay"), F.col("sg.by"), t)
+    d = haversine_m(F.col("pt.lon"), F.col("pt.lat"), px, py)
+    proj = j.select(
+        key,
+        F.col(f"pt.{point_id}").alias(point_id),
+        (F.col("sg.seg_idx") + t).alias("frac_idx"),
+        px.alias("proj_lon"),
+        py.alias("proj_lat"),
+        d.alias("proj_dist_m"),
+    )
+    return (
+        proj.groupBy(key, point_id)
+        .agg(F.min_by(F.struct("frac_idx", "proj_lon", "proj_lat", "proj_dist_m"),
+                      F.col("proj_dist_m")).alias("__b"))
+        .select(key, point_id, "__b.frac_idx", "__b.proj_lon", "__b.proj_lat",
+                "__b.proj_dist_m")
+    )
+
+
+def drop_near_real(
+    virtual: DataFrame,
+    real: DataFrame,
+    key: str = "relation_id",
+    max_dist_m: float = 150.0,
+) -> DataFrame:
+    """Distance-predicate anti join: drop a virtual stop if any real stop of
+    the same route lies within max_dist_m (reference update-routes.js:311-313)."""
+    cond = (
+        (virtual[key] == real[key])
+        & (haversine_m(virtual["lon"], virtual["lat"], real["lon"], real["lat"]) < max_dist_m)
+    )
+    return virtual.join(real, cond, "left_anti")
+
+
+def interpolate_virtual_stops(
+    real_stops: DataFrame,
+    key: str = "relation_id",
+    order_col: str = "frac_idx",
+    max_gap_km: float = 0.25,
+) -> DataFrame:
+    """Insert ⌊d/max_gap⌋ evenly spaced virtual stops between consecutive
+    real stops further than max_gap apart (reference update-routes.js:281-333).
+
+    lag-pair consecutive stops → explode(sequence(1, n)) → linear
+    interpolation.  1-row→N-rows generation without a UDTF.
+    Returns rows (key, stop_id, lon, lat, frac_idx, is_real=false).
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    paired = (
+        real_stops.withColumn("nlon", F.lead("lon").over(w))
+        .withColumn("nlat", F.lead("lat").over(w))
+        .withColumn("nidx", F.lead(order_col).over(w))
+        .filter(F.col("nlon").isNotNull())
+    )
+    gap_km = haversine_km(F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat"))
+    paired = paired.withColumn("__n", F.floor(gap_km / max_gap_km).cast("int")).filter(F.col("__n") >= 1)
+    exploded = paired.select(
+        key, "lon", "lat", "nlon", "nlat", F.col(order_col).alias("__i0"), "nidx", "__n",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__k"),
+    )
+    t = F.col("__k").cast("double") / (F.col("__n") + 1)
+    vlon = lerp(F.col("lon"), F.col("nlon"), t)
+    vlat = lerp(F.col("lat"), F.col("nlat"), t)
+    return exploded.select(
+        key,
+        virtual_stop_id(vlon, vlat).alias("stop_id"),
+        vlon.alias("lon"),
+        vlat.alias("lat"),
+        lerp(F.col("__i0"), F.col("nidx"), t).alias(order_col),
+        F.lit(False).alias("is_real"),
+    )

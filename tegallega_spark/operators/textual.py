@@ -1,0 +1,118 @@
+"""Text-analysis operators over document tables (north-star extension).
+
+Generalizes the reference's string functions (convert.py:75-105) to the
+LLM-data-pipeline surface: language ID, quality scoring, token counting,
+fingerprinting.  All pure column expressions — at 100 TB these run inside
+whole-stage codegen over the parquet scan with zero Python involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small: language ID here is a deterministic heuristic, not a
+# model — mirrors fastText-style scoring with hand-rolled features.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "id": ["yang", "dan", "di", "ke", "dari", "untuk", "pada", "dengan", "ini", "itu"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "pour", "dans", "que"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "von", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "en", "por", "con"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace/punctuation word tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count regex word pieces + non-space symbols.
+
+    A deterministic stand-in for a real tokenizer: words of ≤4 chars are one
+    token, longer words cost ceil(len/4).
+    """
+    words = tokens(text)
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' if no hits.
+
+    CASE-expression chain — stays in codegen.  Ties break by language-key
+    order (en < id < fr < de < es evaluation order, first max wins).
+    """
+    toks = tokens(text)
+
+    def _hits(sw: list[str]):
+        sw_arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+
+    scores = {lang: _hits(sw) for lang, sw in _STOPWORDS.items()}
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length, punctuation balance,
+    alpha ratio, mean word length sanity.  Deterministic column math."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = n_chars / n_tokens
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.4)
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    raw = 0.3 * len_score + 0.3 * alpha_ratio + 0.2 * wlen_score + 0.2 * punct_score
+    # floor(x*1e4+0.5)/1e4 instead of round(): pure IEEE ops, so the result
+    # is bit-identical across engines (round() implementations differ at
+    # exact .5 decimal boundaries, which these weighted sums hit often)
+    return F.floor(raw * 10000.0 + 0.5) / 10000.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased alnum-collapsed
+    text.  Identical modulo whitespace/punct/casing → identical fingerprint."""
+    normalized = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(normalized))
+
+
+def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 16) -> Column:
+    """Winnowing-style document fingerprints: hash every `window`-word
+    shingle, keep hashes ≡ 0 (mod keep_every).  array<bigint> sketch usable
+    for containment checks at scale."""
+    toks = tokens(text)
+    num = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), num),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0))
+    )

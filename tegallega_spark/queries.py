@@ -1,0 +1,1014 @@
+"""Oracle-checked query registry — the engine's declared operator surface.
+
+Every SURVEY.md §2 operator class has at least one entry here; each entry is
+a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
+SQL the driver runs side-by-side at sf0.01.  Column names are aliased
+identically on both sides (the driver sorts columns by name before hashing).
+
+Determinism rules applied throughout:
+- floats rounded explicitly on BOTH sides (same decimal places);
+- timestamps never emitted raw — always strftime'd to strings;
+- ties in argmin/top-k broken by a unique key;
+- duckdb regexp_replace always given the 'g' flag (Spark's is global);
+- CAST(... AS BIGINT) on duckdb counts/sums where Spark yields LongType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from tegallega_spark.session import load_table
+from tegallega_spark.functions.geo import haversine_km
+from tegallega_spark.functions.timecodec import seconds_to_hhmmss
+from tegallega_spark.operators import dedup as D
+from tegallega_spark.operators import similarity as SIM
+from tegallega_spark.operators import textual as TXT
+from tegallega_spark.operators import windows as W
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Scans / projections / filters (SURVEY §2.1-2.2: S*, P*)
+# ===========================================================================
+
+@register(
+    "q01_pricing_summary",
+    oracle=r"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: full-scan groupBy with 6 aggregates.
+    Map-side partial aggregation makes this one shuffle of #groups rows."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle=r"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q02(spark, sf_dir):
+    """Predicate + projection; both push into the parquet scan
+    (PushedFilters + 4-column ReadSchema)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+    )
+
+
+@register(
+    "q03_case_bucket",
+    oracle=r"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_priority,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_bucket
+    FROM orders
+    """,
+)
+def q03(spark, sf_dir):
+    """CASE-derived columns (reference generate_gtfs.py:52 route_type)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("is_priority"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_bucket"),
+    )
+
+
+@register(
+    "q04_default_fill",
+    oracle=r"""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment,
+           COALESCE(NULLIF(TRIM(c_name), ''), 'Customer ' || CAST(c_custkey AS VARCHAR)) AS display_name
+    FROM customer
+    """,
+)
+def q04(spark, sf_dir):
+    """Default-value fill (reference generate_gtfs.py:72,118 .get defaults)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce(
+            F.nullif(F.trim("c_name"), F.lit("")),
+            F.concat(F.lit("Customer "), F.col("c_custkey").cast("string")),
+        ).alias("display_name"),
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3: J1-J10)
+# ===========================================================================
+
+@register(
+    "q05_region_revenue",
+    oracle=r"""
+    SELECT r.r_name AS region, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q05(spark, sf_dir):
+    """Star-schema join chain; nation/region are broadcast dims (J1/J7)."""
+    o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    n, r = T(spark, sf_dir, "nation"), T(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q06_semi_join",
+    oracle=r"""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q06(spark, sf_dir):
+    """Left-semi join (the dual of the reference's J5 anti join)."""
+    c, o = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q07_anti_join",
+    oracle=r"""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q07(spark, sf_dir):
+    """Left-anti join (reference J5: drop-if-near predicate dual)."""
+    c, o = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "q08_argmin_join",
+    oracle=r"""
+    SELECT l_orderkey, best_line, ROUND(min_price, 2) AS min_price FROM (
+      SELECT l_orderkey, l_linenumber AS best_line, l_extendedprice AS min_price,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+)
+def q08(spark, sf_dir):
+    """Argmin per group — the reference's nearest-neighbor join shape
+    (generate_gtfs.py:354-365) as min(struct(...)): one shuffle, no window
+    sort, map-side combinable."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_extendedprice", "l_linenumber")).alias("m"))
+        .select(
+            "l_orderkey",
+            F.col("m.l_linenumber").alias("best_line"),
+            F.round(F.col("m.l_extendedprice"), 2).alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q09_self_theta_join",
+    oracle=r"""
+    SELECT n1.n_regionkey AS region_key, n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+    """,
+)
+def q09(spark, sf_dir):
+    """Self theta-join with pair dedup (reference convert.py:126-137 J6)."""
+    n1 = T(spark, sf_dir, "nation").alias("n1")
+    n2 = T(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_name") < F.col("n2.n_name")),
+    ).select(
+        F.col("n1.n_regionkey").alias("region_key"),
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+    )
+
+
+@register(
+    "q10_ordered_join",
+    oracle=r"""
+    SELECT p_partkey, pos, word FROM (
+      SELECT p_partkey,
+             unnest(list_transform(generate_series(1, len(w)),
+                                   i -> {'pos': i - 1, 'word': w[i]}),
+                    recursive := true)
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))
+    """,
+)
+def q10(spark, sf_dir):
+    """Order-preserving explode (reference J2/W7: posexplode keeps member
+    order as an explicit pos column)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+# ===========================================================================
+# Aggregations (SURVEY §2.4: A1-A7 + engine-surface extensions)
+# ===========================================================================
+
+@register(
+    "q11_dedup_first_wins",
+    oracle=r"""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q11(spark, sf_dir):
+    """First-wins dedup by key (reference generate_gtfs.py:115-123 A1)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "q12_dedup_last_wins",
+    oracle=r"""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q12(spark, sf_dir):
+    """Last-wins dedup (reference update-routes.js:37 A2: JS Map semantics)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "q13_count_distinct",
+    oracle=r"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q13(spark, sf_dir):
+    """Distinct aggregates (engine-surface extension per SURVEY §2.4)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q14_rollup",
+    oracle=r"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q14(spark, sf_dir):
+    l = T(spark, sf_dir, "orders")
+    return l.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "q15_cube",
+    oracle=r"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q15(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "q16_grouping_sets",
+    oracle=r"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q16(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q17_collect_sorted",
+    oracle=r"""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q17(spark, sf_dir):
+    """Group-collect to ordered list (reference generate_gtfs.py:194-207 A3),
+    emitted as a joined string so the oracle hash is type-stable."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+# ===========================================================================
+# Windows (SURVEY §2.5: W1-W12)
+# ===========================================================================
+
+@register(
+    "q18_running_sum",
+    oracle=r"""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q18(spark, sf_dir):
+    """Cumulative sum per key (reference W2: shape_dist_traveled)."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "q19_lag_delta",
+    oracle=r"""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def q19(spark, sf_dir):
+    """lag + pairwise delta (reference W1: consecutive-vertex distance)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "q20_rank",
+    oracle=r"""
+    SELECT p_partkey, p_brand,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank
+    FROM part
+    """,
+)
+def q20(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select("p_partkey", "p_brand", F.rank().over(w).alias("price_rank"))
+
+
+@register(
+    "q21_topk_per_group",
+    oracle=r"""
+    SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) WHERE rn <= 3
+    """,
+)
+def q21(spark, sf_dir):
+    """Top-K per group (SURVEY §2.6 extension of the argmin pattern)."""
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
+    "q22_sequence_explode",
+    oracle=r"""
+    SELECT s_suppkey,
+           unnest(generate_series(1, (s_suppkey % 4) + 1)) AS idx
+    FROM supplier
+    """,
+)
+def q22(spark, sf_dir):
+    """1-row→N-rows generation via explode(sequence(...)) — the reference's
+    headway trip generator shape (generate_gtfs.py:398-410 W11)."""
+    s = T(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("s_suppkey") % 4) + 1)).alias("idx"),
+    )
+
+
+@register(
+    "q23_moving_avg",
+    oracle=r"""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM events
+    """,
+)
+def q23(spark, sf_dir):
+    """Bounded window frame (engine surface: frames beyond cumsum)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+    )
+
+
+@register(
+    "q24_sessionize",
+    oracle=r"""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q24(spark, sf_dir):
+    """Sessionization: lag-gap flag + cumulative sum (reference W8/W9 family
+    expressed windowed; the truly stateful variants are q40/q41)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", flag)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+    )
+
+
+# ===========================================================================
+# Sorts / limits / set ops (SURVEY §2.6-2.7)
+# ===========================================================================
+
+@register(
+    "q25_order_limit",
+    oracle=r"""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q25(spark, sf_dir):
+    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort at scale)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@register(
+    "q26_union",
+    oracle=r"""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q26(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "q27_intersect",
+    oracle=r"""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q27(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "q28_except",
+    oracle=r"""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q28(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+# ===========================================================================
+# Pivot / unpivot (SURVEY §2.1 S4 schedule-matrix shape)
+# ===========================================================================
+
+@register(
+    "q29_pivot",
+    oracle=r"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q29(spark, sf_dir):
+    """Long→wide pivot with pinned value set (schedule-matrix dual)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("status_o"),
+            F.col("F").alias("status_f"),
+            F.col("P").alias("status_p"),
+        )
+    )
+
+
+@register(
+    "q30_unpivot",
+    oracle=r"""
+    SELECT p_partkey, 'size' AS metric, ROUND(CAST(p_size AS DOUBLE), 2) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, ROUND(p_retailprice, 2) AS val FROM part
+    """,
+)
+def q30(spark, sf_dir):
+    """Wide→long unpivot via stack (reference S4: schedule matrix melt)."""
+    p = T(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', round(cast(p_size as double), 2), "
+        "'retailprice', round(p_retailprice, 2)) as (metric, val)",
+    )
+
+
+# ===========================================================================
+# Scalar functions (SURVEY §2.8: F1-F15)
+# ===========================================================================
+
+@register(
+    "q31_string_funcs",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+           upper(substring(c_name, 1, 8)) AS prefix,
+           length(c_name) AS name_len,
+           regexp_replace(c_name, '[^A-Za-z0-9 _-]', '_', 'g') AS sanitized
+    FROM customer
+    """,
+)
+def q31(spark, sf_dir):
+    """regexp extract/replace, substring, length (F6-F10 family)."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("cust_num"),
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", r"[^A-Za-z0-9 _-]", "_").alias("sanitized"),
+    )
+
+
+@register(
+    "q32_haversine",
+    oracle=r"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(2 * 6371 * asin(sqrt(
+             power(sin(radians((l_partkey % 60) - l_tax * 100) / 2), 2)
+             + cos(radians(l_tax * 100)) * cos(radians(l_partkey % 60))
+               * power(sin(radians(l_quantity - l_discount * 1000) / 2), 2)
+           )), 3) AS dist_km
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def q32(spark, sf_dir):
+    """Haversine as pure column math (F1, reference generate_gtfs.py:18-24).
+    Pseudo-coordinates derived from numeric columns."""
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    lon1 = F.col("l_discount") * 1000
+    lat1 = F.col("l_tax") * 100
+    lon2 = F.col("l_quantity")
+    lat2 = F.col("l_partkey") % 60
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.round(haversine_km(lon1, lat1, lon2, lat2), 3).alias("dist_km"),
+    )
+
+
+@register(
+    "q33_time_codec",
+    oracle=r"""
+    SELECT event_id,
+           printf('%02d:%02d:%02d', s // 3600, (s % 3600) // 60, s % 60) AS hms
+    FROM (SELECT event_id, CAST(ROUND(value * 600) AS BIGINT) AS s FROM events)
+    """,
+)
+def q33(spark, sf_dir):
+    """GTFS time codec: seconds → HH:MM:SS with hours past 24 allowed
+    (F4, reference generate_gtfs.py:31-38)."""
+    e = T(spark, sf_dir, "events")
+    s = F.round(F.col("value") * 600).cast("long")
+    return e.select("event_id", seconds_to_hhmmss(s).alias("hms"))
+
+
+@register(
+    "q34_date_funcs",
+    oracle=r"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q34(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@register(
+    "q35_json_extract",
+    oracle=r"""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q35(spark, sf_dir):
+    """JSON field extraction (F15 family; reference parses JSON documents)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@register(
+    "q36_tumbling_window",
+    oracle=r"""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q36(spark, sf_dir):
+    """Tumbling event-time window in batch (same F.window used by the
+    streaming surface in tegallega_spark.streaming)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline surface: dedup / text / similarity (north star, §7)
+# ===========================================================================
+
+@register(
+    "q37_exact_dedup_docs",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q37(spark, sf_dir):
+    """Exact near-identity dedup: normalized-content fingerprint groupBy
+    (north-star; generalizes reference A1)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", TXT.fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "q38_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q38(spark, sf_dir):
+    """Token counting (north-star text analysis)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "q39_word_jaccard",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS w
+      FROM documents WHERE doc_id % 10 = 0),
+    card AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(common / (ca.c + cb.c - common), 4) AS jaccard
+    FROM pair JOIN card ca ON pair.id_a = ca.doc_id
+              JOIN card cb ON pair.id_b = cb.doc_id
+    WHERE common / (ca.c + cb.c - common) >= 0.8
+    """,
+)
+def q39(spark, sf_dir):
+    """Exact word-set Jaccard near-dup via inverted-index join (north-star).
+    The shingle join IS the inverted index: the quadratic pair space never
+    materializes, only shingle-colliding pairs."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    words = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda w: w != "")
+    )
+    tok = d.select(F.col("doc_id"), F.explode(words).alias("w"))
+    card = tok.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "w")
+    b = tok.select(F.col("doc_id").alias("id_b"), "w")
+    pair = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    jac = F.col("common") / (F.col("ca") + F.col("cb") - F.col("common"))
+    return (
+        pair.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("q40_minhash_neardup")  # approximate → rows-only check
+def q40(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (north-star).  Banded signature
+    join; no oracle (probabilistic) — driver records rows-only."""
+    d = T(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        d, "doc_id", "text", shingle_n=3, num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+@register("q41_simhash_neardup")  # approximate → rows-only check
+def q41(spark, sf_dir):
+    """SimHash near-dup pairs via banded fingerprint join (north-star)."""
+    d = T(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(d, "doc_id", "text", shingle_n=2, max_hamming=3)
+
+
+@register(
+    "q42_lang_detect",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), t -> t <> ''),
+                 t -> t IN ('the','and','of','to','in','is','that','for','with','was'))) AS h_en,
+             len(list_filter(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), t -> t <> ''),
+                 t -> t IN ('yang','dan','di','ke','dari','untuk','pada','dengan','ini','itu'))) AS h_id,
+             len(list_filter(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), t -> t <> ''),
+                 t -> t IN ('le','la','les','de','des','et','est','pour','dans','que'))) AS h_fr,
+             len(list_filter(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), t -> t <> ''),
+                 t -> t IN ('der','die','das','und','ist','nicht','mit','von','ein','zu'))) AS h_de,
+             len(list_filter(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'), t -> t <> ''),
+                 t -> t IN ('el','la','los','de','y','es','que','en','por','con'))) AS h_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_id, h_fr, h_de, h_es) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_id, h_fr, h_de, h_es) THEN 'en'
+                WHEN h_id = greatest(h_en, h_id, h_fr, h_de, h_es) THEN 'id'
+                WHEN h_fr = greatest(h_en, h_id, h_fr, h_de, h_es) THEN 'fr'
+                WHEN h_de = greatest(h_en, h_id, h_fr, h_de, h_es) THEN 'de'
+                ELSE 'es' END AS detected_lang
+    FROM scored
+    """,
+)
+def q42(spark, sf_dir):
+    """Stopword-heuristic language ID (north-star text analysis)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.detect_language(F.col("text")).alias("detected_lang"))
+
+
+@register(
+    "q43_ann_topk",
+    oracle=r"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               ORDER BY vec_id LIMIT 1)
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q43(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (north-star similarity search).
+    Query vector = embedding of the lowest vec_id; single map stage +
+    TakeOrdered, no shuffle of the table."""
+    emb = T(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    q = F.array(*[F.lit(x) for x in qv])
+    scored = emb.select(
+        "vec_id",
+        F.round(SIM.cosine(F.col("embedding").cast("array<double>"), q), 4).alias("cos_sim"),
+    )
+    # tie-break on the ROUNDED similarity (mirrors the oracle's ORDER BY)
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+@register("q44_embedding_neardup")  # approximate (LSH buckets) → rows-only
+def q44(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs (north-star scale path)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return SIM.all_pairs_above(emb, "vec_id", "embedding", min_cosine=0.95, num_planes=4)
+
+
+@register(
+    "q45_quality_score",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             greatest(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'),
+                                      t -> t <> '')), 1) AS n_tokens,
+             length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           floor((0.3 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (n_alpha / greatest(n_chars, 1))
+               + 0.2 * (CASE WHEN n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                             THEN 1.0 ELSE 0.4 END)
+               + 0.2 * (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1
+                             THEN 1.0 ELSE 0.5 END)) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM m
+    """,
+)
+def q45(spark, sf_dir):
+    """Heuristic quality scoring (north-star text analysis)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+@register("q46_stateful_thinning")  # true running-state fold → rows-only
+def q46(spark, sf_dir):
+    """Min-gap thinning over event streams — the reference's W9 stateful scan
+    (update-routes.js:353-373) generalized: keep an event iff ≥600 s since
+    the last KEPT event of that user.  applyInPandas per key."""
+    import pandas as pd
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def thin(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        kept, last = [], None
+        for row in pdf.itertuples(index=False):
+            t = row.ts.timestamp()
+            if last is None or t - last >= 600:
+                kept.append((row.user_id, row.event_id))
+                last = t
+        return pd.DataFrame(kept, columns=["user_id", "event_id"])
+
+    return e.groupBy("user_id").applyInPandas(thin, "user_id bigint, event_id bigint")
+
+
+@register("q47_approx_distinct")  # approximate sketch → rows-only
+def q47(spark, sf_dir):
+    """approx_count_distinct (HLL) per event_type — engine surface; sketch
+    results are engine-specific so no oracle."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

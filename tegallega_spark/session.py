@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local testing runs on local[N] but every config here is chosen to also make
+sense on a 1000-executor cluster reading 100 TB:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace hand-tuning per input size.
+- Arrow on: every applyInPandas / pandas_udf island ships columnar batches.
+- UTC session timezone: parquet timestamps compare bit-identically with the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+- shuffle.partitions defaults to cores locally; on a real cluster AQE's
+  coalescing makes the initial number mostly irrelevant as long as it is
+  high enough, so we leave it overridable via SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table. Parquet → full predicate/column pushdown.
+
+    events.ts is TIMESTAMP(NANOS) in the source parquet, which Spark's
+    vectorized reader rejects; read it as raw nanos (legacy conf) and
+    convert to a proper TimestampType (microsecond truncation — sub-µs
+    precision is irrelevant to every consumer here).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,115 @@
+"""Event-stream operators over the synthetic `events` table.
+
+Batch/stream parity: `tumbling_counts` on a stream with AvailableNow gives
+the same rows as q36_tumbling_window in batch (modulo late-data dropped by
+the watermark).  All aggregations are built-in windowed aggs — state store
+managed by Spark, no custom state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) → read as long
+# (spark.sql.legacy.parquet.nanosAsLong) and convert, same as the batch path.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet.  `path` may be a directory of
+    files (production layout) or a single file (test fixture) — a file is
+    turned into (parent dir + glob filter) since the streaming source
+    requires a directory."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", 8)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_sums(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (gap-based), the streaming dual of q24_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+    """Run one incremental batch over all available files, then stop — the
+    Structured-Streaming mirror of the reference's CI path-trigger
+    incrementality (SURVEY §2.10)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

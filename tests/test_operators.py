@@ -1,0 +1,191 @@
+"""Unit + property tests for the non-oracle operators: stateful scans
+(SURVEY §5.2 property tests), spatial, dedup, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from tegallega_spark.operators import multimodal as MM
+from tegallega_spark.operators.dedup import (
+    dedup_keep_first,
+    dedup_keep_last,
+    minhash_near_duplicates,
+)
+from tegallega_spark.operators.spatial import (
+    interpolate_virtual_stops,
+    nearest_vertex_join,
+)
+from tegallega_spark.operators.stateful import (
+    MIN_SPACING_M,
+    stitch_ways,
+    thin_stops,
+)
+from tegallega_spark.operators.windows import cumulative_shape_distance
+from tegallega_spark.session import load_table
+
+
+def _haversine_m(lon1, lat1, lon2, lat2):
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    a = (
+        math.sin((p2 - p1) / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# stitch_ways: reference update-routes.js:111-141 invariants
+# ---------------------------------------------------------------------------
+
+def test_stitch_ways_reverses_and_joins(spark):
+    # way0: A->B; way1 given as C->B (must be reversed to B->C); way2: C->D
+    A, B, C, Dp = (0.0, 0.0), (0.001, 0.0), (0.002, 0.0), (0.003, 0.0)
+    rows = []
+    for i, (lon, lat) in enumerate([A, B]):
+        rows.append(("r1", 0, i, lon, lat))
+    for i, (lon, lat) in enumerate([C, B]):
+        rows.append(("r1", 1, i, lon, lat))
+    for i, (lon, lat) in enumerate([C, Dp]):
+        rows.append(("r1", 2, i, lon, lat))
+    df = spark.createDataFrame(
+        rows, "relation_id string, way_order int, vertex_idx int, lon double, lat double"
+    )
+    out = stitch_ways(df).orderBy("vertex_idx").collect()
+    coords = [(r.lon, r.lat) for r in out]
+    # endpoints preserved, joint vertices deduplicated, orientation fixed
+    assert coords[0] == A and coords[-1] == Dp
+    assert coords == [A, B, C, Dp]
+
+
+def test_stitch_ways_gap_still_concatenates(spark):
+    # disconnected ways: reference warns but concatenates (js:126-129)
+    rows = [("r2", 0, 0, 0.0, 0.0), ("r2", 0, 1, 0.001, 0.0),
+            ("r2", 1, 0, 0.5, 0.5), ("r2", 1, 1, 0.6, 0.5)]
+    df = spark.createDataFrame(
+        rows, "relation_id string, way_order int, vertex_idx int, lon double, lat double"
+    )
+    out = stitch_ways(df).orderBy("vertex_idx").collect()
+    assert len(out) == 4
+    assert (out[2].lon, out[2].lat) == (0.5, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# thin_stops: min-spacing invariant (reference update-routes.js:353-373)
+# ---------------------------------------------------------------------------
+
+def test_thin_stops_invariant(spark):
+    # stops every ~55m along a meridian; every 5th is real
+    rows = []
+    for i in range(40):
+        rows.append(("r1", f"s{i}", 0.0, i * 0.0005, float(i), i % 5 == 0))
+    df = spark.createDataFrame(
+        rows, "relation_id string, stop_id string, lon double, lat double, "
+        "frac_idx double, is_real boolean"
+    )
+    kept = thin_stops(df).orderBy("frac_idx").collect()
+    # all real stops survive
+    assert {r.stop_id for r in kept} >= {f"s{i}" for i in range(0, 40, 5)}
+    # virtual gaps ≥ MIN_SPACING_M from last kept
+    last = None
+    for r in kept:
+        if last is not None and not r.is_real:
+            assert _haversine_m(r.lon, r.lat, last[0], last[1]) >= MIN_SPACING_M - 1e-6
+        last = (r.lon, r.lat)
+
+
+# ---------------------------------------------------------------------------
+# cumulative distance monotonicity (SURVEY §5.2)
+# ---------------------------------------------------------------------------
+
+def test_cumdist_monotone(spark):
+    rows = [("s1", i, float(i) * 0.001, 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "shape_id string, vertex_idx int, lon double, lat double")
+    out = cumulative_shape_distance(df, key="shape_id").orderBy("vertex_idx").collect()
+    dists = [r.cum_dist for r in out]
+    assert dists[0] == 0.0
+    assert all(b >= a for a, b in zip(dists, dists[1:]))
+    assert out[-1].seq == 50
+
+
+def test_nearest_vertex_join(spark):
+    shape = spark.createDataFrame(
+        [("r1", i, float(i), 0.0, float(i) * 111.0) for i in range(5)],
+        "relation_id string, vertex_idx int, lon double, lat double, cum_dist double",
+    )
+    stops = spark.createDataFrame(
+        [("r1", "a", 2.2, 0.1), ("r1", "b", 3.9, -0.1)],
+        "relation_id string, stop_id string, lon double, lat double",
+    )
+    out = {r.stop_id: r for r in nearest_vertex_join(stops, shape).collect()}
+    assert out["a"].nn_vertex_idx == 2 and out["b"].nn_vertex_idx == 4
+
+
+def test_interpolate_virtual_stops(spark):
+    # two real stops ~1.11 km apart → floor(1.11/0.25)=4 virtual stops
+    df = spark.createDataFrame(
+        [("r1", "a", 0.0, 0.0, 0.0, True), ("r1", "b", 0.01, 0.0, 1.0, True)],
+        "relation_id string, stop_id string, lon double, lat double, "
+        "frac_idx double, is_real boolean",
+    )
+    out = interpolate_virtual_stops(df).orderBy("frac_idx").collect()
+    assert len(out) == 4
+    assert all(not r.is_real for r in out)
+    assert all(r.stop_id.startswith("virtual_") for r in out)
+    lons = [r.lon for r in out]
+    assert lons == sorted(lons) and 0.0 < lons[0] < lons[-1] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# dedup keep-first/keep-last
+# ---------------------------------------------------------------------------
+
+def test_dedup_first_and_last(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "c")],
+        "key string, seq int, val string",
+    )
+    first = {r.key: r.val for r in dedup_keep_first(df, ["key"], "seq").collect()}
+    last = {r.key: r.val for r in dedup_keep_last(df, ["key"], "seq").collect()}
+    assert first == {"k1": "a", "k2": "c"}
+    assert last == {"k1": "b", "k2": "c"}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = [
+        (1, base),
+        (2, base + " tiny tail change"),
+        (3, "completely different content about spark engines and parquet files " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_near_duplicates(df, "doc_id", "text", jaccard_threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_decode_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = MM.attach_binary_payload(docs)
+    decoded = MM.decode_batches(payloads)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    byte_lens = {r.doc_id: r.byte_len for r in rows}
+    truth = {r.doc_id: len(r.text.encode()) for r in docs.collect()}
+    assert byte_lens == truth
+    assert all(r.width >= 16 and r.feature_hash >= 0 for r in rows)
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = MM.frame_sample(MM.attach_binary_payload(docs)).collect()
+    assert len(out) == 5  # n_frames=1 → one frame row each
+    assert all(r.frame_idx == 0 for r in out)

@@ -1,0 +1,42 @@
+"""Streaming surface: AvailableNow file-source batch equals the batch query
+(SURVEY §2.10 — streaming mirrors CI incrementality)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from tegallega_spark.queries import SPARK_QUERIES
+from tegallega_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    assert stream.isStreaming
+    result = tumbling_counts(stream, "15 minutes", "30 minutes")
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, "tumbling_test", ckpt)
+    got = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in SPARK_QUERIES["q36_tumbling_window"](spark, sf_dir).collect()
+    }
+    # AvailableNow over a static dir sees all data → exact batch parity
+    assert got == want
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = session_counts(stream, "30 minutes", "1 hour")
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, "sessions_test", ckpt)
+    rows = spark.sql("SELECT * FROM sessions_test").collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
