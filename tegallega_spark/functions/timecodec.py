@@ -24,10 +24,12 @@ def gtfs_time_to_seconds(col: Column) -> Column:
     trimmed = F.trim(col)
     ok = trimmed.rlike(r"^\d{1,3}:\d{1,2}(:\d{1,2})?$")
     parts = F.split(trimmed, ":")
+    # F.get (not getItem): returns NULL past the end instead of raising
+    # under ANSI mode — 'HH:MM' has no seconds component
     secs = (
-        parts.getItem(0).cast("int") * 3600
-        + parts.getItem(1).cast("int") * 60
-        + F.coalesce(parts.getItem(2).cast("int"), F.lit(0))
+        F.get(parts, 0).cast("int") * 3600
+        + F.get(parts, 1).cast("int") * 60
+        + F.coalesce(F.get(parts, 2).cast("int"), F.lit(0))
     )
     return F.when(ok, secs).otherwise(F.lit(0))
 

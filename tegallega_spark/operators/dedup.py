@@ -81,19 +81,46 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i).  array<bigint> of length num_hashes.
+MINHASH_PRIME = 4294967311  # prime > 2^32
 
-    Deterministic, JVM-side, no UDF: xxhash64 with distinct seeds stands in
-    for independent hash permutations (standard practice; see MMDS ch.3).
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, reduced into [0, MINHASH_PRIME)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from pre-hashed shingles (array<bigint> in [0,P)).
+
+    The k permutations are universal hashes h_i(x) = (a_i*x + b_i) mod P —
+    k multiply-adds per shingle instead of k string hashes (~k× cheaper on
+    the hot path; standard practice, see MMDS ch.3).  Deterministic
+    constants derive from splitmix64 of the permutation index.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i.cast("string")))
-        ),
-    )
+    # a < 2^29 and x < P ≈ 2^32 keep the product under 2^62 —
+    # no 64-bit overflow, safe under ANSI mode.
+    P = MINHASH_PRIME
+
+    def _ab(i: int) -> tuple[int, int]:
+        # splitmix64-derived deterministic constants per permutation
+        x = (i * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xD6E8FEB86659FD93) % (1 << 64)
+        return (x % ((1 << 29) - 1)) + 1, x % P
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P))
+
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = _ab(i)
+        sig_cols.append(F.array_min(F.transform(hashes, _perm(a, b))))
+    return F.array(*sig_cols)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature straight from shingles (convenience wrapper)."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes)
 
 
 def minhash_near_duplicates(
@@ -118,10 +145,17 @@ def minhash_near_duplicates(
     pairs meet.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # two-step select so each shingle is hashed exactly once (higher-order
+    # functions are interpreted, not codegen'd — no subexpression reuse
+    # across the k permutations otherwise); persist because the LSH
+    # self-join reads the signatures from both sides
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("__sig"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("__h"),
     )
+    sig = hashed.select(
+        "__id", minhash_signature_from_hashes(F.col("__h"), num_hashes).alias("__sig")
+    ).persist()
     banded = sig.select(
         "__id",
         "__sig",

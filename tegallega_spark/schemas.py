@@ -34,7 +34,9 @@ ROUTE_SCHEMA = StructType(
     [
         StructField("name", StringType()),
         StructField("directionId", LongType()),
-        StructField("relationId", LongType()),
+        # relationId is a STRING in the document (IDs are never ints —
+        # SURVEY §1.2; schedule matching is string equality)
+        StructField("relationId", StringType()),
         StructField("first_departure", StringType()),
         StructField("last_departure", StringType()),
         StructField("trips", StringType()),

@@ -1,0 +1,63 @@
+"""GTFS CSV sink + reader (SURVEY K1, K3, S9).
+
+K1: GTFS requires exact filenames (agency.txt, ...) and a pinned column
+order — a single CSV per table.  coalesce(1) here is a correctness
+requirement of the format, not a performance choice (SURVEY §4.2); for
+feeds too large for one file, write partitioned and concatenate on the
+driver (the helper does exactly that under the hood: Spark writes the
+part file(s), the driver streams them into the final .txt).
+
+K3: gtfs.zip packaging for the OTP consumer.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tegallega_spark.schemas import GTFS_COLUMNS
+
+
+def write_gtfs_table(df: DataFrame, name: str, out_dir: str) -> str:
+    """Write one GTFS table as {out_dir}/{name}.txt with header and the
+    contract column order."""
+    cols = GTFS_COLUMNS[name]
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"{name}.txt")
+    with tempfile.TemporaryDirectory(dir=out_dir) as tmp:
+        spark_out = os.path.join(tmp, "csv")
+        df.select(*cols).coalesce(1).write.option("header", True).option(
+            "emptyValue", ""
+        ).mode("overwrite").csv(spark_out)
+        parts = sorted(glob.glob(os.path.join(spark_out, "part-*.csv")))
+        with open(final, "wb") as out:
+            for i, p in enumerate(parts):
+                with open(p, "rb") as f:
+                    if i > 0:
+                        f.readline()  # drop repeated header on extra parts
+                    shutil.copyfileobj(f, out)
+    return final
+
+
+def write_gtfs_feed(tables: dict[str, DataFrame], out_dir: str) -> list[str]:
+    return [write_gtfs_table(df, name, out_dir) for name, df in tables.items()]
+
+
+def make_gtfs_zip(feed_dir: str, zip_path: str) -> str:
+    """Package {feed_dir}/*.txt into a flat gtfs.zip (K3 —
+    direct-graphs-generation.yml:92-95)."""
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for txt in sorted(glob.glob(os.path.join(feed_dir, "*.txt"))):
+            z.write(txt, os.path.basename(txt))
+    return zip_path
+
+
+def read_gtfs_table(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
+    """S9: read a GTFS table back with header (schema-on-read strings —
+    GTFS consumers treat every field as text)."""
+    return spark.read.option("header", True).csv(os.path.join(feed_dir, f"{name}.txt"))
