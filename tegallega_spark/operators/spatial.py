@@ -90,10 +90,12 @@ def project_onto_segments(
         py.alias("proj_lat"),
         d.alias("proj_dist_m"),
     )
+    # min over struct(dist, frac_idx, ...) — tie on distance picks the
+    # LOWEST segment index, matching the reference's strict-less first-win
+    # scan (update-routes.js:235-239)
     return (
         proj.groupBy(key, point_id)
-        .agg(F.min_by(F.struct("frac_idx", "proj_lon", "proj_lat", "proj_dist_m"),
-                      F.col("proj_dist_m")).alias("__b"))
+        .agg(F.min(F.struct("proj_dist_m", "frac_idx", "proj_lon", "proj_lat")).alias("__b"))
         .select(key, point_id, "__b.frac_idx", "__b.proj_lon", "__b.proj_lat",
                 "__b.proj_dist_m")
     )
@@ -112,6 +114,68 @@ def drop_near_real(
         & (haversine_m(virtual["lon"], virtual["lat"], real["lon"], real["lat"]) < max_dist_m)
     )
     return virtual.join(real, cond, "left_anti")
+
+
+def interpolate_virtual_stops_along_line(
+    real_stops: DataFrame,
+    vertices: DataFrame,
+    key: str = "relation_id",
+    order_col: str = "member_order",
+    max_gap_km: float = 0.25,
+) -> DataFrame:
+    """Reference-faithful W10 (update-routes.js:281-333): between each pair
+    of CONSECUTIVE real stops (member order), when their straight-line
+    distance exceeds max_gap_km, insert ⌊d/max_gap⌋ stops evenly spaced in
+    FRACTIONAL-INDEX space and interpolated along the route polyline.
+
+    real_stops must carry (key, order_col, lon, lat, frac_idx);
+    vertices must carry (key, vertex_idx, lon, lat).
+
+    lag-pair → explode(sequence) → join segment vertices on
+    (key, floor(idx)) — two equi-joins, no UDF.  Rows whose coordIdx falls
+    outside [0, len-2] are dropped (js:302).
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    paired = (
+        real_stops.withColumn("nlon", F.lead("lon").over(w))
+        .withColumn("nlat", F.lead("lat").over(w))
+        .withColumn("nidx", F.lead("frac_idx").over(w))
+        .filter(F.col("nlon").isNotNull())
+    )
+    # the reference computes meters then divides by 1000 (js:290) — mirror
+    # that arithmetic exactly rather than using the km-radius variant
+    gap_km = haversine_m(F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat")) / 1000.0
+    paired = (
+        paired.withColumn("__gap", gap_km)
+        .filter(F.col("__gap") > max_gap_km)
+        .withColumn("__n", F.floor(F.col("__gap") / max_gap_km).cast("int"))
+        .withColumn("__step", (F.col("nidx") - F.col("frac_idx")) / (F.col("__n") + 1))
+    )
+    exploded = paired.select(
+        key, "frac_idx", "__step",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__k"),
+    )
+    idx = F.col("frac_idx") + F.col("__k") * F.col("__step")
+    pts = exploded.select(
+        key,
+        idx.alias("__idx"),
+        F.floor(idx).cast("int").alias("__ci"),
+        (idx - F.floor(idx)).alias("__t"),
+    ).filter(F.col("__ci") >= 0)
+    v1 = vertices.select(key, F.col("vertex_idx").alias("__ci"),
+                         F.col("lon").alias("ax"), F.col("lat").alias("ay"))
+    v2 = vertices.select(key, (F.col("vertex_idx") - 1).alias("__ci"),
+                         F.col("lon").alias("bx"), F.col("lat").alias("by"))
+    joined = pts.join(v1, [key, "__ci"]).join(v2, [key, "__ci"])  # inner → ci+1 exists
+    vlon = lerp(F.col("ax"), F.col("bx"), F.col("__t"))
+    vlat = lerp(F.col("ay"), F.col("by"), F.col("__t"))
+    return joined.select(
+        key,
+        virtual_stop_id(vlon, vlat).alias("stop_id"),
+        vlon.alias("lon"),
+        vlat.alias("lat"),
+        F.lit(False).alias("is_real"),
+    )
 
 
 def interpolate_virtual_stops(

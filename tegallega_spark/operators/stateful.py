@@ -40,25 +40,23 @@ def _haversine_m(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
 # ---------------------------------------------------------------------------
 
 def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Walk ways in member order; reverse a way when its end (not start)
-    touches the previous endpoint; drop the duplicated joint vertex; if
-    neither end connects, concatenate anyway (reference behavior — warns but
-    proceeds, update-routes.js:126-129)."""
+    """Walk ways in member order; reverse a way when its end (not its
+    start) touches the previous endpoint; then ALWAYS drop the first
+    coordinate of every non-first way — the reference slices the joint
+    vertex unconditionally, even across a gap (update-routes.js:132-134),
+    and on a gap it warns but still concatenates (:127-129).  Replicated
+    exactly, bug included."""
     pdf = pdf.sort_values(["way_order", "vertex_idx"])
     out_lon: list[float] = []
     out_lat: list[float] = []
     key = pdf["relation_id"].iloc[0]
     for _, way in pdf.groupby("way_order", sort=True):
         coords = list(zip(way["lon"].tolist(), way["lat"].tolist()))
-        if not out_lon:
-            pass
-        else:
+        if out_lon:
             prev_end = (out_lon[-1], out_lat[-1])
-            if _close(coords[0], prev_end):
-                coords = coords[1:]
-            elif _close(coords[-1], prev_end):
-                coords = coords[::-1][1:]
-            # else: gap — concatenate as-is (reference keeps going)
+            if not _close(coords[0], prev_end) and _close(coords[-1], prev_end):
+                coords = coords[::-1]
+            coords = coords[1:]  # unconditional joint-vertex drop (js:132-134)
         out_lon.extend(c[0] for c in coords)
         out_lat.extend(c[1] for c in coords)
     return pd.DataFrame(

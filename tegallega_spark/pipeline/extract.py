@@ -1,0 +1,207 @@
+"""Extract pipeline: OSM relation → stitched ways + (angkot) virtual-stop
+synthesis → per-route GeoJSON (SURVEY §3.1, reference update-routes.js).
+
+The network boundary stays on the driver (sources/overpass.py); everything
+after the fetch is DataFrames:
+
+    members (ordered)         J2   ordered lookup join
+      → stitch_ways           W8   applyInPandas stateful fold
+      → project stops         J4   segment argmin, pure column math
+      → virtual stops         W10  explode(sequence) + polyline lerp
+      → drop-near-real        J5   distance-predicate anti join
+      → re-project + sort     O1
+      → min-spacing thinning  W9   applyInPandas stateful fold
+      → GeoJSON sink          K2   file-per-route partition layout
+
+Per-relation state never crosses a key boundary, so the whole chain scales
+linearly with #relations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from tegallega_spark.operators.spatial import (
+    drop_near_real,
+    interpolate_virtual_stops_along_line,
+    project_onto_segments,
+)
+from tegallega_spark.operators.stateful import stitch_ways, thin_stops
+from tegallega_spark.sources.overpass import (
+    FetchFn,
+    bundle_to_dataframes,
+    default_fetch,
+    fetch_relation_bundle,
+)
+
+MAX_DISTANCE_KM = 0.25  # js:282
+MIN_DISTANCE_KM = 0.15  # js:283
+
+
+def coord_name_map(way_vertices: DataFrame) -> DataFrame:
+    """A7 (js:251-261): first-wins (lon,lat) → street name over way order."""
+    w = Window.partitionBy("relation_id", "lon", "lat").orderBy(
+        "way_order", "vertex_idx"
+    )
+    return (
+        way_vertices.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("relation_id", "lon", "lat", F.col("way_name").alias("street_name"))
+    )
+
+
+def angkot_stops(
+    real_stops: DataFrame, stitched: DataFrame, way_vertices: DataFrame
+) -> DataFrame:
+    """processAngkotStops (js:249-376): real stops + interpolated virtual
+    stops, ordered along the route, min-spacing thinned.
+
+    Returns (relation_id, stop_id, name, role, is_real, lon, lat, frac_idx)
+    in final kept order (frac_idx ascending per relation).
+    """
+    # J4: project real stops (by member order, ids may repeat)
+    pts = real_stops.select(
+        "relation_id", F.col("member_order").alias("pid"), "stop_id", "name",
+        "role", "lon", "lat",
+    )
+    proj = project_onto_segments(
+        pts.select("relation_id", "pid", "lon", "lat"),
+        stitched,
+        key="relation_id",
+        point_id="pid",
+    )
+    real = pts.join(proj.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"])
+
+    # W10: virtual stops between consecutive real stops along the polyline
+    virt = interpolate_virtual_stops_along_line(
+        real.select("relation_id", F.col("pid").alias("member_order"), "lon", "lat", "frac_idx"),
+        stitched,
+        key="relation_id",
+        order_col="member_order",
+        max_gap_km=MAX_DISTANCE_KM,
+    )
+    # J5: too close to ANY real stop of the relation (js:311-313)
+    virt = drop_near_real(
+        virt, real.select("relation_id", "lon", "lat"),
+        key="relation_id", max_dist_m=MIN_DISTANCE_KM * 1000,
+    )
+    # A7 lookup: virtual stop name = street of the exactly-matching vertex,
+    # default 'Jalan terdekat' (js:324 — the exact-coordinate lookup only
+    # hits when the interpolation parameter lands on a vertex)
+    names = coord_name_map(way_vertices)
+    virt = (
+        virt.join(names, ["relation_id", "lon", "lat"], "left")
+        .select(
+            "relation_id",
+            "stop_id",
+            F.coalesce(F.col("street_name"), F.lit("Jalan terdekat")).alias("name"),
+            F.lit("virtual").alias("role"),
+            F.lit(False).alias("is_real"),
+            "lon",
+            "lat",
+        )
+    )
+
+    # union, re-project everything, sort by position (js:341-350)
+    allstops = real.select(
+        "relation_id", "stop_id", "name", "role", F.lit(True).alias("is_real"),
+        "lon", "lat",
+    ).unionByName(virt)
+    w = Window.partitionBy("relation_id").orderBy("stop_id", "lon", "lat")
+    allstops = allstops.withColumn("pid", F.row_number().over(w))
+    proj_all = project_onto_segments(
+        allstops.select("relation_id", "pid", "lon", "lat"),
+        stitched,
+        key="relation_id",
+        point_id="pid",
+    )
+    positioned = allstops.join(
+        proj_all.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"]
+    ).drop("pid")
+
+    # W9: min-spacing thinning against the last KEPT stop (js:352-373)
+    return thin_stops(
+        positioned.select(
+            "relation_id", "stop_id", "name", "role", "lon", "lat",
+            "frac_idx", "is_real",
+        ),
+        key="relation_id",
+    )
+
+
+def extract_route(
+    spark: SparkSession,
+    relation_id: str,
+    mode: str,
+    fetch_fn: FetchFn = default_fetch,
+) -> tuple[DataFrame, DataFrame]:
+    """processRoute (js:379-474): returns (stitched way vertices, stops)."""
+    bundle = fetch_relation_bundle(relation_id, fetch_fn)
+    ways_df, nodes_df = bundle_to_dataframes(spark, relation_id, bundle)
+    stitched = stitch_ways(ways_df, key="relation_id")
+    if mode == "angkot":
+        stops = angkot_stops(nodes_df, stitched, ways_df)
+    else:
+        stops = nodes_df.select(
+            "relation_id", "stop_id", "name", "role",
+            F.lit(True).alias("is_real"), "lon", "lat",
+            F.col("member_order").cast("double").alias("frac_idx"),
+        )
+    return stitched, stops
+
+
+def write_route_geojson(
+    stitched: DataFrame, stops: DataFrame, out_dir: str
+) -> list[str]:
+    """K2 sink (js:413-417,462-465): pretty-printed ways.geojson +
+    stops.geojson per relation directory.  File-per-route IS the partition
+    layout; per-relation payloads are tiny so the driver writes them."""
+    written = []
+    ways_rows = stitched.orderBy("relation_id", "vertex_idx").collect()
+    by_rel: dict[str, list] = {}
+    for r in ways_rows:
+        by_rel.setdefault(r.relation_id, []).append([r.lon, r.lat])
+    stops_rows = stops.orderBy("relation_id", "frac_idx").collect()
+    stops_by_rel: dict[str, list] = {}
+    for r in stops_rows:
+        stops_by_rel.setdefault(r.relation_id, []).append(r)
+    for rel, coords in by_rel.items():
+        d = os.path.join(out_dir, rel)
+        os.makedirs(d, exist_ok=True)
+        ways_fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "LineString", "coordinates": coords},
+                    "properties": {"relationId": rel},
+                }
+            ],
+        }
+        with open(os.path.join(d, "ways.geojson"), "w") as f:
+            json.dump(ways_fc, f, indent=2)
+        stops_fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [s.lon, s.lat]},
+                    "properties": {
+                        "id": s.stop_id,
+                        "name": s.name,
+                        "role": s.role,
+                        "isReal": bool(s.is_real),
+                        "mode": "bus",
+                    },
+                }
+                for s in stops_by_rel.get(rel, [])
+            ],
+        }
+        with open(os.path.join(d, "stops.geojson"), "w") as f:
+            json.dump(stops_fc, f, indent=2)
+        written.append(d)
+    return written

@@ -1012,3 +1012,263 @@ def q47(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
+
+
+# ===========================================================================
+# Extended engine surface: as-of/range joins, percentiles, arrays, windows
+# (SURVEY §2.3 'absent from reference — declared for completeness' + guide)
+# ===========================================================================
+
+@register(
+    "q48_asof_join",
+    oracle=r"""
+    WITH anchors AS (
+      SELECT user_id, min(ts) AS ats,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events GROUP BY user_id, 3)
+    SELECT e.event_id, e.user_id,
+           strftime(a.ats, '%Y-%m-%d %H:%M:%S.%f') AS anchor_ts
+    FROM events e ASOF JOIN anchors a
+      ON e.user_id = a.user_id AND e.ts >= a.ats
+    """,
+)
+def q48(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for each event, the latest
+    per-user daily anchor at-or-before it.  Implemented union-style — tag
+    both sides, one window pass with last_value(ignorenulls) — a single
+    shuffle on (user_id), no UDF, scales to any size (the guide's
+    bucketize/merge_asof alternatives shuffle the same amount but add
+    Python).  Right-side rows sort before left rows at equal ts to get
+    >= semantics."""
+    e = T(spark, sf_dir, "events")
+    anchors = e.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.min("ts").alias("ats"))
+    left = e.select(
+        "user_id", F.col("ts"), F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("aval"), F.lit(1).alias("side"),
+    )
+    right = anchors.select(
+        "user_id", F.col("ats").alias("ts"), F.lit(None).cast("long").alias("event_id"),
+        F.col("ats").alias("aval"), F.lit(0).alias("side"),
+    )
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("anchor", F.last("aval", ignorenulls=True).over(w))
+    return filled.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("anchor", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("anchor_ts"),
+    )
+
+
+@register(
+    "q49_range_join",
+    oracle=r"""
+    SELECT r.r_regionkey AS bucket, COUNT(*) AS n,
+           ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN region r
+      ON l.l_quantity >= r.r_regionkey * 10 AND l.l_quantity < r.r_regionkey * 10 + 10
+    GROUP BY 1
+    """,
+)
+def q49(spark, sf_dir):
+    """Range (theta) join against a tiny bucket table — broadcast the small
+    side so the big side never shuffles (BroadcastNestedLoopJoin)."""
+    l, r = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "region")
+    cond = (l.l_quantity >= r.r_regionkey * 10) & (l.l_quantity < r.r_regionkey * 10 + 10)
+    return (
+        l.join(F.broadcast(r), cond)
+        .groupBy(F.col("r_regionkey").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q50_percentiles",
+    oracle=r"""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q50(spark, sf_dir):
+    """Exact linear-interpolation percentiles (engine surface; the approx
+    variant q47 has no oracle by nature)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "q51_array_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           string_split(p_name, ' ')[-1] AS last_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red
+    FROM part
+    """,
+)
+def q51(spark, sf_dir):
+    """Array function family over split words (F-array surface)."""
+    p = T(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.get(words, 0).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
+        F.array_contains(words, "red").alias("has_red"),
+    )
+
+
+@register(
+    "q52_in_subquery",
+    oracle=r"""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      AND o_orderstatus = 'O'
+    """,
+)
+def q52(spark, sf_dir):
+    """IN-subquery through the SQL API (Catalyst rewrites to a semi join —
+    same plan the DataFrame API would produce)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__orders_sq")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("__customer_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM __orders_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM __customer_sq WHERE c_acctbal > 9000)
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@register(
+    "q53_ntile_ranks",
+    oracle=r"""
+    SELECT s_suppkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM supplier WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q53(spark, sf_dir):
+    """ntile / percent_rank / cume_dist (window-rank family beyond W3)."""
+    s = T(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q54_argmax",
+    oracle=r"""
+    SELECT o_custkey, best_order, ROUND(max_price, 2) AS max_price FROM (
+      SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS max_price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def q54(spark, sf_dir):
+    """Argmax via max(struct(...)) — deterministic tie-break baked into the
+    struct ordering (dual of q08's argmin)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_orderkey").alias("best_order"),
+            F.round(F.col("m.o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q55_conditional_agg",
+    oracle=r"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END), 2) AS big_qty_revenue,
+           ROUND(AVG(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 4) AS avg_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q55(spark, sf_dir):
+    """Conditional aggregation (FILTER / CASE inside agg)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("big_qty_revenue"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4
+        ).alias("avg_taxed"),
+    )
+
+
+@register(
+    "q56_date_arith",
+    oracle=r"""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def q56(spark, sf_dir):
+    """Date arithmetic family (year/month/datediff/date_add)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@register(
+    "q57_first_last_value",
+    oracle=r"""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q57(spark, sf_dir):
+    """first_value/last_value with explicit frames."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id", "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )

@@ -59,7 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))

@@ -45,7 +45,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(

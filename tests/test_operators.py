@@ -62,15 +62,16 @@ def test_stitch_ways_reverses_and_joins(spark):
 
 
 def test_stitch_ways_gap_still_concatenates(spark):
-    # disconnected ways: reference warns but concatenates (js:126-129)
+    # disconnected ways: reference warns but concatenates, AND still slices
+    # the first vertex of the non-first way (js:127-134 — bug preserved)
     rows = [("r2", 0, 0, 0.0, 0.0), ("r2", 0, 1, 0.001, 0.0),
             ("r2", 1, 0, 0.5, 0.5), ("r2", 1, 1, 0.6, 0.5)]
     df = spark.createDataFrame(
         rows, "relation_id string, way_order int, vertex_idx int, lon double, lat double"
     )
     out = stitch_ways(df).orderBy("vertex_idx").collect()
-    assert len(out) == 4
-    assert (out[2].lon, out[2].lat) == (0.5, 0.5)
+    assert len(out) == 3
+    assert (out[2].lon, out[2].lat) == (0.6, 0.5)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the properties that decide whether a query
+survives a 100× scale-up (BASELINE.json design constraint).
+
+These intentionally pin plan SHAPE, not timings:
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema),
+- small dimensions broadcast (no shuffle of the fact table),
+- aggregations have a map-side partial phase,
+- global top-k is TakeOrderedAndProject, not a global sort,
+- windows are partitioned (no single-partition Exchange in the hot path).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tegallega_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = SPARK_QUERIES["q02_filter_project"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan or "IsNotNull(l_discount)" in plan
+    # column pruning: the 11-column table is read as exactly the 5 needed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"):
+        assert col in read_schema
+    assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(SPARK_QUERIES["q05_region_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # orders (the fact side) must not be exchanged for the dim joins:
+    # the only allowed shuffle is the final group-by aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(SPARK_QUERIES["q49_range_join"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_aggregate_has_partial_phase(spark):
+    plan = plan_of(SPARK_QUERIES["q01_pricing_summary"](spark, SF_SMOKE), "simple")
+    # two HashAggregates = partial (map-side) + final; one Exchange between
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(SPARK_QUERIES["q25_order_limit"](spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort stage
+
+
+def test_windows_are_partitioned(spark):
+    plan = plan_of(SPARK_QUERIES["q18_running_sum"](spark, SF_SMOKE), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_semi_and_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(SPARK_QUERIES["q06_semi_join"](spark, SF_SMOKE), "simple")
+    assert "LeftAnti" in plan_of(SPARK_QUERIES["q07_anti_join"](spark, SF_SMOKE), "simple")
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark):
+    # AQE hides codegen markers from 'formatted' pre-execution; the codegen
+    # explain mode reports the compiled subtrees directly
+    plan = plan_of(SPARK_QUERIES["q01_pricing_summary"](spark, SF_SMOKE), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_gtfs_argmin_join_no_cartesian(spark):
+    """The stop→shape argmin is an equi-join on relation_id + min_by, never
+    a cartesian product (SURVEY §4.2 watch-out)."""
+    from tegallega_spark.pipeline.gtfs_build import build_gtfs
+
+    tables = build_gtfs(spark, "/root/reference")
+    plan = plan_of(tables["stop_times"], "simple")
+    assert "CartesianProduct" not in plan
