@@ -1272,3 +1272,94 @@ def q57(spark, sf_dir):
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w_full).alias("last_type"),
     )
+
+
+@register(
+    "q58_multimodal_decode",
+    oracle=r"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height
+    FROM documents
+    """,
+)
+def q58(spark, sf_dir):
+    """Multimodal plumbing (north-star): binary payload column →
+    mapInPandas 'decode' → typed metadata.  The decode is a deterministic
+    stub (container has no codec libs — see operators/multimodal.py for the
+    marked integration point); the Arrow batching, schema, and byte-length
+    arithmetic are real and oracle-checked."""
+    from tegallega_spark.operators import multimodal as MM
+
+    d = T(spark, sf_dir, "documents")
+    decoded = MM.decode_batches(MM.attach_binary_payload(d))
+    return decoded.select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "format", "width", "height",
+    )
+
+
+@register(
+    "q59_route_name_parse",
+    oracle=r"""
+    WITH named AS (
+      SELECT n1.n_nationkey AS key_a, n2.n_nationkey AS key_b,
+             CASE WHEN n1.n_regionkey % 2 = 0
+                  THEN 'Koridor ' || CAST(n1.n_nationkey AS VARCHAR) || ': ' ||
+                       n1.n_name || ' → ' || n2.n_name || ' via ' || CAST(n1.n_regionkey AS VARCHAR)
+                  ELSE n1.n_name || ' → ' || n2.n_name END AS route_name
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name)
+    SELECT key_a, key_b,
+           regexp_replace(route_name, '^(Commuter Line|Koridor \d+:?)\s*', '') AS simplified,
+           CASE WHEN strpos(route_name, '→') > 0 THEN 0 ELSE 1 END AS direction,
+           trim(string_split(route_name, '→')[1]) AS origin,
+           trim(regexp_replace(trim(coalesce(string_split(route_name, '→')[2], '')),
+                               '\s*via\s+.*$', '')) AS dest,
+           nullif(trim(regexp_extract(trim(coalesce(string_split(route_name, '→')[2], '')),
+                                      'via\s+(.*)$', 1)), '') AS via
+    FROM named
+    """,
+)
+def q59(spark, sf_dir):
+    """Route-name parsing (convert.py:75-105, F6-F9): simplify, direction
+    detection, origin/dest/via split — over synthetic arrow-names built
+    from nation pairs."""
+    from tegallega_spark.functions.text import (
+        detect_direction,
+        origin_dest_via,
+        simplify_name,
+    )
+
+    n1 = T(spark, sf_dir, "nation").alias("n1")
+    n2 = T(spark, sf_dir, "nation").alias("n2")
+    base = F.concat(F.col("n1.n_name"), F.lit(" → "), F.col("n2.n_name"))
+    name = F.when(
+        F.col("n1.n_regionkey") % 2 == 0,
+        F.concat(
+            F.lit("Koridor "), F.col("n1.n_nationkey").cast("string"), F.lit(": "),
+            base, F.lit(" via "), F.col("n1.n_regionkey").cast("string"),
+        ),
+    ).otherwise(base)
+    named = n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_name") < F.col("n2.n_name")),
+    ).select(
+        F.col("n1.n_nationkey").alias("key_a"),
+        F.col("n2.n_nationkey").alias("key_b"),
+        name.alias("route_name"),
+    )
+    origin, dest, via = origin_dest_via(F.col("route_name"))
+    return named.select(
+        "key_a",
+        "key_b",
+        simplify_name(F.col("route_name")).alias("simplified"),
+        detect_direction(F.col("route_name")).alias("direction"),
+        origin.alias("origin"),
+        dest.alias("dest"),
+        via.alias("via"),
+    )
