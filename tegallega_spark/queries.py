@@ -1363,3 +1363,100 @@ def q59(spark, sf_dir):
         dest.alias("dest"),
         via.alias("via"),
     )
+
+
+@register(
+    "q60_null_safe_join",
+    oracle=r"""
+    WITH a AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS st
+               FROM orders WHERE o_orderkey % 20 = 0),
+         b AS (SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                    ELSE o_orderstatus END AS st
+               FROM orders WHERE o_orderkey % 20 = 0)
+    SELECT a.o_orderkey, COUNT(*) AS n_matches
+    FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+    GROUP BY a.o_orderkey
+    """,
+)
+def q60(spark, sf_dir):
+    """Null-safe equi-join (eqNullSafe ≡ IS NOT DISTINCT FROM) — the
+    reference's via-clause matching treats NULL = NULL as a match
+    (convert.py:126-137, J6)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    st = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(F.col("o_orderstatus"))
+    a = o.select("o_orderkey", st.alias("st"))
+    b = a.select("st").distinct()
+    return (
+        a.join(b, a.st.eqNullSafe(b.st))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+@register(
+    "q61_map_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS keys_joined,
+           MAP {'brand': p_brand, 'type': p_type}['brand'][1] AS brand_val,
+           CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_entries
+    FROM part
+    """,
+)
+def q61(spark, sf_dir):
+    """Map type construction + access (tag-bag family, SURVEY §1.2
+    MapType(String,String) for OSM tags)."""
+    p = T(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        m.getItem("brand").alias("brand_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "q62_regexp_extract_all",
+    oracle=r"""
+    SELECT c_custkey,
+           array_to_string(regexp_extract_all(c_name, '[0-9]+'), '|') AS all_nums,
+           len(regexp_extract_all(c_name, '[0-9]+')) AS n_nums
+    FROM customer
+    """,
+)
+def q62(spark, sf_dir):
+    l = T(spark, sf_dir, "customer")
+    nums = F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)
+    return l.select(
+        "c_custkey",
+        F.array_join(nums, "|").alias("all_nums"),
+        F.size(nums).alias("n_nums"),
+    )
+
+
+@register(
+    "q63_string_family",
+    oracle=r"""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+           reverse(s_name) AS reversed,
+           translate(s_name, '#', '_') AS translated,
+           CAST(strpos(s_name, '#') AS INT) AS hash_pos,
+           repeat('-', CAST(s_suppkey % 4 AS INT)) AS dashes
+    FROM supplier
+    """,
+)
+def q63(spark, sf_dir):
+    s = T(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("s_name").alias("reversed"),
+        F.translate("s_name", "#", "_").alias("translated"),
+        F.instr("s_name", "#").alias("hash_pos"),
+        F.repeat(F.lit("-"), (F.col("s_suppkey") % 4).cast("int")).alias("dashes"),
+    )

@@ -1,0 +1,95 @@
+"""Scale-path operators: salted joins, bucketed co-located joins, IVF ANN,
+and the custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tegallega_spark.operators.ivf import train_ivf_index
+from tegallega_spark.operators.skew import bucketed_join, salted_join, write_bucketed
+from tegallega_spark.session import load_table
+from tests.conftest import SF_SMOKE
+from tests.test_plan_quality import plan_of
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(big, small, "k", salt=3, how="left").collect()
+    got = {(r.k, r.v, r.w) for r in out}
+    assert got == {(1, "a", "x"), (2, "b", None)}
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    # uses the session's default warehouse dir (spark-warehouse/, gitignored)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", num_buckets=8)
+    joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+    plan = plan_of(joined, "simple")
+    # co-located buckets: no Exchange feeding the join
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == lineitem.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_search_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = train_ivf_index(emb, "embedding", k=8)
+    qrow = emb.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    # probing all lists must equal brute force exactly
+    assert index.recall_against_exact(qv, k=10, nprobe=8) == 1.0
+    # probing half the lists keeps decent recall on clustered synthetic data
+    recall = index.recall_against_exact(qv, k=10, nprobe=4)
+    assert recall >= 0.5
+    top = index.search(qv, k=3, nprobe=8).collect()
+    assert top[0]["vec_id"] == qrow["vec_id"]  # the query vector itself
+
+
+def test_stateful_stream_thinning_matches_batch(spark, sf_dir):
+    """applyInPandasWithState over AvailableNow equals the batch q46 fold."""
+    from tegallega_spark.queries import SPARK_QUERIES
+    from tegallega_spark.streaming.events import read_events_stream
+    from tegallega_spark.streaming.stateful import thin_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    thinned = thin_events_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            thinned.writeStream.format("memory")
+            .queryName("thin_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.sql("SELECT * FROM thin_stream_test").collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in SPARK_QUERIES["q46_stateful_thinning"](spark, sf_dir).collect()
+    }
+    assert got == want
