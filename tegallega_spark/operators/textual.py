@@ -56,11 +56,20 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def detect_language(text: Column) -> Column:
     """argmax over per-language stopword hit counts; 'und' if no hits.
+    Ties break by language-key order (en, id, fr, de, es — first max wins).
 
-    CASE-expression chain — stays in codegen.  Ties break by language-key
-    order (en < id < fr < de < es evaluation order, first max wins).
+    NOTE: evaluates the tokenizer once per language; callers on a hot path
+    should pre-materialize tokens in a prior select and use
+    detect_language_from_tokens (HOFs are interpreted, so Catalyst can't
+    share the five subtrees — see q42).
     """
-    toks = tokens(text)
+    return detect_language_from_tokens(tokens(text))
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
+    """Same as detect_language but over a pre-computed token array —
+    tokenize once in a prior select, score five languages over the stored
+    array."""
 
     def _hits(sw: list[str]):
         sw_arr = F.array(*[F.lit(w) for w in sw])

@@ -914,9 +914,16 @@ def q41(spark, sf_dir):
     """,
 )
 def q42(spark, sf_dir):
-    """Stopword-heuristic language ID (north-star text analysis)."""
+    """Stopword-heuristic language ID (north-star text analysis).
+    Tokenizes once in a first select, then scores five languages over the
+    stored array (interpreted HOF subtrees don't get subexpression reuse)."""
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", TXT.detect_language(F.col("text")).alias("detected_lang"))
+    return d.select(
+        "doc_id", TXT.tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        TXT.detect_language_from_tokens(F.col("__toks")).alias("detected_lang"),
+    )
 
 
 @register(

@@ -35,6 +35,17 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local test files are ~10 MB; the 128 MB default split puts a whole
+        # table in 1-3 tasks and wastes 29 cores.  4 MB splits parallelize
+        # the scans here; on a real cluster reading 100 TB, set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES back to 128m (or higher) so task
+        # count stays sane.  openCost lowered in proportion so small files
+        # still split.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
