@@ -16,9 +16,9 @@ def simplify_name(col: Column) -> Column:
 
 
 def detect_direction(col: Column) -> Column:
-    """0 if '→' present (directional name) else null-direction marker 0/1
-    heuristic (convert.py:79-82): names without an arrow are direction 1."""
-    return F.when(F.instr(col, "→") > 0, F.lit(0)).otherwise(F.lit(1))
+    """0 if '→' present at a non-zero index, else 1 (convert.py:79-82 —
+    a name STARTING with the arrow is direction 1, as is no arrow)."""
+    return F.when(F.instr(col, "→") > 1, F.lit(0)).otherwise(F.lit(1))
 
 
 def extract_code(col: Column) -> Column:
@@ -28,12 +28,16 @@ def extract_code(col: Column) -> Column:
 
 
 def origin_dest_via(col: Column) -> tuple[Column, Column, Column]:
-    """Split on '→': (origin, dest, via-clause) (convert.py:94-105)."""
-    parts = F.split(col, "→")
-    origin = F.trim(parts.getItem(0))
-    rest = F.trim(F.coalesce(parts.getItem(1), F.lit("")))
-    via = F.nullif(F.trim(F.regexp_extract(rest, r"via\s+(.*)$", 1)), F.lit(""))
-    dest = F.trim(F.regexp_replace(rest, r"\s*via\s+.*$", ""))
+    """(origin, dest, via) per convert.py:91-105: via extracted from the
+    full name with '\\s+via\\s+' (whitespace-delimited, so 'Silvia' never
+    matches); origin/dest only when the via-stripped name splits into
+    EXACTLY two arrow parts, else NULL."""
+    stripped = F.regexp_replace(col, r"\s+via\s+.*", "")
+    parts = F.split(stripped, "→")
+    two = F.size(parts) == 2
+    origin = F.when(two, F.trim(F.get(parts, 0)))
+    dest = F.when(two, F.trim(F.get(parts, 1)))
+    via = F.nullif(F.trim(F.regexp_extract(col, r"\s+via\s+(.*)", 1)), F.lit(""))
     return origin, dest, via
 
 

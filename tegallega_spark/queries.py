@@ -1322,12 +1322,12 @@ def q58(spark, sf_dir):
         ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name)
     SELECT key_a, key_b,
            regexp_replace(route_name, '^(Commuter Line|Koridor \d+:?)\s*', '') AS simplified,
-           CASE WHEN strpos(route_name, '→') > 0 THEN 0 ELSE 1 END AS direction,
-           trim(string_split(route_name, '→')[1]) AS origin,
-           trim(regexp_replace(trim(coalesce(string_split(route_name, '→')[2], '')),
-                               '\s*via\s+.*$', '')) AS dest,
-           nullif(trim(regexp_extract(trim(coalesce(string_split(route_name, '→')[2], '')),
-                                      'via\s+(.*)$', 1)), '') AS via
+           CASE WHEN strpos(route_name, '→') > 1 THEN 0 ELSE 1 END AS direction,
+           CASE WHEN len(string_split(regexp_replace(route_name, '\s+via\s+.*', ''), '→')) = 2
+                THEN trim(string_split(regexp_replace(route_name, '\s+via\s+.*', ''), '→')[1]) END AS origin,
+           CASE WHEN len(string_split(regexp_replace(route_name, '\s+via\s+.*', ''), '→')) = 2
+                THEN trim(string_split(regexp_replace(route_name, '\s+via\s+.*', ''), '→')[2]) END AS dest,
+           nullif(trim(regexp_extract(route_name, '\s+via\s+(.*)', 1)), '') AS via
     FROM named
     """,
 )
