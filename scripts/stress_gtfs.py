@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""GTFS throughput race at N× input scale.
+
+Replicates the reference inputs N× (relation dirs copied under shifted ids,
+routes.json groups suffixed per copy, schedule rows re-keyed) and times
+
+  (a) the reference's single-process generate_gtfs.py
+  (b) tegallega_spark.pipeline.gtfs_build (all 7 tables materialized)
+
+on the same replicated input.  The reference's stop→shape projection is
+O(stops × shape_pts) per route and strictly sequential across routes, so
+its wall-clock grows ≈N×; the Spark DAG spreads routes across cores.
+
+Usage: python scripts/stress_gtfs.py [N]    (default 8)
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+OUT = "/tmp/tegallega_gtfs_stress"
+
+
+def build_input(n: int) -> str:
+    root = os.path.join(OUT, f"x{n}")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(os.path.join(root, "route-data", "schedule"))
+    os.makedirs(os.path.join(root, "route-data", "geojson"))
+
+    with open(f"{REF}/routes.json") as f:
+        doc = json.load(f)
+
+    # replicate route groups per copy; relation ids shift to {rid}00{i}
+    new_cats = []
+    for cat in doc["categories"]:
+        groups = []
+        for i in range(n):
+            for g in cat.get("routeGroups", []):
+                g2 = json.loads(json.dumps(g))
+                g2["groupId"] = f"{g['groupId']}C{i}"
+                for r in g2.get("routes", []):
+                    r["relationId"] = f"{r['relationId']}00{i}"
+                groups.append(g2)
+        cat2 = dict(cat)
+        cat2["routeGroups"] = groups
+        new_cats.append(cat2)
+    with open(os.path.join(root, "routes.json"), "w") as f:
+        json.dump({"categories": new_cats}, f)
+
+    # copy relation dirs under each shifted id (symlinks would confuse the
+    # reference's os.path.exists-per-file flow on some setups; copy is fine)
+    src_geo = f"{REF}/route-data/geojson"
+    for rid in os.listdir(src_geo):
+        for i in range(n):
+            dst = os.path.join(root, "route-data", "geojson", f"{rid}00{i}")
+            shutil.copytree(os.path.join(src_geo, rid), dst)
+
+    # schedule CSVs: same headers, data rows replicated with shifted
+    # relation ids and trip numbers
+    src_sched = f"{REF}/route-data/schedule"
+    for fname in os.listdir(src_sched):
+        with open(os.path.join(src_sched, fname), newline="") as f:
+            rows = list(csv.reader(f))
+        header, body = rows[:2], [r for r in rows[2:] if r and r[0].strip()]
+        out_rows = list(header)
+        for i in range(n):
+            for r in body:
+                r2 = list(r)
+                r2[0] = f"{r[0]}00{i}"
+                r2[1] = str(int(r[1]) + i * 100000)
+                out_rows.append(r2)
+        with open(os.path.join(root, "route-data", "schedule", fname), "w", newline="") as f:
+            csv.writer(f).writerows(out_rows)
+
+    os.makedirs(os.path.join(root, "action-scripts"), exist_ok=True)
+    shutil.copy(f"{REF}/action-scripts/generate_gtfs.py", os.path.join(root, "action-scripts"))
+    open(marker, "w").close()
+    return root
+
+
+def time_reference(root: str) -> tuple[float, int]:
+    shutil.rmtree(os.path.join(root, "gtfs"), ignore_errors=True)
+    t0 = time.time()
+    subprocess.run(
+        ["python", "action-scripts/generate_gtfs.py"],
+        cwd=root, check=True, capture_output=True, timeout=7200,
+    )
+    dt = time.time() - t0
+    with open(os.path.join(root, "gtfs", "stop_times.txt")) as f:
+        n = sum(1 for _ in f) - 1
+    return dt, n
+
+
+def time_spark(root: str) -> tuple[float, int]:
+    from tegallega_spark.pipeline.gtfs_build import build_gtfs
+    from tegallega_spark.session import get_spark
+
+    spark = get_spark("gtfs-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+    t0 = time.time()
+    tables = build_gtfs(spark, root)
+    for name, df in tables.items():
+        if name != "stop_times":
+            df.write.format("noop").mode("overwrite").save()
+    n = tables["stop_times"].count()
+    dt = time.time() - t0
+    spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    root = build_input(n)
+    ref_s, ref_rows = time_reference(root)
+    spark_s, spark_rows = time_spark(root)
+    print(json.dumps({
+        "replication": n,
+        "reference_script_sec": round(ref_s, 2),
+        "spark_pipeline_sec": round(spark_s, 2),
+        "speedup": round(ref_s / spark_s, 2),
+        "stop_times_rows": {"reference": ref_rows, "spark": spark_rows},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

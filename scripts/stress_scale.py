@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Scale-up stress check: replicate the sf0.1 tables N× (key-shifted so
+cardinalities grow realistically), run the headline queries at 1× and N×,
+and report the wall-clock ratio.  A query whose ratio tracks ≈N (or better,
+sublinear for broadcast/top-k shapes) survives scale-up; a superlinear
+ratio exposes a shuffle or candidate-space problem.
+
+Usage: python scripts/stress_scale.py [N]          (default 8)
+Writes the replicated dataset under /tmp/tegallega_stress_sf (reused if
+present for the same N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from tegallega_spark.queries import SPARK_QUERIES  # noqa: E402
+from tegallega_spark.session import get_spark, load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/tegallega_stress_sf"
+
+# id columns to shift per copy so key cardinality scales with volume
+SHIFT_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q08_argmin_join",
+    "q18_running_sum",
+    "q24_sessionize",
+    "q37_exact_dedup_docs",
+    "q40_minhash_neardup",
+    "q43_ann_topk",
+]
+
+
+def replicate(spark, n: int) -> None:
+    marker = os.path.join(OUT, f".complete_{n}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    for table, shift_cols in SHIFT_COLS.items():
+        df = load_table(spark, BASE, table)
+        if not shift_cols:
+            out = df
+        else:
+            shift = int(1e9)
+            copies = []
+            for i in range(n):
+                c = df
+                for col in shift_cols:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * shift))
+                if table == "documents":
+                    # perturb text so copies are near- not exact duplicates
+                    c = c.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{table}.parquet"))
+    open(marker, "w").close()
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, n)
+    # warm both file indexes
+    for t in SHIFT_COLS:
+        load_table(spark, BASE, t).limit(1).collect()
+        load_table(spark, OUT, t).limit(1).collect()
+    base = run(spark, BASE)
+    big = run(spark, OUT)
+    report = {
+        q: {
+            "t_1x": base[q],
+            f"t_{n}x": big[q],
+            "ratio": round(big[q] / base[q], 2) if base[q] > 0 else None,
+        }
+        for q in QUERIES
+    }
+    print(json.dumps({"replication": n, "queries": report}, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

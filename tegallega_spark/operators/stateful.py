@@ -17,7 +17,6 @@ import math
 import pandas as pd
 
 from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
 
 COORD_TOL = 1e-6          # update-routes.js:106-108
 MIN_SPACING_M = 150.0     # update-routes.js:282-283

@@ -185,17 +185,18 @@ def _bus_trips_and_times(
         F.col("shape_pt_lat").alias("plat"),
         F.col("shape_dist_traveled").alias("pdist"),
     )
-    joined = route_stops.join(shape_pts, "relation_id", "left")
+    # argmin on the NARROW key (relation_id, feature_idx) then join the
+    # small result back — shuffling 8 carried columns through the argmin
+    # aggregation doubles the exchange payload for nothing
+    slim = route_stops.select("relation_id", "feature_idx", "lon", "lat")
+    joined = slim.join(shape_pts, "relation_id", "left")
     d = haversine_km(F.col("lon"), F.col("lat"), F.col("plon"), F.col("plat"))
-    projected = (
-        joined.groupBy(
-            "relation_id", "agency_id", "group_id", "direction_id", "route_order",
-            "feature_idx", "stop_id", "lon", "lat", "is_real",
-        )
+    argmin = (
+        joined.groupBy("relation_id", "feature_idx")
         .agg(F.min(F.struct(d.alias("d"), F.col("pdist").alias("dist"))).alias("__m"))
-        .withColumn("shape_dist", F.col("__m.dist"))
-        .drop("__m")
+        .select("relation_id", "feature_idx", F.col("__m.dist").alias("shape_dist"))
     )
+    projected = route_stops.join(argmin, ["relation_id", "feature_idx"], "left")
 
     # ordering (:367-371): by (shape_dist, real-first), stable on feature
     # order; routes with no shape keep pure feature order (sort not applied)
@@ -313,12 +314,16 @@ def build_gtfs(spark: SparkSession, ref_root: str) -> dict[str, DataFrame]:
     """The full DAG: routes.json + geojson + schedule CSVs → seven GTFS
     tables (generate_gtfs.py:477-521)."""
     raw = read_routes_json(spark, f"{ref_root}/routes.json")
-    catalog = route_catalog(spark, f"{ref_root}/routes.json")
-    stops_raw = read_stops(spark, f"{ref_root}/route-data/geojson")
+    # the catalog, stop features, and shapes feed 3-5 output tables each;
+    # persist them so the 7 table materializations share one computation of
+    # the common upstream (at scale these are exactly the datasets worth
+    # caching: small dims + the reused shape fact)
+    catalog = route_catalog(spark, f"{ref_root}/routes.json").persist()
+    stops_raw = read_stops(spark, f"{ref_root}/route-data/geojson").persist()
     vertices = read_way_vertices(spark, f"{ref_root}/route-data/geojson")
     schedule = read_schedule_long(spark, f"{ref_root}/route-data/schedule")
 
-    shapes = build_shapes_table(catalog, vertices)
+    shapes = build_shapes_table(catalog, vertices).persist()
     shaped_rels = shapes.select("relation_id", "shape_id").distinct()
 
     train_trips, train_times = _train_trips_and_times(catalog, schedule, shaped_rels)

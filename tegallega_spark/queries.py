@@ -26,7 +26,6 @@ from tegallega_spark.functions.timecodec import seconds_to_hhmmss
 from tegallega_spark.operators import dedup as D
 from tegallega_spark.operators import similarity as SIM
 from tegallega_spark.operators import textual as TXT
-from tegallega_spark.operators import windows as W
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}

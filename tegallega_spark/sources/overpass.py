@@ -21,7 +21,6 @@ import urllib.parse
 import urllib.request
 from collections.abc import Callable
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 OVERPASS_URL = "https://overpass-api.de/api/interpreter"

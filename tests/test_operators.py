@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import math
 
-import pyspark.sql.functions as F
-import pytest
 
 from tegallega_spark.operators import multimodal as MM
 from tegallega_spark.operators.dedup import (

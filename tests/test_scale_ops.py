@@ -6,7 +6,6 @@ from __future__ import annotations
 import tempfile
 
 import pyspark.sql.functions as F
-import pytest
 
 from tegallega_spark.operators.ivf import train_ivf_index
 from tegallega_spark.operators.skew import bucketed_join, salted_join, write_bucketed
