@@ -92,3 +92,40 @@ def test_stateful_stream_thinning_matches_batch(spark, sf_dir):
         for r in SPARK_QUERIES["q46_stateful_thinning"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_partition_overwrite(spark, tmp_path):
+    """SURVEY §2.10: only changed relations are rewritten; unchanged
+    partitions' files stay physically untouched."""
+    import os
+
+    from tegallega_spark.pipeline.incremental import incremental_update
+
+    out = str(tmp_path / "inc")
+    v1 = spark.createDataFrame(
+        [("r1", 1, "a"), ("r1", 2, "b"), ("r2", 1, "c")],
+        "relation_id string, seq int, val string",
+    )
+    assert incremental_update(spark, v1, out) == 2  # both partitions new
+
+    def mtimes():
+        t = {}
+        for rel in ("relation_id=r1", "relation_id=r2"):
+            d = os.path.join(out, rel)
+            t[rel] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+        return t
+
+    before = mtimes()
+    # change only r1
+    v2 = spark.createDataFrame(
+        [("r1", 1, "a"), ("r1", 2, "CHANGED"), ("r2", 1, "c")],
+        "relation_id string, seq int, val string",
+    )
+    assert incremental_update(spark, v2, out) == 1
+    after = mtimes()
+    assert after["relation_id=r1"] > before["relation_id=r1"]
+    assert after["relation_id=r2"] == before["relation_id=r2"]  # untouched
+    # idempotence: no-op cycle rewrites nothing (the git-diff guard analogue)
+    assert incremental_update(spark, v2, out) == 0
+    rows = {(r.relation_id, r.seq, r.val) for r in spark.read.parquet(out).collect()}
+    assert rows == {("r1", 1, "a"), ("r1", 2, "CHANGED"), ("r2", 1, "c")}
