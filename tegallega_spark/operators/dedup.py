@@ -384,3 +384,60 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib MinHashLSH variant (SURVEY §7: pyspark.ml.feature.MinHashLSH)
+# ---------------------------------------------------------------------------
+
+def minhash_near_duplicates_mllib(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+    vocab_size: int = 1 << 18,
+) -> DataFrame:
+    """Same contract as minhash_near_duplicates, built on
+    pyspark.ml.feature.MinHashLSH: shingles → hashed sparse vectors →
+    approxSimilarityJoin on Jaccard distance.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Kept alongside the
+    hand-rolled implementation because the MLlib estimator manages its own
+    banding internally (no tunable bands) and requires a vector conversion
+    pass; the hand-rolled path is the default for that control.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    shingles = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+
+    # VectorUDT is not Arrow-serializable (no pandas_udf) — a pickled UDF
+    # is the documented bridge into MLlib's LSH estimator
+    @F.udf(VectorUDT())
+    def to_sparse(arr):
+        import zlib
+
+        idxs = sorted({zlib.crc32(s.encode()) % vocab_size for s in arr})
+        return Vectors.sparse(vocab_size, idxs, [1.0] * len(idxs))
+
+    vecs = shingles.select("__id", to_sparse(F.col("__sh")).alias("features"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42
+    ).fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.__id").alias("id_a"),
+            F.col("datasetB.__id").alias("id_b"),
+            (1.0 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

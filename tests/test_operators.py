@@ -188,3 +188,21 @@ def test_frame_sample_shape(spark, sf_dir):
     out = MM.frame_sample(MM.attach_binary_payload(docs)).collect()
     assert len(out) == 5  # n_frames=1 → one frame row each
     assert all(r.frame_idx == 0 for r in out)
+
+
+def test_mllib_minhash_agrees_on_planted_dups(spark):
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_mllib
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = [
+        (1, base),
+        (2, base + " tiny tail change"),
+        (3, "completely different content about spark engines and parquet files " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_near_duplicates_mllib(
+        df, "doc_id", "text", jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
