@@ -123,3 +123,20 @@ def test_gtfs_sink_roundtrip(gtfs_tables, spark, tmp_path):
     assert sorted(zf.ZipFile(zip_path).namelist()) == [
         "agency.txt", "calendar.txt", "routes.txt",
     ]
+
+
+def test_sink_output_byte_identical(gtfs_tables, golden_dir, spark, tmp_path):
+    """Strongest parity claim: the K1 CSV sink's bytes equal the reference
+    implementation's CSV bytes line-for-line (order-insensitive) — float
+    formatting included (Java Double.toString == Python repr on this
+    domain's value ranges)."""
+    from tegallega_spark.sources.gtfs import write_gtfs_feed
+
+    out = str(tmp_path / "gtfs_bytes")
+    write_gtfs_feed(gtfs_tables, out)
+    for name in ("agency", "routes", "trips", "stops", "stop_times", "shapes", "calendar"):
+        with open(f"{out}/{name}.txt") as f:
+            ours = sorted(f.read().splitlines())
+        with open(f"{golden_dir}/{name}.txt") as f:
+            gold = sorted(f.read().splitlines())
+        assert ours == gold, f"{name}: byte-level mismatch"
