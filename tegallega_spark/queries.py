@@ -1466,3 +1466,49 @@ def q63(spark, sf_dir):
         F.instr("s_name", "#").alias("hash_pos"),
         F.repeat(F.lit("-"), (F.col("s_suppkey") % 4).cast("int")).alias("dashes"),
     )
+
+
+@register(
+    "q64_range_frame",
+    oracle=r"""
+    SELECT s_suppkey,
+           CAST(COUNT(*) OVER (ORDER BY s_acctbal
+                RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT) AS peers_within_100,
+           ROUND(AVG(s_acctbal) OVER (ORDER BY s_acctbal
+                RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING), 4) AS peer_avg
+    FROM supplier
+    """,
+)
+def q64(spark, sf_dir):
+    """RANGE window frame (value-based, not row-based): statistics over the
+    ±100 account-balance neighborhood of each supplier."""
+    s = T(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal").rangeBetween(-100, 100)
+    return s.select(
+        "s_suppkey",
+        F.count("*").over(w).alias("peers_within_100"),
+        F.round(F.avg("s_acctbal").over(w), 4).alias("peer_avg"),
+    )
+
+
+@register(
+    "q65_correlated_scalar_subquery",
+    oracle=r"""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q65(spark, sf_dir):
+    """Correlated scalar subquery through the SQL API (Catalyst decorrelates
+    it into an aggregate + join — same plan shape as q54's argmax)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM __orders_corr o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM __orders_corr o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

@@ -206,3 +206,45 @@ def test_mllib_minhash_agrees_on_planted_dups(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found
     assert all(3 not in p for p in found)
+
+
+def test_lsh_topk_contains_query_vector(spark, sf_dir):
+    from tegallega_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    approx = lsh_topk(emb, qv, k=5, num_planes=4).collect()
+    # the query vector is always in its own bucket → rank 1, cos ≈ 1
+    assert approx[0]["vec_id"] == qrow["vec_id"]
+    assert abs(approx[0]["cos_sim"] - 1.0) < 1e-9
+    exact = brute_force_topk(emb, qv, k=5).collect()
+    assert exact[0]["vec_id"] == qrow["vec_id"]
+
+
+def test_text_sketches(spark):
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.textual import (
+        bpe_ish_token_count,
+        rolling_hash_fingerprints,
+        stopword_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog in the yard " * 4)],
+        "id long, text string",
+    )
+    row = df.select(
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        stopword_ratio(F.col("text"), "en").alias("sw"),
+        rolling_hash_fingerprints(F.col("text"), window=4, keep_every=4).alias("fp"),
+    ).first()
+    assert row.bpe >= 40  # ≥1 token per word
+    assert 0.2 < row.sw < 0.6  # 'the'/'and'/'in' dense
+    assert len(row.fp) > 0 and row.fp == sorted(row.fp)
+    # identical text → identical sketch (determinism)
+    row2 = df.select(
+        rolling_hash_fingerprints(F.col("text"), window=4, keep_every=4).alias("fp")
+    ).first()
+    assert row2.fp == row.fp
