@@ -15,8 +15,12 @@ EARTH_RADIUS_M = 6371000.0
 
 
 def _haversine(lon1: Column, lat1: Column, lon2: Column, lat2: Column, radius: float) -> Column:
-    dlat = F.radians(lat2 - lat1)
-    dlon = F.radians(lon2 - lon1)
+    # radians() each coordinate BEFORE subtracting — the reference converts
+    # per-coordinate (generate_gtfs.py:19-20); algebraically equal to
+    # radians(lat2-lat1) but not IEEE-bit-identical, and byte parity of
+    # shape_dist_traveled (bround 6 dp) rides on matching the exact op order
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
     a = (
         F.sin(dlat / 2) ** 2
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2

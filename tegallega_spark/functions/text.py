@@ -11,8 +11,9 @@ import pyspark.sql.functions as F
 
 
 def simplify_name(col: Column) -> Column:
-    """Strip '^(Commuter Line|Koridor \\d+:?)\\s*' prefix (convert.py:75-77)."""
-    return F.regexp_replace(col, r"^(Commuter Line|Koridor \d+:?)\s*", "")
+    """Strip '^(Commuter Line|Koridor \\d+:?)\\s*' prefix, then trim — the
+    reference strips the whole name after prefix removal (convert.py:75-77)."""
+    return F.trim(F.regexp_replace(col, r"^(Commuter Line|Koridor \d+:?)\s*", ""))
 
 
 def detect_direction(col: Column) -> Column:

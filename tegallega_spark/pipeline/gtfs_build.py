@@ -41,16 +41,34 @@ def build_stops_table(catalog: DataFrame, stops_raw: DataFrame) -> DataFrame:
 
     stop_id falls back to 'stop_{n}' where n is the 1-based global feature
     counter (:112-113 — the counter increments even for id-bearing stops;
-    replicated exactly).  The global row_number for the counter is the one
-    intentionally-global window in this pipeline: it only exists on the
-    null-id edge path, and the reference's numbering is inherently
-    sequential-global.
+    replicated exactly).
+
+    The counter is global-sequential in the reference, but a global
+    row_number window would single-partition-sort EVERY stop row — a
+    scale-killer at 100×.  Instead: count stops per route (tiny aggregate,
+    one row per route), prefix-sum those counts driver-side (#routes values,
+    metadata-sized), then counter = route offset + row_number within the
+    route partition.  Identical numbering, no SinglePartition exchange over
+    the stops table.
     """
     per_route = catalog.select("relation_id", "route_order").join(
         stops_raw, "relation_id"
     )
-    w_global = Window.orderBy("route_order", "feature_idx")
-    numbered = per_route.withColumn("__counter", F.row_number().over(w_global))
+    counts = (
+        per_route.groupBy("route_order").agg(F.count("*").alias("__cnt"))
+        .orderBy("route_order")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in counts:
+        offsets.append((row["route_order"], acc))
+        acc += row["__cnt"]
+    spark = per_route.sparkSession
+    off_df = spark.createDataFrame(offsets, "route_order long, __off long")
+    w_in_route = Window.partitionBy("route_order").orderBy("feature_idx")
+    numbered = per_route.join(F.broadcast(off_df), "route_order").withColumn(
+        "__counter", F.col("__off") + F.row_number().over(w_in_route)
+    )
     with_id = numbered.withColumn(
         "stop_id",
         F.coalesce(F.col("stop_id"), F.concat(F.lit("stop_"), F.col("__counter"))),
@@ -164,7 +182,9 @@ def _bus_trips_and_times(
 ) -> tuple[DataFrame, DataFrame]:
     """Bus branch: project stops onto shape, synthesize headway trips and
     dwell-time stop_times (generate_gtfs.py:326-446)."""
-    bus = catalog.filter(F.col("mode") != "train")
+    # null-safe: the reference's route.get('mode') == 'train' treats a
+    # MISSING mode as bus; a plain != would drop NULL-mode routes entirely
+    bus = catalog.filter(~F.col("mode").eqNullSafe("train"))
 
     # stops in feature order with real/virtual flag (:337-347)
     route_stops = bus.select(

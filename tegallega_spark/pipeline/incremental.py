@@ -76,6 +76,14 @@ def incremental_update(
     changed/new relation partitions.  Returns #partitions rewritten."""
     try:
         previous = spark.read.parquet(out_dir)
+        # partition-column type inference turns numeric-string keys (e.g.
+        # relation_id '17077467') into ints on read-back, which would make
+        # xxhash64(int) never equal xxhash64(string) — every partition would
+        # look changed and the pipeline would silently rewrite everything.
+        # Cast the key back to the incoming frame's type before fingerprinting.
+        previous = previous.withColumn(
+            key, F.col(key).cast(new.schema[key].dataType)
+        )
     except Exception:
         previous = None
     changed = changed_partitions(new, previous, key)

@@ -21,37 +21,39 @@ OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
 STATE_SCHEMA = "last_kept double"
 
 
-def _thin_stream(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    last_kept = state.get[0] if state.exists else None
-    kept_rows = []
-    min_gap_s = 600.0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for row in pdf.itertuples(index=False):
-            t = row.ts.timestamp()
-            if last_kept is None or t - last_kept >= min_gap_s:
-                kept_rows.append((row.user_id, row.event_id, row.ts))
-                last_kept = t
-    state.update((last_kept if last_kept is not None else 0.0,))
-    if kept_rows:
-        yield pd.DataFrame(kept_rows, columns=["user_id", "event_id", "ts"])
+def _make_thin_stream(min_gap_s: float):
+    """Build the state function with min_gap_s closed over.  The closure is
+    cloudpickled ONCE at query start (not per batch), so parameterizing this
+    way costs nothing at runtime."""
+
+    def _thin_stream(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        last_kept = state.get[0] if state.exists else None
+        kept_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                t = row.ts.timestamp()
+                if last_kept is None or t - last_kept >= min_gap_s:
+                    kept_rows.append((row.user_id, row.event_id, row.ts))
+                    last_kept = t
+        state.update((last_kept if last_kept is not None else 0.0,))
+        if kept_rows:
+            yield pd.DataFrame(kept_rows, columns=["user_id", "event_id", "ts"])
+
+    return _thin_stream
 
 
-def thin_events_stream(events: DataFrame, min_gap_s: int = 600) -> DataFrame:
+def thin_events_stream(events: DataFrame, min_gap_s: float = 600) -> DataFrame:
     """Streaming min-spacing thinning (the streaming dual of
-    operators.stateful.thin_stops / q46).
-
-    NOTE: min_gap_s is fixed at 600 s inside the state function — closures
-    over driver variables would re-pickle per batch; parameterize via a
-    broadcast variable if it needs to vary.
-    """
+    operators.stateful.thin_stops / q46).  min_gap_s is honored — it is
+    closed over into the state function."""
     return (
         events.select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _thin_stream,
+            _make_thin_stream(float(min_gap_s)),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
