@@ -228,9 +228,34 @@ def minhash_near_duplicates(
             "__id",
             minhash_signature_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
         ).persist()
+    pairs = _lsh_candidate_pairs(sig, bands, rows_per_band)
+    # join signatures back once per surviving pair — the band join itself
+    # only ever shuffles (id, band) rows, never the 32-long signatures
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    with_sigs = pairs.join(sa, "id_a").join(sb, "id_b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        with_sigs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _lsh_candidate_pairs(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Banded LSH self-join on (__id, __sig) → distinct BARE id pairs.
+
+    Only (id, band_idx, band_hash) rows enter the join and only (id_a, id_b)
+    pairs leave it — signatures never ride through the candidate shuffle
+    (they were 2×32 longs per pair; at q40's corpus that shuffle was 25% of
+    the whole headline bench)."""
     banded = sig.select(
         "__id",
-        "__sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -243,29 +268,83 @@ def minhash_near_duplicates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "band_idx", "band_hash"
-    )
-    pairs = (
+    left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    return (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
-    return (
-        pairs.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Recompute EXACT shingle-set Jaccard for candidate (id_a, id_b) pairs.
+
+    Shingle sets are joined back only for documents that appear in a pair
+    (semi-join first), so at scale the wide shingle arrays shuffle for the
+    candidate subset, not the corpus."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
     )
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        .join(cand_ids, "__id", "left_semi")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+    return joined.select(
+        "id_a", "id_b", (common.cast("double") / union).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
+
+    Same LSH candidate generation as minhash_near_duplicates, but each
+    candidate pair's exact shingle-set Jaccard is recomputed and filtered —
+    the output (id_a, id_b, jaccard) is deterministic and equals the exact
+    all-pairs result whenever the LSH recall is 1 at the threshold, which
+    makes it oracle-checkable (falsifiable) instead of rows-only.  16 bands
+    × 2 rows: a pair at jaccard j collides w.p. 1-(1-j²)¹⁶ — ≥0.99998 for
+    j ≥ 0.7.  Skew note (100 TB): a shingle shared by k docs puts k rows in
+    one band bucket; cap bucket size or salt hot buckets before the
+    self-join if the corpus is template-heavy."""
+    rows_per_band = num_hashes // bands
+    if use_arrow:
+        sig_udf = make_signature_udf(shingle_n, num_hashes)
+        sig = df.select(
+            F.col(id_col).alias("__id"), sig_udf(F.col(text_col)).alias("__sig")
+        )
+    else:
+        sig = df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature_from_hashes(
+                shingle_hashes(word_shingles(F.col(text_col), shingle_n)), num_hashes
+            ).alias("__sig"),
+        )
+    pairs = _lsh_candidate_pairs(sig, bands, rows_per_band)
+    exact = exact_jaccard_for_pairs(pairs, df, id_col, text_col, shingle_n)
+    return exact.filter(F.col("jaccard") >= jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +420,69 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     return total
 
 
+def make_simhash_udf(shingle_n: int = 2):
+    """Arrow-vectorized text→SimHash-fingerprint pandas_udf.
+
+    The column-expression path (simhash64) re-traverses the shingle-hash
+    array once per bit — 63 interpreted F.aggregate passes per document.
+    This UDF computes all 64 bit-sums in ONE numpy pass per Arrow batch:
+    hash each distinct shingle to 8 bytes, expand to a (shingles × 64) ±1
+    matrix, column-sum, threshold.  Hash values differ from the column path
+    (blake2b vs xxhash64) but fingerprints are only ever compared to each
+    other, so the near-dup semantics are unchanged."""
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[^a-z0-9]+")
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            words = [w for w in token_re.split((text or "").lower()) if w]
+            if len(words) < shingle_n:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_n])
+                    for i in range(len(words) - shingle_n + 1)
+                }
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = (2 * bits - 1).sum(axis=0)
+            fp = int(((sums[:63] > 0).astype(np.uint64) << shifts[:63]).sum())
+            out.append(fp)
+        return pd.Series(out, dtype="int64")
+
+    return fingerprint
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, use_arrow: bool
+) -> DataFrame:
+    if use_arrow:
+        fp_udf = make_simhash_udf(shingle_n)
+        return df.select(
+            F.col(id_col).alias("__id"), fp_udf(F.col(text_col)).alias("__fp")
+        )
+    return df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col), shingle_n).alias("__fp")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -348,14 +490,15 @@ def simhash_near_duplicates(
     shingle_n: int = 2,
     max_hamming: int = 3,
     bands: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 63-bit fingerprint into `bands`
     chunks; by pigeonhole, any pair within max_hamming (< bands) shares at
     least one identical chunk → equi-join per chunk, then exact Hamming
-    filter via bit_count(xor)."""
-    fp = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col), shingle_n).alias("__fp")
-    )
+    filter via bit_count(xor).  The pigeonhole argument needs only
+    bands > max_hamming — chunks not covering all 64 bits still guarantee
+    recall (uncovered-bit diffs only reduce covered-bit diffs)."""
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_n, use_arrow)
     chunk_bits = 64 // bands
     banded = fp.select(
         "__id",
@@ -384,6 +527,32 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_duplicates_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    max_hamming: int = 12,
+    bands: int = 13,
+    jaccard_threshold: float = 0.7,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT Jaccard verification.
+
+    Candidates come from the banded fingerprint join (hamming ≤ max_hamming
+    guaranteed caught when bands > max_hamming); each candidate's exact
+    shingle-set Jaccard is then recomputed and filtered, so the output
+    (id_a, id_b, jaccard) is deterministic and oracle-checkable — it equals
+    the exact all-pairs result whenever every true pair at the threshold
+    falls within max_hamming (verified on the test corpora; a miss would
+    show up as an oracle mismatch, which is the point)."""
+    cand = simhash_near_duplicates(
+        df, id_col, text_col, shingle_n, max_hamming, bands, use_arrow
+    ).select("id_a", "id_b")
+    exact = exact_jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)
+    return exact.filter(F.col("jaccard") >= jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -56,24 +56,32 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def _plane_components(plane_seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1] via
+    splitmix64 of (seed, j) — computed ONCE in Python and embedded as an
+    array literal, so the executor never re-derives the plane per row."""
+    comps = []
+    for j in range(dim):
+        x = ((plane_seed * 1315423911 + j) * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xD6E8FEB86659FD93) % (1 << 64)
+        x ^= x >> 27
+        comps.append(((x % 20001) - 10000) / 10000.0)
+    return comps
+
+
 def _hyperplane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
-    """Sign of <vec, h> for a deterministic pseudo-random hyperplane h whose
-    component j is xxhash64(plane_seed, j) scaled to [-1, 1]."""
-    h = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(plane_seed).cast("string"), j.cast("string")) % 10000
-        ).cast("double")
-        / 10000.0,
-    )
+    """Sign bit of <vec, h> for the deterministic hyperplane `plane_seed`."""
+    h = F.array(*[F.lit(c) for c in _plane_components(plane_seed, dim)])
     return F.when(dot(vec.cast("array<double>"), h) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: the concatenated sign bits."""
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: the concatenated sign bits.  `table`
+    offsets the plane seeds so independent hash tables can be built."""
     bucket = F.lit(0)
     for p in range(num_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
+        bucket = bucket * 2 + _hyperplane_sign(vec, table * 1009 + p, dim)
     return bucket
 
 
@@ -113,27 +121,44 @@ def all_pairs_above(
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     num_planes: int = 6,
+    num_tables: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket self-join then exact cosine
-    filter.  Returns (id_a, id_b, cos_sim)."""
+    """Embedding near-dup pairs: multi-table LSH-bucket self-join, bare-pair
+    dedup, then exact cosine recomputed per candidate.  Returns
+    (id_a, id_b, cos_sim) — deterministic, so with enough tables for recall
+    1 at the threshold it is oracle-checkable against exact all-pairs.
+
+    Recall per pair at angle θ is 1-(1-(1-θ/π)^planes)^tables — tables is
+    the recall knob, planes the candidate-sparsity knob.  The band join
+    shuffles only (id, table, bucket) rows; vectors are joined back for the
+    deduped candidate set only."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    with_bucket = df.select(
+    with_buckets = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("__bucket"),
+        F.posexplode(
+            F.array(*[
+                lsh_bucket(F.col(vec_col), dim, num_planes, table=t)
+                for t in range(num_tables)
+            ])
+        ).alias("table_idx", "bucket"),
     )
-    a = with_bucket.select(
-        F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__bucket"
+    a = with_buckets.select(F.col("__id").alias("id_a"), "table_idx", "bucket")
+    b = with_buckets.select(F.col("__id").alias("id_b"), "table_idx", "bucket")
+    pairs = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b = with_bucket.select(
-        F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__bucket"
-    )
-    pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = pairs.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
-        cosine(F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")).alias("cos_sim"),
+        cosine(
+            F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= min_cosine)

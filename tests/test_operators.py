@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
+
 
 from tegallega_spark.operators import multimodal as MM
 from tegallega_spark.operators.dedup import (
@@ -206,6 +208,72 @@ def test_mllib_minhash_agrees_on_planted_dups(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found
     assert all(3 not in p for p in found)
+
+
+def test_verified_neardups_equal_exact_sets(spark, sf_dir):
+    """The falsifiability contract behind q35/q36 (minhash/simhash): LSH
+    candidates + exact-Jaccard recompute must equal the exact all-pairs
+    result on the test corpus — a missed pair or wrong score is an oracle
+    mismatch, not a silent grey row."""
+    from tegallega_spark.operators.dedup import (
+        minhash_near_duplicates_verified,
+        ngram_jaccard_pairs,
+        simhash_near_duplicates_verified,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_near_duplicates_verified(
+            d, "doc_id", "text", shingle_n=3, jaccard_threshold=0.7
+        ).collect()
+    }
+    ex3 = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.7).collect()
+    }
+    assert mh == ex3 and len(mh) > 0
+    sh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in simhash_near_duplicates_verified(
+            d, "doc_id", "text", shingle_n=2, jaccard_threshold=0.7
+        ).collect()
+    }
+    ex2 = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 2, 0.7).collect()
+    }
+    assert sh == ex2 and len(sh) > 0
+
+
+def test_embedding_all_pairs_equals_brute_force(spark, sf_dir):
+    """Multi-table hyperplane LSH + exact cosine recompute equals the exact
+    all-pairs result at the q39 threshold."""
+    from tegallega_spark.operators.similarity import all_pairs_above, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b, round(r.cos_sim, 6))
+        for r in all_pairs_above(
+            emb, "vec_id", "embedding", min_cosine=0.462, num_planes=2, num_tables=16
+        ).collect()
+    }
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b, round(r.c, 6))
+        for r in va.crossJoin(vb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine(
+                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.462)
+        .collect()
+    }
+    assert got == exact and len(got) > 0
 
 
 def test_lsh_topk_contains_query_vector(spark, sf_dir):

@@ -129,3 +129,51 @@ def test_incremental_partition_overwrite(spark, tmp_path):
     assert incremental_update(spark, v2, out) == 0
     rows = {(r.relation_id, r.seq, r.val) for r in spark.read.parquet(out).collect()}
     assert rows == {("r1", 1, "a"), ("r1", 2, "CHANGED"), ("r2", 1, "c")}
+
+
+def test_incremental_numeric_string_keys_idempotent(spark, tmp_path):
+    """Numeric-string relation ids (the real GTFS shape, e.g. '17077467')
+    must stay idempotent: partition-column type inference turns them into
+    ints on read-back, which silently broke the fingerprint compare until
+    the key is cast back to the incoming type."""
+    from tegallega_spark.pipeline.incremental import incremental_update
+
+    out = str(tmp_path / "inc_num")
+    v1 = spark.createDataFrame(
+        [("17077467", 1, "a"), ("17077467", 2, "b"), ("9498142", 1, "c")],
+        "relation_id string, seq int, val string",
+    )
+    assert incremental_update(spark, v1, out) == 2
+    # unchanged cycle: nothing may be rewritten
+    assert incremental_update(spark, v1, out) == 0
+    v2 = spark.createDataFrame(
+        [("17077467", 1, "a"), ("17077467", 2, "X"), ("9498142", 1, "c")],
+        "relation_id string, seq int, val string",
+    )
+    assert incremental_update(spark, v2, out) == 1
+
+
+def test_stream_thinning_honors_min_gap(spark, sf_dir):
+    """min_gap_s is threaded into the state function: a huge gap keeps only
+    the first event per user."""
+    from tegallega_spark.streaming.events import read_events_stream
+    from tegallega_spark.streaming.stateful import thin_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    thinned = thin_events_stream(stream, min_gap_s=10**9)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            thinned.writeStream.format("memory")
+            .queryName("thin_stream_gap_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM thin_stream_gap_test")
+    from tegallega_spark.session import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
