@@ -26,17 +26,17 @@ HEADLINE = [
     "q01_pricing_summary",    # full-scan multi-agg
     "q02_filter_project",     # pushdown scan
     "q05_region_revenue",     # star join + agg
-    "q08_argmin_join",        # argmin groupBy
-    "q11_dedup_first_wins",   # window dedup
-    "q18_running_sum",        # cumulative window
-    "q21_topk_per_group",     # top-k window
-    "q24_sessionize",         # lag + agg
-    "q29_pivot",              # pivot
-    "q36_tumbling_window",    # event-time window agg
-    "q37_exact_dedup_docs",   # text fingerprint dedup
-    "q40_minhash_neardup",    # MinHash-LSH
-    "q42_lang_detect",        # text analysis
-    "q43_ann_topk",           # similarity search
+    "q08_argminmax_join",        # argmin groupBy
+    "q11_dedup_first_last",   # window dedup
+    "q16_running_sum",        # cumulative window
+    "q19_topk_per_group",     # top-k window
+    "q22_sessionize",         # lag + agg
+    "q24_pivot",              # pivot
+    "q31_tumbling_window",    # event-time window agg
+    "q32_exact_dedup_docs",   # text fingerprint dedup
+    "q35_minhash_neardup",    # MinHash-LSH
+    "q37_lang_detect",        # text analysis
+    "q38_ann_topk",           # similarity search
 ]
 
 

@@ -44,12 +44,12 @@ SHIFT_COLS = {
 QUERIES = [
     "q01_pricing_summary",
     "q05_region_revenue",
-    "q08_argmin_join",
-    "q18_running_sum",
-    "q24_sessionize",
-    "q37_exact_dedup_docs",
-    "q40_minhash_neardup",
-    "q43_ann_topk",
+    "q08_argminmax_join",
+    "q16_running_sum",
+    "q22_sessionize",
+    "q32_exact_dedup_docs",
+    "q35_minhash_neardup",
+    "q38_ann_topk",
 ]
 
 

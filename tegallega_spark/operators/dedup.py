@@ -278,25 +278,67 @@ def _lsh_candidate_pairs(sig: DataFrame, bands: int, rows_per_band: int) -> Data
     )
 
 
+def make_shingle_hash_udf(shingle_n: int):
+    """Arrow-vectorized text→sorted distinct shingle-hash array (array<long>).
+
+    Same tokenization as make_signature_udf; each distinct shingle becomes
+    its 8-byte blake2b hash, so exact set intersection/union runs over
+    compact long arrays instead of wide string arrays (≈3× smaller shuffle,
+    and the set math stays JVM-side).  Hashed-set Jaccard equals string-set
+    Jaccard up to 64-bit collisions (~(|A|+|B|)²/2⁶⁵ per pair — negligible
+    and would surface as an oracle mismatch)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("array<long>")
+    def shingle_hashes_arr(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            words = [w for w in token_re.split((text or "").lower()) if w]
+            if len(words) < shingle_n:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_n])
+                    for i in range(len(words) - shingle_n + 1)
+                }
+            out.append(sorted(
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big", signed=True
+                )
+                for s in shingles
+            ))
+        return pd.Series(out)
+
+    return shingle_hashes_arr
+
+
 def exact_jaccard_for_pairs(
     pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
     """Recompute EXACT shingle-set Jaccard for candidate (id_a, id_b) pairs.
 
-    Shingle sets are joined back only for documents that appear in a pair
-    (semi-join first), so at scale the wide shingle arrays shuffle for the
-    candidate subset, not the corpus."""
+    Shingle-hash sets are joined back only for documents that appear in a
+    pair (semi-join first, pushed below the UDF projection), so at scale the
+    arrays shuffle for the candidate subset, not the corpus."""
+    # both cand_ids and the final join read `pairs`; both join sides read
+    # `sh` — persist each so the candidate pipeline / shingle UDF run once
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
+    sh_udf = make_shingle_hash_udf(shingle_n)
     sh = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-        )
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .join(cand_ids, "__id", "left_semi")
+        .select("__id", sh_udf(F.col("__t")).alias("__sh"))
+        .persist()
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -342,6 +384,9 @@ def minhash_near_duplicates_verified(
                 shingle_hashes(word_shingles(F.col(text_col), shingle_n)), num_hashes
             ).alias("__sig"),
         )
+    # persist: both sides of the band self-join read the signatures — without
+    # this the signature UDF would run twice over the whole corpus
+    sig = sig.persist()
     pairs = _lsh_candidate_pairs(sig, bands, rows_per_band)
     exact = exact_jaccard_for_pairs(pairs, df, id_col, text_col, shingle_n)
     return exact.filter(F.col("jaccard") >= jaccard_threshold)
@@ -498,7 +543,8 @@ def simhash_near_duplicates(
     filter via bit_count(xor).  The pigeonhole argument needs only
     bands > max_hamming — chunks not covering all 64 bits still guarantee
     recall (uncovered-bit diffs only reduce covered-bit diffs)."""
-    fp = simhash_fingerprints(df, id_col, text_col, shingle_n, use_arrow)
+    # persist: the banded self-join reads fingerprints from both sides
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_n, use_arrow).persist()
     chunk_bits = 64 // bands
     banded = fp.select(
         "__id",
@@ -516,16 +562,18 @@ def simhash_near_duplicates(
     )
     a = banded.select(F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"), "band_idx", "band_val")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"), "band_idx", "band_val")
-    pairs = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming filter BEFORE the pair dedup: fingerprints (8 bytes) ride the
+    # band join anyway, so filtering each join row first means the dedup
+    # shuffle only sees true near-candidates — with coarse chunks (small
+    # 64/bands) the unfiltered band join can emit millions of junk pairs
+    return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

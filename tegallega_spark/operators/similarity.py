@@ -14,6 +14,8 @@ North-star extension (BASELINE.json): approximate-nearest-neighbor over the
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -115,6 +117,37 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def make_bucket_udf(num_planes: int, num_tables: int, dim: int):
+    """Arrow-vectorized vec→[bucket per table] pandas_udf: ONE numpy matmul
+    against the (tables×planes, dim) plane matrix per batch, then sign-bit
+    packing — replaces tables×planes interpreted HOF dot products per row.
+    Uses the same deterministic _plane_components as the column path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _plane_components(t * 1009 + p, dim)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    weights = np.array(
+        [1 << (num_planes - 1 - p) for p in range(num_planes)], dtype=np.int64
+    )
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype=np.float64)          # (n, dim)
+        signs = (V @ planes.T >= 0).astype(np.int64)           # (n, t*p)
+        signs = signs.reshape(len(V), num_tables, num_planes)  # (n, t, p)
+        ids = (signs * weights).sum(axis=2)                    # (n, t)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def all_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -135,14 +168,13 @@ def all_pairs_above(
     deduped candidate set only."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    with_buckets = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.array(*[
-                lsh_bucket(F.col(vec_col), dim, num_planes, table=t)
-                for t in range(num_tables)
-            ])
-        ).alias("table_idx", "bucket"),
+    # persist: both sides of the bucket self-join read the exploded buckets —
+    # without it the bucket computation runs twice per row
+    bucket_udf = make_bucket_udf(num_planes, num_tables, dim)
+    with_buckets = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .select("__id", F.posexplode(bucket_udf(F.col("__v"))).alias("table_idx", "bucket"))
+        .persist()
     )
     a = with_buckets.select(F.col("__id").alias("id_a"), "table_idx", "bucket")
     b = with_buckets.select(F.col("__id").alias("id_b"), "table_idx", "bucket")

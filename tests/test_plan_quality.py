@@ -46,7 +46,7 @@ def test_star_join_broadcasts_dims(spark):
 
 
 def test_range_join_is_broadcast_nested_loop(spark):
-    plan = plan_of(SPARK_QUERIES["q49_range_join"](spark, SF_SMOKE))
+    plan = plan_of(SPARK_QUERIES["q44_range_join"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan
 
 
@@ -58,13 +58,13 @@ def test_aggregate_has_partial_phase(spark):
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = plan_of(SPARK_QUERIES["q25_order_limit"](spark, SF_SMOKE), "simple")
+    plan = plan_of(SPARK_QUERIES["q23_order_limit"](spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no full sort stage
 
 
 def test_windows_are_partitioned(spark):
-    plan = plan_of(SPARK_QUERIES["q18_running_sum"](spark, SF_SMOKE), "simple")
+    plan = plan_of(SPARK_QUERIES["q16_running_sum"](spark, SF_SMOKE), "simple")
     assert "Window" in plan
     assert "SinglePartition" not in plan
 

@@ -89,7 +89,7 @@ def test_stateful_stream_thinning_matches_batch(spark, sf_dir):
     }
     want = {
         (r.user_id, r.event_id)
-        for r in SPARK_QUERIES["q46_stateful_thinning"](spark, sf_dir).collect()
+        for r in SPARK_QUERIES["q41_stateful_thinning"](spark, sf_dir).collect()
     }
     assert got == want
 

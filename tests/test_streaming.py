@@ -26,7 +26,7 @@ def test_tumbling_stream_matches_batch(spark, sf_dir):
     }
     want = {
         (r.win_start, r.event_type): (r.n, r.sum_value)
-        for r in SPARK_QUERIES["q36_tumbling_window"](spark, sf_dir).collect()
+        for r in SPARK_QUERIES["q31_tumbling_window"](spark, sf_dir).collect()
     }
     # AvailableNow over a static dir sees all data → exact batch parity
     assert got == want
