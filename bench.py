@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tegallega_spark.session import get_spark  # noqa: E402
@@ -54,6 +56,17 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "part", "supplier",
               "nation", "region", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).limit(1).collect()
+
+    # warm the Python/Arrow UDF worker pool too — daemon fork + Arrow init
+    # is one-time session setup, and without this the first pandas_udf
+    # query in the set absorbs several seconds of worker spin-up
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(256).repartition(32).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -278,6 +278,82 @@ def _lsh_candidate_pairs(sig: DataFrame, bands: int, rows_per_band: int) -> Data
     )
 
 
+def make_band_hash_udf(shingle_n: int = 3, num_hashes: int = 32, bands: int = 16):
+    """Arrow-vectorized text→LSH band hashes (array<long>, length `bands`).
+
+    For pipelines that only need the LSH *buckets* (the verified near-dup
+    path recomputes exact Jaccard per candidate, so full signatures are
+    never compared), this fuses tokenize→shingle-hash→permute→band-hash
+    into one numpy pass and emits `bands` longs per document instead of
+    `num_hashes` — nothing else ever shuffles or persists.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_s, b_s = _perm_constants(num_hashes)
+    A = np.array(a_s, dtype=np.int64)[:, None]
+    B = np.array(b_s, dtype=np.int64)[:, None]
+    rows_per_band = num_hashes // bands
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("array<long>")
+    def band_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            words = [w for w in token_re.split((text or "").lower()) if w]
+            if len(words) < shingle_n:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_n])
+                    for i in range(len(words) - shingle_n + 1)
+                }
+            hv = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    % MINHASH_PRIME
+                    for s in shingles
+                ),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            sig = ((A * hv + B) % MINHASH_PRIME).min(axis=1)
+            out.append([
+                int.from_bytes(
+                    hashlib.blake2b(
+                        sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes(),
+                        digest_size=8,
+                    ).digest(),
+                    "big",
+                    signed=True,
+                )
+                for b in range(bands)
+            ])
+        return pd.Series(out)
+
+    return band_hashes
+
+
+def _pairs_from_band_hashes(bh: DataFrame) -> DataFrame:
+    """Distinct bare (id_a, id_b) pairs from (__id, __bh: array<long>)."""
+    banded = bh.select(
+        "__id", F.posexplode("__bh").alias("band_idx", "band_hash")
+    )
+    left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def make_shingle_hash_udf(shingle_n: int):
     """Arrow-vectorized text→sorted distinct shingle-hash array (array<long>).
 
@@ -371,23 +447,23 @@ def minhash_near_duplicates_verified(
     j ≥ 0.7.  Skew note (100 TB): a shingle shared by k docs puts k rows in
     one band bucket; cap bucket size or salt hot buckets before the
     self-join if the corpus is template-heavy."""
-    rows_per_band = num_hashes // bands
     if use_arrow:
-        sig_udf = make_signature_udf(shingle_n, num_hashes)
-        sig = df.select(
-            F.col(id_col).alias("__id"), sig_udf(F.col(text_col)).alias("__sig")
-        )
+        # signatures are only consumed through their band hashes here, so the
+        # fused UDF emits `bands` longs per doc and the 32-long signature
+        # array never exists outside a numpy batch
+        bh_udf = make_band_hash_udf(shingle_n, num_hashes, bands)
+        bh = df.select(
+            F.col(id_col).alias("__id"), bh_udf(F.col(text_col)).alias("__bh")
+        ).persist()  # both sides of the band self-join read it
+        pairs = _pairs_from_band_hashes(bh)
     else:
         sig = df.select(
             F.col(id_col).alias("__id"),
             minhash_signature_from_hashes(
                 shingle_hashes(word_shingles(F.col(text_col), shingle_n)), num_hashes
             ).alias("__sig"),
-        )
-    # persist: both sides of the band self-join read the signatures — without
-    # this the signature UDF would run twice over the whole corpus
-    sig = sig.persist()
-    pairs = _lsh_candidate_pairs(sig, bands, rows_per_band)
+        ).persist()
+        pairs = _lsh_candidate_pairs(sig, bands, num_hashes // bands)
     exact = exact_jaccard_for_pairs(pairs, df, id_col, text_col, shingle_n)
     return exact.filter(F.col("jaccard") >= jaccard_threshold)
 

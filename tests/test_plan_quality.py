@@ -81,6 +81,22 @@ def test_whole_stage_codegen_covers_scan_agg(spark):
     assert "WholeStageCodegen" in plan
 
 
+def test_extract_chain_plan_shape(spark):
+    """The extract chain (stitch → double project_onto_segments → thinning)
+    must stay cartesian-free and key-partitioned: every join in the chain is
+    an equi-join on relation_id, and the stateful folds are per-key
+    applyInPandas — no SinglePartition exchange anywhere (VERDICT r1 #8)."""
+    from tests.test_extract import fake_fetch
+
+    from tegallega_spark.pipeline.extract import extract_route
+
+    stitched, stops = extract_route(spark, "900", mode="angkot", fetch_fn=fake_fetch)
+    for df in (stitched, stops):
+        plan = plan_of(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
+
+
 def test_gtfs_argmin_join_no_cartesian(spark):
     """The stop→shape argmin is an equi-join on relation_id + min_by, never
     a cartesian product (SURVEY §4.2 watch-out)."""
