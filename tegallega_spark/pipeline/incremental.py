@@ -22,19 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def partition_fingerprints(df: DataFrame, key: str = "relation_id") -> DataFrame:
-    """Content hash per partition: xor-agg of row hashes → order-insensitive
-    fingerprint (the data-level analogue of the reference's git diff)."""
-    # bit_xor: order-insensitive AND overflow-free under ANSI mode (sum of
-    # full-range xxhash64 values overflows long); the row count guards the
-    # xor's blindness to duplicate-row pairs
+    """Content hash per partition: order-insensitive fingerprint (the
+    data-level analogue of the reference's git diff)."""
+    # bit_xor alone is blind to changes that preserve even row
+    # multiplicities (xor of two identical rows cancels: swapping 2×A for
+    # 2×B keeps xor AND count unchanged), so pair it with a sum of hashes.
+    # Under ANSI mode sum(long) overflows on full-range xxhash64 values —
+    # decimal(38,0) holds the exact sum for up to ~10^19 rows, and its
+    # string form feeds the final combine hash.
     # canonical column order: a partitioned read-back reorders columns
     # (partition key last), which must not change the fingerprint
     row_hash = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
     return df.groupBy(key).agg(
-        F.bit_xor(row_hash).alias("__x"), F.count("*").alias("__n")
+        F.bit_xor(row_hash).alias("__x"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("__s"),
+        F.count("*").alias("__n"),
     ).select(
         key,
-        F.xxhash64(F.col("__x").cast("string"), F.col("__n").cast("string")).alias("fingerprint"),
+        F.xxhash64(
+            F.col("__x").cast("string"),
+            F.col("__s").cast("string"),
+            F.col("__n").cast("string"),
+        ).alias("fingerprint"),
     )
 
 

@@ -153,6 +153,22 @@ def test_incremental_numeric_string_keys_idempotent(spark, tmp_path):
     assert incremental_update(spark, v2, out) == 1
 
 
+def test_fingerprint_detects_even_multiplicity_swap(spark):
+    """xor-of-hashes alone cancels identical-row pairs: swapping 2×A for
+    2×B preserves both xor and row count.  The sum-of-hashes component must
+    catch it."""
+    from tegallega_spark.pipeline.incremental import changed_partitions
+
+    v1 = spark.createDataFrame(
+        [("r1", "A"), ("r1", "A"), ("r2", "z")], "relation_id string, val string"
+    )
+    v2 = spark.createDataFrame(
+        [("r1", "B"), ("r1", "B"), ("r2", "z")], "relation_id string, val string"
+    )
+    changed = {r.relation_id for r in changed_partitions(v2, v1).collect()}
+    assert changed == {"r1"}
+
+
 def test_stream_thinning_honors_min_gap(spark, sf_dir):
     """min_gap_s is threaded into the state function: a huge gap keeps only
     the first event per user."""
