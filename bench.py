@@ -26,14 +26,14 @@ from tegallega_spark.queries import SPARK_QUERIES  # noqa: E402
 # dominate at 100 TB (scan-agg, join-agg, window, dedup, similarity, text).
 HEADLINE = [
     "q01_pricing_summary",    # full-scan multi-agg
-    "q02_filter_project",     # pushdown scan
+    "q02_filter_topk",        # pushdown scan + top-k
     "q05_region_revenue",     # star join + agg
     "q08_argminmax_join",        # argmin groupBy
     "q11_dedup_first_last",   # window dedup
-    "q16_running_sum",        # cumulative window
+    "q16_cumsum_offsets",     # cumulative + offset window
     "q19_topk_per_group",     # top-k window
     "q22_sessionize",         # lag + agg
-    "q24_pivot",              # pivot
+    "q24_pivot_unpivot",      # pivot round-trip
     "q31_tumbling_window",    # event-time window agg
     "q32_exact_dedup_docs",   # text fingerprint dedup
     "q35_minhash_neardup",    # MinHash-LSH

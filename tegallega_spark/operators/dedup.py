@@ -734,3 +734,70 @@ def minhash_near_duplicates_mllib(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact shingle-Jaccard pairs + decontamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+def exact_shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard over all pairs via an inverted index.
+
+    The index join only meets pairs that share ≥1 shingle, so the quadratic
+    pair space never materializes; the widest shuffle is (shingle → doc id)
+    postings.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+    )
+    card = sh.groupBy("__id").agg(F.count("*").alias("__c"))
+    common = (
+        sh.select(F.col("__id").alias("id_a"), "__g")
+        .join(sh.select(F.col("__id").alias("id_b"), "__g"), "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common") / (F.col("__ca") + F.col("__cb") - F.col("__common"))
+    return (
+        common.join(card.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca")), "id_a")
+        .join(card.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb")), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥1 n-gram shingle
+    with any blocklist (test-set) document.
+
+    The blocklist is broadcast — benchmark suites are tiny next to a 100 TB
+    corpus, so the corpus never shuffles: one scan, one map-side join, one
+    partial-aggregated count.  Returns (doc_id, n_shared_shingles).
+    """
+    bench = (
+        blocklist.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"))
+        .distinct()
+    )
+    sh = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+    )
+    return (
+        sh.join(F.broadcast(bench), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )

@@ -125,3 +125,36 @@ def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 1
     return F.array_sort(
         F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene: strip emails / phones / SSNs before
+# a corpus ships to training; regex families per common DLP practice)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ssns, n_phones) match counts — audit columns so the
+    redaction rate per source/shard is itself queryable."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL)),
+        F.regexp_count(text, F.lit(PII_SSN)),
+        F.regexp_count(text, F.lit(PII_PHONE)),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholder tokens.
+
+    Order matters: SSN before phone (an SSN's tail would otherwise be
+    eaten as a phone); the three patterns are disjoint after that, so the
+    chain is order-stable.  Pure JVM regexp_replace — no Python in the
+    per-row path.
+    """
+    out = F.regexp_replace(text, PII_SSN, "[SSN]")
+    out = F.regexp_replace(out, PII_EMAIL, "[EMAIL]")
+    return F.regexp_replace(out, PII_PHONE, "[PHONE]")

@@ -36,7 +36,10 @@ import pyspark.sql.functions as F
 from tegallega_spark.session import load_table
 from tegallega_spark.functions.geo import haversine_km
 from tegallega_spark.functions.timecodec import seconds_to_hhmmss
+from tegallega_spark.operators import cc as CC
 from tegallega_spark.operators import dedup as D
+from tegallega_spark.operators import packing as PACK
+from tegallega_spark.operators import sampling as SAMP
 from tegallega_spark.operators import similarity as SIM
 from tegallega_spark.operators import textual as TXT
 
@@ -90,70 +93,112 @@ def q01(spark, sf_dir):
 
 
 @register(
-    "q02_filter_project",
+    "q02_filter_topk",
     oracle=r"""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * l_discount, 4) AS revenue
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100
     """,
 )
 def q02(spark, sf_dir):
-    """Predicate + projection; both push into the parquet scan
-    (PushedFilters + 4-column ReadSchema)."""
+    """Predicate + projection + global top-k (merged scan family): filters
+    and the 5-column projection push into the parquet scan (PushedFilters +
+    ReadSchema), ORDER BY + LIMIT plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort."""
     l = T(spark, sf_dir, "lineitem")
-    return l.filter(
-        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+    return (
+        l.filter((F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
     )
 
 
 @register(
-    "q03_case_bucket",
-    oracle=r"""
-    SELECT o_orderkey,
-           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_priority,
-           CASE WHEN o_totalprice > 300000 THEN 'big'
-                WHEN o_totalprice > 100000 THEN 'mid'
-                ELSE 'small' END AS size_bucket
-    FROM orders
-    """,
-)
-def q03(spark, sf_dir):
-    """CASE-derived columns (reference generate_gtfs.py:52 route_type)."""
-    o = T(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("is_priority"),
-        F.when(F.col("o_totalprice") > 300000, "big")
-        .when(F.col("o_totalprice") > 100000, "mid")
-        .otherwise("small")
-        .alias("size_bucket"),
-    )
-
-
-@register(
-    "q04_default_fill",
+    "q03_case_default_fill",
     oracle=r"""
     SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
            COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment,
            COALESCE(NULLIF(TRIM(c_name), ''), 'Customer ' || CAST(c_custkey AS VARCHAR)) AS display_name
     FROM customer
     """,
 )
-def q04(spark, sf_dir):
-    """Default-value fill (reference generate_gtfs.py:72,118 .get defaults)."""
+def q03(spark, sf_dir):
+    """CASE-derived columns (reference generate_gtfs.py:52 route_type) +
+    default-value fill (generate_gtfs.py:72,118 .get defaults) — merged
+    row-wise derivation family."""
     c = T(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
         F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("UNKNOWN")).alias("segment"),
         F.coalesce(
             F.nullif(F.trim("c_name"), F.lit("")),
             F.concat(F.lit("Customer "), F.col("c_custkey").cast("string")),
         ).alias("display_name"),
+    )
+
+
+@register(
+    "q04_pii_redaction",
+    oracle=r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  || ' ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssns,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def q04(spark, sf_dir):
+    """PII redaction (training-data hygiene): deterministic synthetic PII is
+    injected per doc (the corpus is clean word soup), then the redaction
+    operator strips emails / SSNs / phones and emits audit counts.  Pure
+    JVM regexp chain — no Python in the per-row path."""
+    d = T(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+    tail4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc_id_s, F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" and admin"), doc_id_s, F.lit("@test.org"))).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" ssn 123-45-"), tail4)).otherwise(""),
+        F.lit(" ph 555-"), tail4,
+    )
+    n_emails, n_ssns, n_phones = TXT.pii_counts(enriched)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ssns.alias("n_ssns"),
+        n_phones.alias("n_phones"),
+        TXT.redact_pii(enriched).alias("redacted"),
     )
 
 
@@ -452,32 +497,11 @@ def q15(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "q16_running_sum",
-    oracle=r"""
-    SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-    FROM orders
-    """,
-)
-def q16(spark, sf_dir):
-    """Cumulative sum per key (reference W2: shape_dist_traveled)."""
-    o = T(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
-    )
-
-
-@register(
-    "q17_window_offsets",
+    "q16_cumsum_offsets",
     oracle=r"""
     SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
            ROUND(value - lag(value) OVER w, 4) AS delta,
            lead(event_id) OVER w AS next_event,
            first_value(event_type) OVER w AS first_type,
@@ -486,19 +510,57 @@ def q16(spark, sf_dir):
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def q17(spark, sf_dir):
-    """Window offset family: lag delta (reference W1: consecutive-vertex
-    distance), lead, first_value, last_value with explicit frames."""
+def q16(spark, sf_dir):
+    """Cumulative sum (reference W2: shape_dist_traveled) + window offset
+    family: lag delta (W1), lead, first_value, last_value — merged; all six
+    functions share ONE window partition/order, so the physical plan is a
+    single partitioned sort, no extra exchange per function."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return e.select(
         "event_id", "user_id",
+        F.round(F.sum("value").over(w_cum), 4).alias("running_value"),
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
         F.lead("event_id").over(w).alias("next_event"),
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w_full).alias("last_type"),
     )
+
+
+@register(
+    "q17_sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS seq_start
+      FROM toks WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT doc_id, shard, n_tokens,
+           seq_start // 512 AS pack_id,
+           seq_start % 512 AS pack_offset,
+           (seq_start % 512) + n_tokens > 512 AS spills_over
+    FROM packed
+    """,
+)
+def q17(spark, sf_dir):
+    """Sequence packing (training-data layout): concat-and-chunk documents
+    into 512-token packs, sharded so each window partition is bounded —
+    cumsum + integer math, one partitioned sort, no global ordering."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return PACK.pack_sequences(
+        toks, token_col="n_tokens", order_col="doc_id", shard_col="shard", budget=512
+    ).select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset", "spills_over")
 
 
 @register(
@@ -629,64 +691,114 @@ def q22(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "q23_order_limit",
+    "q23_dedup_clusters",
     oracle=r"""
-    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                    ELSE [list_aggregate(toks[i:i+3], 'string_agg', ' ')
+                          for i in range(1, len(toks) - 3 + 1)] END)) AS g
+      FROM tok),
+    card AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges0 AS (
+      SELECT id_a, id_b
+      FROM pair JOIN card ca ON pair.id_a = ca.doc_id
+                JOIN card cb ON pair.id_b = cb.doc_id
+      WHERE common * 1.0 / (ca.c + cb.c - common) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM edges0
+              UNION ALL SELECT id_b, id_a FROM edges0),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, lab) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.n),
+    labels AS (SELECT n AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
     """,
 )
 def q23(spark, sf_dir):
-    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort at scale)."""
-    o = T(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    """Dedup clustering: exact 4-gram-shingle Jaccard ≥ 0.5 pairs → iterative
+    min-label connected components (operators/cc.py) → (doc, cluster, size).
+    Transitivity matters: the corpus contains an A~B~C chain where A~C never
+    meets the threshold, so a pair-level dedup would keep two of the three."""
+    d = T(spark, sf_dir, "documents")
+    pairs = D.exact_shingle_jaccard_pairs(
+        d, id_col="doc_id", text_col="text", shingle_n=4, threshold=0.5
     )
+    return CC.dedup_cluster_assignments(pairs).select("doc_id", "cluster_id", "cluster_size")
 
 
 @register(
-    "q24_pivot",
+    "q24_pivot_unpivot",
     oracle=r"""
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
-    FROM orders GROUP BY o_orderpriority
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS s_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS s_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS s_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'O' AS status, s_o AS n FROM wide
+    UNION ALL SELECT o_orderpriority, 'F', s_f FROM wide
+    UNION ALL SELECT o_orderpriority, 'P', s_p FROM wide
     """,
 )
 def q24(spark, sf_dir):
-    """Long→wide pivot with pinned value set (schedule-matrix dual)."""
+    """Long→wide pivot with pinned value set (schedule-matrix dual) melted
+    back wide→long via stack — both reshape directions in one plan
+    (reference S4: the two-header schedule matrix round-trip)."""
     o = T(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
         .na.fill(0)
-        .select(
-            "o_orderpriority",
-            F.col("O").alias("status_o"),
-            F.col("F").alias("status_f"),
-            F.col("P").alias("status_p"),
-        )
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', O, 'F', F, 'P', P) as (status, n)",
     )
 
 
 @register(
-    "q25_unpivot",
+    "q25_decontaminate",
     oracle=r"""
-    SELECT p_partkey, 'size' AS metric, ROUND(CAST(p_size AS DOUBLE), 2) AS val FROM part
-    UNION ALL
-    SELECT p_partkey, 'retailprice' AS metric, ROUND(p_retailprice, 2) AS val FROM part
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                    ELSE [list_aggregate(toks[i:i+3], 'string_agg', ' ')
+                          for i in range(1, len(toks) - 3 + 1)] END)) AS g
+      FROM tok)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh c JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 29 = 0) b USING (g)
+    WHERE c.doc_id % 29 <> 0
+    GROUP BY c.doc_id
     """,
 )
 def q25(spark, sf_dir):
-    """Wide→long unpivot via stack (reference S4: schedule matrix melt)."""
-    p = T(spark, sf_dir, "part")
-    return p.selectExpr(
-        "p_partkey",
-        "stack(2, 'size', round(cast(p_size as double), 2), "
-        "'retailprice', round(p_retailprice, 2)) as (metric, val)",
+    """Benchmark decontamination: flag training docs sharing any 4-gram
+    shingle with the benchmark blocklist (docs with id % 29 = 0 stand in
+    for a test set).  The blocklist side is broadcast — the 100 TB corpus
+    never shuffles (operators/dedup.py:contamination_report)."""
+    d = T(spark, sf_dir, "documents")
+    blocklist = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    return D.contamination_report(
+        corpus, blocklist, id_col="doc_id", text_col="text", shingle_n=4
     )
 
 
@@ -762,45 +874,57 @@ def q27(spark, sf_dir):
 
 
 @register(
-    "q28_time_codec",
-    oracle=r"""
-    SELECT event_id,
-           printf('%02d:%02d:%02d', s // 3600, (s % 3600) // 60, s % 60) AS hms
-    FROM (SELECT event_id, CAST(ROUND(value * 600) AS BIGINT) AS s FROM events)
-    """,
-)
-def q28(spark, sf_dir):
-    """GTFS time codec: seconds → HH:MM:SS with hours past 24 allowed
-    (F4, reference generate_gtfs.py:31-38)."""
-    e = T(spark, sf_dir, "events")
-    s = F.round(F.col("value") * 600).cast("long")
-    return e.select("event_id", seconds_to_hhmmss(s).alias("hms"))
-
-
-@register(
-    "q29_date_funcs",
+    "q28_temporal_funcs",
     oracle=r"""
     SELECT o_orderkey,
+           printf('%02d:%02d:%02d', s // 3600, (s % 3600) // 60, s % 60) AS hms,
            CAST(year(o_orderdate) AS INT) AS yr,
            CAST(month(o_orderdate) AS INT) AS mo,
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
            strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month
-    FROM orders WHERE o_orderkey % 50 = 0
+    FROM (SELECT *, (o_orderkey * 7919) % 100000 AS s FROM orders WHERE o_orderkey % 50 = 0)
     """,
 )
-def q29(spark, sf_dir):
-    """Date-function family: year/month/datediff/date_add/date_trunc."""
+def q28(spark, sf_dir):
+    """Temporal family merged: GTFS time codec seconds → HH:MM:SS with hours
+    past 24 allowed (F4, reference generate_gtfs.py:31-38; seconds derived
+    from the integer key so both engines do exact integer math) + the date
+    function family year/month/datediff/date_add/date_trunc."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    s = (F.col("o_orderkey") * 7919) % 100000
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
+        seconds_to_hhmmss(s).alias("hms"),
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
     )
+
+
+@register(
+    "q29_stratified_sample",
+    oracle=r"""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents)
+    WHERE bucket < CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN '80' ELSE '40' END
+    """,
+)
+def q29(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py): md5-prefix
+    bucket per doc compared against a per-language threshold — downsample
+    'en' to 12.5%, keep 50% of 'zh', 25% elsewhere.  A pure scan filter:
+    reproducible across reruns/engines, no RNG, no shuffle — the right way
+    to sample 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    return SAMP.stratified_hash_sample(
+        d, key="doc_id", stratum="lang",
+        thresholds={"en": "20", "zh": "80"}, default_threshold="40",
+    ).select("doc_id", "lang", "bucket")
 
 
 @register(
@@ -1154,14 +1278,35 @@ def q41(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(thin, "user_id bigint, event_id bigint")
 
 
-@register("q42_approx_distinct")  # approximate sketch → rows-only (by nature)
+@register(
+    "q42_approx_distinct",
+    oracle=r"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q42(spark, sf_dir):
-    """approx_count_distinct (HLL) per event_type — engine surface; sketch
-    values are engine-specific so this is the one legitimately oracle-less
-    entry."""
+    """approx_count_distinct (HLL, rsd=0.02) per event_type.  The sketch
+    estimate itself is engine-specific, so the emitted columns are the
+    exact count plus the falsifiable invariant |approx - exact| ≤ 10%·exact
+    (integer math, no float compare) — a broken sketch flips the boolean
+    and fails the hash, which converts the one formerly rows-only entry
+    into a fully oracle-checked one."""
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users")) * 10
+             <= F.col("exact_users")).alias("within_10pct"),
+        )
     )
 
 

@@ -26,7 +26,7 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 def test_filter_and_projection_pushdown(spark):
-    df = SPARK_QUERIES["q02_filter_project"](spark, SF_SMOKE)
+    df = SPARK_QUERIES["q02_filter_topk"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(l_discount" in plan or "IsNotNull(l_discount)" in plan
@@ -58,13 +58,13 @@ def test_aggregate_has_partial_phase(spark):
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = plan_of(SPARK_QUERIES["q23_order_limit"](spark, SF_SMOKE), "simple")
+    plan = plan_of(SPARK_QUERIES["q02_filter_topk"](spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan  # no full sort stage
 
 
 def test_windows_are_partitioned(spark):
-    plan = plan_of(SPARK_QUERIES["q16_running_sum"](spark, SF_SMOKE), "simple")
+    plan = plan_of(SPARK_QUERIES["q16_cumsum_offsets"](spark, SF_SMOKE), "simple")
     assert "Window" in plan
     assert "SinglePartition" not in plan
 

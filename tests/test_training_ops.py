@@ -1,0 +1,152 @@
+"""Unit tests for the training-data pipeline operators added in round 2:
+connected-components dedup clustering, decontamination, PII redaction,
+deterministic stratified sampling, and sequence packing.
+
+The oracle-parity suite checks these end-to-end against DuckDB; here we pin
+the operator-level invariants on constructed inputs where the expected
+answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tegallega_spark.operators.cc import connected_components, dedup_cluster_assignments
+from tegallega_spark.operators.dedup import contamination_report, exact_shingle_jaccard_pairs
+from tegallega_spark.operators.packing import pack_sequences
+from tegallega_spark.operators.sampling import hash_sample, stratified_hash_sample
+from tegallega_spark.operators.textual import pii_counts, redact_pii
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3), pair 10-11, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["src", "dst"]
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_cc_converges_on_cycle(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = {(r["node"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_dedup_cluster_sizes(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (2, 3)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_cluster_assignments(pairs).collect()}
+    assert rows == {5: (5, 3), 9: (5, 3), 7: (5, 3), 2: (2, 2), 3: (2, 2)}
+
+
+def test_exact_shingle_jaccard_transitive_chain(spark):
+    # A~B and B~C above threshold, A~C below: CC must still merge all three
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta iota kappa"
+    c = "gamma delta epsilon zeta iota kappa lam mu"
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = exact_shingle_jaccard_pairs(docs, shingle_n=4, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in dedup_cluster_assignments(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_report_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "start pad quick brown fox jumps end pad"),   # shares shingles
+            (2, "completely different words here entirely"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_shared_shingles"]
+           for r in contamination_report(corpus, bench, shingle_n=4).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.co and ssn 123-45-6789 then call 555-1234 done",)], ["t"]
+    )
+    n_e, n_s, n_p = pii_counts(F.col("t"))
+    row = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        n_e.alias("e"), n_s.alias("s"), n_p.alias("p"),
+    ).first()
+    assert row["r"] == "mail [EMAIL] and ssn [SSN] then call [PHONE] done"
+    assert (row["e"], row["s"], row["p"]) == (1, 1, 1)
+
+
+def test_redact_pii_ssn_not_eaten_by_phone(spark):
+    # SSN must be replaced whole, not have its tail matched as a phone
+    df = spark.createDataFrame([("id 987-65-4321 x",)], ["t"])
+    assert df.select(redact_pii(F.col("t")).alias("r")).first()["r"] == "id [SSN] x"
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_fractional(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = sorted(r["k"] for r in hash_sample(df, "k", "40").collect())
+    s2 = sorted(r["k"] for r in hash_sample(df.repartition(7), "k", "40").collect())
+    assert s1 == s2  # partition-layout independent
+    assert 0.18 < len(s1) / 2000 < 0.32  # ~25% +- slack
+
+
+def test_stratified_thresholds_differ(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "k", "s", {"true": "80"}, "10")
+    rates = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # 'true' stratum sampled at 50%, others at ~6%
+    assert rates["true"] > 5 * rates.get("false", 1)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_layout(spark):
+    rows = [(i, 0, 300) for i in range(6)]  # six 300-token docs, one shard
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["spills_over"])
+           for r in pack_sequences(df, "n_tokens", "doc_id", "shard", budget=512).collect()}
+    # starts: 0,300,600,900,1200,1500 → packs 0,0,1,1,2,2; offsets mod 512
+    assert out[0] == (0, 0, False)
+    assert out[1] == (0, 300, True)     # 300+300 > 512 → straddles
+    assert out[2] == (1, 600 - 512, False)
+    assert out[5] == (2, 1500 - 2 * 512, True)
+
+
+def test_pack_sequences_shards_independent(spark):
+    rows = [(1, "a", 100), (2, "b", 100), (3, "a", 500), (4, "b", 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences(df, "n_tokens", "doc_id", "shard", budget=512).collect()}
+    # each shard restarts at pack 0
+    assert out[1] == 0 and out[2] == 0 and out[3] == 0 and out[4] == 0
