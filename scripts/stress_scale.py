@@ -43,10 +43,15 @@ SHIFT_COLS = {
 
 QUERIES = [
     "q01_pricing_summary",
+    "q04_pii_redaction",
     "q05_region_revenue",
     "q08_argminmax_join",
-    "q16_running_sum",
+    "q16_cumsum_offsets",
+    "q17_sequence_packing",
     "q22_sessionize",
+    "q23_dedup_clusters",
+    "q25_decontaminate",
+    "q29_stratified_sample",
     "q32_exact_dedup_docs",
     "q35_minhash_neardup",
     "q38_ann_topk",

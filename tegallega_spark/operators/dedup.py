@@ -24,6 +24,24 @@ from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
+def parallelize_for_udf(df: DataFrame) -> DataFrame:
+    """Match partition count to cluster parallelism before a CPU-bound
+    Arrow-UDF stage.
+
+    A small parquet input splits into fewer partitions than cores (split
+    size is byte-based), and AQE coalesces tiny shuffles to one partition —
+    both right for IO-bound stages but wrong before a Python stage
+    whose cost is CPU per row: the UDF then runs 1-2-way on a 32-core
+    machine.  Repartitioning a few MB is free; at 100 TB the scan yields
+    far more splits than cores and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -410,9 +428,12 @@ def exact_jaccard_for_pairs(
         .distinct()
     )
     sh_udf = make_shingle_hash_udf(shingle_n)
+    # explicit repartition: AQE would coalesce the tiny semi-join shuffle to
+    # ~1 partition (byte-based sizing), serializing the CPU-bound shingle UDF
     sh = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .join(cand_ids, "__id", "left_semi")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
         .select("__id", sh_udf(F.col("__t")).alias("__sh"))
         .persist()
     )
@@ -452,7 +473,7 @@ def minhash_near_duplicates_verified(
         # fused UDF emits `bands` longs per doc and the 32-long signature
         # array never exists outside a numpy batch
         bh_udf = make_band_hash_udf(shingle_n, num_hashes, bands)
-        bh = df.select(
+        bh = parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"), bh_udf(F.col(text_col)).alias("__bh")
         ).persist()  # both sides of the band self-join read it
         pairs = _pairs_from_band_hashes(bh)
@@ -596,7 +617,7 @@ def simhash_fingerprints(
 ) -> DataFrame:
     if use_arrow:
         fp_udf = make_simhash_udf(shingle_n)
-        return df.select(
+        return parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"), fp_udf(F.col(text_col)).alias("__fp")
         )
     return df.select(

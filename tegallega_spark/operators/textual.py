@@ -158,3 +158,49 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, PII_SSN, "[SSN]")
     out = F.regexp_replace(out, PII_EMAIL, "[EMAIL]")
     return F.regexp_replace(out, PII_PHONE, "[PHONE]")
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules: repetitious documents are
+# low-quality training data even when surface stats look fine)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """NON-distinct n-word grams (multiplicity matters for repetition
+    measurement, unlike dedup's word_shingles); same [a-z0-9] tokenization.
+    A doc shorter than n words contributes its whole text as one gram."""
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: w != "")
+    num = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), num), lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )
+    return F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(grams)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition: (id, dup_ngram_frac, top_ngram_frac).
+
+    dup_ngram_frac = 1 - distinct/total grams (how much of the doc is
+    repeated phrasing); top_ngram_frac = share of the single most frequent
+    gram (boilerplate detector).  explode → two partial-aggregated groupBys
+    keyed on (doc, gram) then (doc) — shuffles stay proportional to corpus
+    token count, and both aggs combine map-side.  Fractions use the
+    floor(x*1e4+0.5) rounding idiom for cross-engine bit identity.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    )
+    counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    stats = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("__total"),
+        F.count("*").alias("__nd"),
+        F.max("__c").alias("__top"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return stats.select(
+        F.col(id_col),
+        r4(1.0 - F.col("__nd") / F.col("__total")).alias("dup_ngram_frac"),
+        r4(F.col("__top") / F.col("__total")).alias("top_ngram_frac"),
+    )

@@ -990,20 +990,37 @@ def q32(spark, sf_dir):
 @register(
     "q33_token_stats",
     oracle=r"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-           length(text) AS n_chars
-    FROM documents
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    gr AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                    ELSE [list_aggregate(toks[i:i+1], 'string_agg', ' ')
+                          for i in range(1, len(toks))] END) AS g
+      FROM tok),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+    rep AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS nd, MAX(c) AS top FROM cnt GROUP BY 1)
+    SELECT d.doc_id,
+           len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(d.text) AS n_chars,
+           floor((1 - nd * 1.0 / total) * 10000.0 + 0.5) / 10000.0 AS dup_ngram_frac,
+           floor((top * 1.0 / total) * 10000.0 + 0.5) / 10000.0 AS top_ngram_frac
+    FROM documents d JOIN rep ON d.doc_id = rep.doc_id
     """,
 )
 def q33(spark, sf_dir):
-    """Token counting (north-star text analysis)."""
+    """Token counting + Gopher-style repetition signals (north-star text
+    analysis): duplicate-bigram fraction and most-frequent-bigram share
+    flag repetitious/boilerplate docs that plain length stats miss."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
         TXT.token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
+    return base.join(TXT.repetition_stats(d, "doc_id", "text", n=2), "doc_id")
 
 
 @register(

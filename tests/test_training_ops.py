@@ -150,3 +150,23 @@ def test_pack_sequences_shards_independent(spark):
            for r in pack_sequences(df, "n_tokens", "doc_id", "shard", budget=512).collect()}
     # each shard restarts at pack 0
     assert out[1] == 0 and out[2] == 0 and out[3] == 0 and out[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_flags_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),   # one bigram repeated
+            (2, "alpha beta gamma delta epsilon zeta"),   # all bigrams unique
+        ],
+        ["doc_id", "text"],
+    )
+    from tegallega_spark.operators.textual import repetition_stats
+    got = {r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+           for r in repetition_stats(docs).collect()}
+    # doc1: 7 bigrams, 2 distinct ("spam ham" x4, "ham spam" x3)
+    assert got[1] == (round(1 - 2 / 7, 4), round(4 / 7, 4))
+    assert got[2] == (0.0, round(1 / 5, 4))
