@@ -773,10 +773,20 @@ def exact_shingle_jaccard_pairs(
     The index join only meets pairs that share ≥1 shingle, so the quadratic
     pair space never materializes; the widest shuffle is (shingle → doc id)
     postings.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Postings carry the 8-byte blake2b shingle hash, not the string (same
+    Arrow fast path as exact_jaccard_for_pairs): set cardinalities — and so
+    the Jaccard values — are unchanged barring a 64-bit collision, the join
+    key is ~3× narrower, and the shingle computation runs vectorized and
+    once (persisted; the interpreted HOF path would be re-evaluated for
+    each of its three consumers, at scan parallelism).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+    sh_udf = make_shingle_hash_udf(shingle_n)
+    sh = (
+        parallelize_for_udf(df)
+        .select(F.col(id_col).alias("__id"), sh_udf(F.col(text_col)).alias("__sh"))
+        .select("__id", F.explode("__sh").alias("__g"))
+        .persist()
     )
     card = sh.groupBy("__id").agg(F.count("*").alias("__c"))
     common = (
