@@ -1,0 +1,106 @@
+"""End-to-end corpus cleaning — the training-data pipeline as one program.
+
+Composes the operator family into the standard pretraining-data flow:
+
+    raw docs
+      → quality filter        (textual.quality_score + repetition signals)
+      → decontaminate         (drop docs overlapping the benchmark blocklist)
+      → near-dup clustering   (shingle-Jaccard pairs → connected components,
+                               keep one canonical doc per cluster)
+      → stratified sample     (deterministic md5-bucket per language)
+      → sequence packing      (concat-and-chunk into fixed token budgets)
+
+Execution shape at 100 TB: stages 1-2 and 4 are scan-side (filters, one
+broadcast join) and fuse into the first pass over the corpus; stage 3 is
+the only heavy shuffle (shingle postings + the iterative CC label joins,
+both keyed and map-side combinable); stage 5 is one sharded window.  No
+stage collects to the driver; the cluster-assignment step is the only
+multi-job iteration and its round count is the dup-graph diameter, not the
+data size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tegallega_spark.operators import textual as TXT
+from tegallega_spark.operators.cc import dedup_cluster_assignments
+from tegallega_spark.operators.dedup import (
+    contamination_report,
+    exact_shingle_jaccard_pairs,
+)
+from tegallega_spark.operators.packing import pack_sequences
+from tegallega_spark.operators.sampling import stratified_hash_sample
+
+
+def clean_corpus(
+    docs: DataFrame,
+    blocklist: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    min_quality: float = 0.5,
+    max_dup_ngram_frac: float = 0.5,
+    shingle_n: int = 4,
+    jaccard_threshold: float = 0.5,
+    sample_thresholds: dict[str, str] | None = None,
+    default_sample_threshold: str = "ff",
+    pack_budget: int = 2048,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Clean, dedup, sample, and pack a document corpus.
+
+    Returns one row per surviving document with the full provenance:
+    (id, stratum, bucket, quality, dup_ngram_frac, cluster_id, n_tokens,
+    shard, pack_id, pack_offset, spills_over).  Default sample threshold
+    'ff' keeps ~everything — sampling is opt-in via thresholds.
+    """
+    # 1. quality + repetition gate (scan-side)
+    scored = docs.withColumn("quality", TXT.quality_score(F.col(text_col)))
+    rep = TXT.repetition_stats(docs, id_col, text_col, n=2)
+    kept = (
+        scored.join(rep, id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+        )
+        .drop("top_ngram_frac")
+    )
+
+    # 2. decontamination (broadcast blocklist; anti-join keeps clean docs)
+    if blocklist is not None:
+        contaminated = contamination_report(
+            kept, blocklist, id_col, text_col, shingle_n
+        ).select(id_col)
+        kept = kept.join(contaminated, id_col, "left_anti")
+
+    # 3. near-dup clustering; keep the canonical (min-id) doc per cluster
+    pairs = exact_shingle_jaccard_pairs(
+        kept, id_col, text_col, shingle_n, jaccard_threshold
+    )
+    clusters = dedup_cluster_assignments(pairs).withColumnRenamed("doc_id", id_col)
+    kept = (
+        kept.join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .filter(F.col("cluster_id") == F.col(id_col))
+    )
+
+    # 4. deterministic stratified sampling (scan filter, reproducible)
+    kept = stratified_hash_sample(
+        kept, id_col, stratum_col, sample_thresholds or {}, default_sample_threshold
+    )
+
+    # 5. sequence packing (sharded cumsum window)
+    kept = kept.withColumn("n_tokens", TXT.token_count(F.col(text_col))).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    packed = pack_sequences(
+        kept, token_col="n_tokens", order_col=id_col, shard_col="shard",
+        budget=pack_budget,
+    )
+    return packed.select(
+        id_col, stratum_col, "bucket", "quality", "dup_ngram_frac", "cluster_id",
+        "n_tokens", "shard", "pack_id", "pack_offset", "spills_over",
+    )

@@ -14,3 +14,4 @@ from tegallega_spark.streaming.events import (  # noqa: F401
     session_counts,
     run_available_now,
 )
+from tegallega_spark.streaming.dedup_stream import dedup_stream  # noqa: F401

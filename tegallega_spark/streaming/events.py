@@ -100,14 +100,17 @@ def session_counts(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+def run_available_now(
+    result: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
     """Run one incremental batch over all available files, then stop — the
     Structured-Streaming mirror of the reference's CI path-trigger
-    incrementality (SURVEY §2.10)."""
+    incrementality (SURVEY §2.10).  output_mode: 'complete' for windowed
+    aggregations, 'append' for row-level streams (dedup, filters)."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -105,3 +105,26 @@ def test_gtfs_argmin_join_no_cartesian(spark):
     tables = build_gtfs(spark, "/root/reference")
     plan = plan_of(tables["stop_times"], "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_blocklist(spark):
+    """q25: the benchmark blocklist side must broadcast — the corpus never
+    shuffles for the contamination join at 100 TB."""
+    plan = plan_of(SPARK_QUERIES["q25_decontaminate"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    """q29: deterministic sampling must plan as scan+filter — no Exchange,
+    no sort, no RNG; sampling 100 TB costs one scan."""
+    plan = plan_of(SPARK_QUERIES["q29_stratified_sample"](spark, SF_SMOKE), "simple")
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    """q17: the packing cumsum must be partitioned by shard — a global
+    (SinglePartition) window would serialize the 100 TB layout pass."""
+    plan = plan_of(SPARK_QUERIES["q17_sequence_packing"](spark, SF_SMOKE), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

@@ -40,3 +40,30 @@ def test_session_window_stream_runs(spark, sf_dir):
     rows = spark.sql("SELECT * FROM sessions_test").collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_dedup_stream_drops_replayed_files(spark, sf_dir, tmp_path):
+    """Replayed input (same file delivered twice) must come out once —
+    idempotent ingestion via dropDuplicatesWithinWatermark on event_id."""
+    import shutil
+
+    from tegallega_spark.streaming import dedup_stream
+
+    src = f"{sf_dir}/events.parquet"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    shutil.copy(src, feed / "delivery1.parquet")
+    shutil.copy(src, feed / "delivery2.parquet")  # the replay
+
+    stream = read_events_stream(spark, str(feed))
+    result = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, "dedup_stream_test", ckpt, output_mode="append")
+    got = spark.sql("SELECT * FROM dedup_stream_test").collect()
+
+    from tegallega_spark.session import load_table
+
+    want_ids = {r.event_id for r in load_table(spark, sf_dir, "events").collect()}
+    got_ids = [r.event_id for r in got]
+    assert len(got_ids) == len(set(got_ids)) == len(want_ids)
+    assert set(got_ids) == want_ids
