@@ -47,6 +47,15 @@ def sanitize_filename(col: Column) -> Column:
     return F.regexp_replace(col, r"[^A-Za-z0-9 _-]", "_")
 
 
+def sanitize_filename_py(name: str) -> str:
+    """Driver-side twin of sanitize_filename for per-route sink paths —
+    exactly the reference's expression (convert-geojson-shp.py:6-7),
+    including the trailing .strip()."""
+    return "".join(
+        c if c.isalnum() or c in (" ", "-", "_") else "_" for c in name
+    ).strip()
+
+
 def hex_to_kml_color(col: Column, alpha: str = "ff") -> Column:
     """'#rgb'/'#rrggbb' → 'aabbggrr' (convert-geojson-kml.py:8-15)."""
     c = F.regexp_replace(col, "^#", "")

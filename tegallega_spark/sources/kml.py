@@ -6,8 +6,8 @@ converted from '#rrggbb' to KML 'aabbggrr') and convert-geojson-shp.py:63-73
 
 KML is emitted as plain XML on the driver over collected per-route rows —
 presentation sinks are inherently small (one doc per route).  The Shapefile
-sink delegates to geopandas when present and raises a clear error otherwise
-(the library is optional and absent in this container).
+sink writes the ESRI binary format directly (sources/shapefile.py) — no
+geopandas dependency.
 """
 
 from __future__ import annotations
@@ -74,25 +74,23 @@ def write_route_kml(
 
 
 def write_route_shapefile(stitched: DataFrame, out_path: str) -> str:
-    """K5: Shapefile via geopandas (optional dependency, EPSG:4326 —
-    convert-geojson-shp.py:63-73)."""
-    try:
-        import geopandas as gpd  # noqa: F401
-        from shapely.geometry import LineString  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Shapefile sink requires geopandas+shapely (not installed in "
-            "this environment); see convert-geojson-shp.py:63-73 for the "
-            "reference implementation this mirrors"
-        ) from e
+    """K5: one PolyLine per relation_id, EPSG:4326 — pure-stdlib ESRI
+    writer, no geopandas needed (convert-geojson-shp.py:63-73; per-route
+    layout lives in sources.shapefile.write_route_shapefiles)."""
+    from tegallega_spark.sources.shapefile import (
+        SHAPE_POLYLINE,
+        write_shapefile,
+    )
+
     rows = stitched.orderBy("relation_id", "vertex_idx").collect()
     lines: dict[str, list] = {}
     for r in rows:
         lines.setdefault(r.relation_id, []).append((r.lon, r.lat))
-    gdf = gpd.GeoDataFrame(
-        {"relation_id": list(lines)},
-        geometry=[LineString(c) for c in lines.values()],
-        crs="EPSG:4326",
+    base = out_path[:-4] if out_path.endswith(".shp") else out_path
+    return write_shapefile(
+        base,
+        SHAPE_POLYLINE,
+        list(lines.values()),
+        [("relation_id", 32)],
+        [(rel,) for rel in lines],
     )
-    gdf.to_file(out_path)
-    return out_path

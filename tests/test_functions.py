@@ -88,11 +88,125 @@ def test_kml_sink(spark, tmp_path):
     assert "Halte &lt;A&gt;" in content  # XML-escaped
 
 
-def test_shapefile_sink_gated(spark):
+def _read_shp(path):
+    """Minimal independent reader for the ESRI main file — parses the public
+    format spec from scratch so the writer is verified against the spec, not
+    against itself."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    (code,) = struct.unpack(">i", raw[0:4])
+    (length_words,) = struct.unpack(">i", raw[24:28])
+    version, shape_type = struct.unpack("<ii", raw[28:36])
+    bbox = struct.unpack("<4d", raw[36:68])
+    assert code == 9994 and version == 1000
+    assert length_words * 2 == len(raw)
+    shapes, pos = [], 100
+    while pos < len(raw):
+        recno, content_words = struct.unpack(">ii", raw[pos : pos + 8])
+        content = raw[pos + 8 : pos + 8 + content_words * 2]
+        (stype,) = struct.unpack("<i", content[:4])
+        if stype == 1:  # Point
+            shapes.append([struct.unpack("<dd", content[4:20])])
+        elif stype == 3:  # PolyLine
+            nparts, npts = struct.unpack("<ii", content[36:44])
+            off = 44 + 4 * nparts
+            shapes.append(
+                [
+                    struct.unpack("<dd", content[off + 16 * i : off + 16 * i + 16])
+                    for i in range(npts)
+                ]
+            )
+        pos += 8 + content_words * 2
+    return shape_type, bbox, shapes
+
+
+def _read_dbf(path):
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    nrec, hsize, rsize = struct.unpack("<IHH", raw[4:12])
+    fields = []
+    pos = 32
+    while raw[pos] != 0x0D:
+        name = raw[pos : pos + 11].split(b"\x00")[0].decode()
+        flen = raw[pos + 16]
+        fields.append((name, flen))
+        pos += 32
+    recs = []
+    for i in range(nrec):
+        start = hsize + i * rsize + 1  # skip deletion flag
+        vals, off = [], start
+        for _, flen in fields:
+            vals.append(raw[off : off + flen].decode("latin-1").rstrip())
+            off += flen
+        recs.append(tuple(vals))
+    return [f[0] for f in fields], recs
+
+
+def test_shapefile_sink_roundtrip(spark, tmp_path):
     from tegallega_spark.sources.kml import write_route_shapefile
 
     stitched = spark.createDataFrame(
-        [("r1", 0, 0.0, 0.0)], "relation_id string, vertex_idx int, lon double, lat double"
+        [
+            ("r1", 0, 107.60, -6.90),
+            ("r1", 1, 107.61, -6.91),
+            ("r2", 0, 107.70, -6.95),
+            ("r2", 1, 107.71, -6.96),
+            ("r2", 2, 107.72, -6.94),
+        ],
+        "relation_id string, vertex_idx int, lon double, lat double",
     )
-    with pytest.raises(NotImplementedError, match="geopandas"):
-        write_route_shapefile(stitched, "/tmp/never.shp")
+    shp = write_route_shapefile(stitched, str(tmp_path / "routes.shp"))
+
+    shape_type, bbox, shapes = _read_shp(shp)
+    assert shape_type == 3
+    assert len(shapes) == 2
+    assert [len(s) for s in shapes] == [2, 3]
+    assert shapes[0][0] == (107.60, -6.90)
+    assert bbox == (107.60, -6.96, 107.72, -6.90)
+
+    names, recs = _read_dbf(str(tmp_path / "routes.dbf"))
+    assert names == ["relation_id"[:10]]
+    assert recs == [("r1",), ("r2",)]
+
+    prj = (tmp_path / "routes.prj").read_text()
+    assert "GCS_WGS_1984" in prj and "WGS_1984" in prj
+    # .shx index must address every record
+    assert (tmp_path / "routes.shx").stat().st_size == 100 + 8 * 2
+
+
+def test_per_route_shapefile_layout(spark, tmp_path):
+    """Mirrors convert-geojson-shp.py:58-73: dir per sanitized route name,
+    route_lines.shp + stops.shp with route_name/color/source attributes."""
+    from tegallega_spark.sources.shapefile import write_route_shapefiles
+
+    stitched = spark.createDataFrame(
+        [("r1", 0, 107.6, -6.9), ("r1", 1, 107.61, -6.91)],
+        "relation_id string, vertex_idx int, lon double, lat double",
+    )
+    stops = spark.createDataFrame(
+        [("r1", "s1", "Halte: A?", 107.6, -6.9)],
+        "relation_id string, stop_id string, name string, lon double, lat double",
+    )
+    written = write_route_shapefiles(
+        stitched, stops, {"r1": ("Koridor 1: A - B", "#ff0000")}, str(tmp_path)
+    )
+    route_dir = tmp_path / "Koridor 1_ A - B"  # ':' sanitized, then stripped
+    assert (route_dir / "route_lines.shp").exists()
+    assert (route_dir / "stops.shp").exists()
+    assert sorted(p.name for p in route_dir.iterdir()) == [
+        "route_lines.dbf", "route_lines.prj", "route_lines.shp", "route_lines.shx",
+        "stops.dbf", "stops.prj", "stops.shp", "stops.shx",
+    ]
+    names, recs = _read_dbf(str(route_dir / "route_lines.dbf"))
+    assert names == ["route_name", "color", "source"]
+    assert recs == [("Koridor 1: A - B", "#ff0000", "Transport for Bandung")]
+    snames, srecs = _read_dbf(str(route_dir / "stops.dbf"))
+    assert snames == ["name", "route_name", "color", "source"]
+    assert srecs[0][0] == "Halte: A?"
+    stype, _, sshapes = _read_shp(str(route_dir / "stops.shp"))
+    assert stype == 1 and sshapes == [[(107.6, -6.9)]]
+    assert len(written) == 2
