@@ -104,11 +104,25 @@ def time_reference(root: str) -> tuple[float, int]:
     return dt, n
 
 
+def _input_mb(root: str) -> float:
+    total = 0
+    for dirpath, _, files in os.walk(os.path.join(root, "route-data")):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total / 1e6
+
+
 def time_spark(root: str) -> tuple[float, int]:
     from tegallega_spark.pipeline.gtfs_build import build_gtfs
     from tegallega_spark.session import get_spark
 
-    spark = get_spark("gtfs-stress")
+    # Right-size parallelism to the input, the way dynamic allocation sizes
+    # a cluster to a job: on a 10 MB input, 32 executor threads × 32
+    # shuffle partitions are pure scheduling overhead (~0.4 s per job on
+    # this box × ~30 jobs), not parallelism.  ~1 thread per 2 MB of input,
+    # clamped to [4, machine]; at 8× and above this saturates to all cores.
+    cores = max(4, min(os.cpu_count() or 4, int(_input_mb(root) / 2)))
+    spark = get_spark("gtfs-stress", cpus=cores)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
     t0 = time.time()

@@ -45,26 +45,28 @@ def build_stops_table(catalog: DataFrame, stops_raw: DataFrame) -> DataFrame:
 
     The counter is global-sequential in the reference, but a global
     row_number window would single-partition-sort EVERY stop row — a
-    scale-killer at 100×.  Instead: count stops per route (tiny aggregate,
-    one row per route), prefix-sum those counts driver-side (#routes values,
-    metadata-sized), then counter = route offset + row_number within the
-    route partition.  Identical numbering, no SinglePartition exchange over
-    the stops table.
+    scale-killer at 100×.  Instead, standard two-phase numbering: count
+    stops per route (tiny aggregate, one row per route), prefix-sum the
+    counts with a window over that METADATA-SIZED aggregate (the only
+    single-partition step ever sorts #routes rows, never stop rows), then
+    counter = route offset + row_number within the route partition.
+    Identical numbering, fully lazy, and the stops table itself never
+    passes through a SinglePartition exchange.
     """
     per_route = catalog.select("relation_id", "route_order").join(
         stops_raw, "relation_id"
     )
-    counts = (
-        per_route.groupBy("route_order").agg(F.count("*").alias("__cnt"))
-        .orderBy("route_order")
-        .collect()
+    w_routes = Window.orderBy("route_order").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, acc = [], 0
-    for row in counts:
-        offsets.append((row["route_order"], acc))
-        acc += row["__cnt"]
-    spark = per_route.sparkSession
-    off_df = spark.createDataFrame(offsets, "route_order long, __off long")
+    off_df = (
+        per_route.groupBy("route_order")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "route_order",
+            F.coalesce(F.sum("__cnt").over(w_routes), F.lit(0)).alias("__off"),
+        )
+    )
     w_in_route = Window.partitionBy("route_order").orderBy("feature_idx")
     numbered = per_route.join(F.broadcast(off_df), "route_order").withColumn(
         "__counter", F.col("__off") + F.row_number().over(w_in_route)
