@@ -127,10 +127,27 @@ def time_spark(root: str) -> tuple[float, int]:
     spark.range(1).count()
     t0 = time.time()
     tables = build_gtfs(spark, root)
-    for name, df in tables.items():
-        if name != "stop_times":
-            df.write.format("noop").mode("overwrite").save()
-    n = tables["stop_times"].count()
+    # the 7 sinks are independent outputs — run them as concurrent jobs
+    # (Spark's scheduler interleaves them; the shared persisted upstreams
+    # are computed once by whichever job touches them first).  The
+    # reference writes its 7 files sequentially because it is a single
+    # Python process; concurrent actions are part of the engine.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # materialize the shared persisted upstream once before fanning out,
+    # so concurrent first-touch doesn't compute it redundantly
+    tables["shapes"].count()
+
+    def write(item):
+        name, df = item
+        if name == "stop_times":
+            return df.count()
+        df.write.format("noop").mode("overwrite").save()
+        return None
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+        results = list(ex.map(write, tables.items()))
+    n = next(r for r in results if r is not None)
     dt = time.time() - t0
     spark.stop()
     return dt, n

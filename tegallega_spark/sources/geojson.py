@@ -110,19 +110,27 @@ def read_way_vertices(spark: SparkSession, geojson_root: str) -> DataFrame:
     """Every polyline vertex in order:
     (relation_id, feature_idx, line_idx, vertex_idx, lon, lat).
 
-    LineString and MultiLineString have different nesting depths, so two
-    PERMISSIVE passes with the respective schema; the mismatching geometry
-    parses to null and is filtered by geometry.type (W7:
-    generate_gtfs.py:142-159 — flatten preserving feature and line order).
+    LineString and MultiLineString have different nesting depths, so the
+    file content is parsed twice with `from_json` at the respective depth;
+    the mismatching geometry parses to null and is filtered by
+    geometry.type (W7: generate_gtfs.py:142-159 — flatten preserving
+    feature and line order).  One wholetext read = one file listing — a
+    glob read per schema would list the whole tree twice.
     """
     path = f"{geojson_root}/*/ways.geojson"
 
+    # NB: .option("wholetext", ...) is silently ignored — the kwarg form is
+    # the only one the text source honors
+    raw = spark.read.text(path, wholetext=True).select(
+        _relation_id().alias("relation_id"), "value"
+    )
+
     line = (
-        spark.read.option("multiLine", True)
-        .schema(_ways_schema(2))
-        .json(path)
-        .select(_relation_id().alias("relation_id"), "features")
-        .select("relation_id", F.posexplode("features").alias("feature_idx", "f"))
+        raw.select(
+            "relation_id",
+            F.from_json("value", _ways_schema(2)).alias("doc"),
+        )
+        .select("relation_id", F.posexplode("doc.features").alias("feature_idx", "f"))
         .filter(F.col("f.geometry.type") == "LineString")
         .select(
             "relation_id",
@@ -132,11 +140,11 @@ def read_way_vertices(spark: SparkSession, geojson_root: str) -> DataFrame:
         )
     )
     multi = (
-        spark.read.option("multiLine", True)
-        .schema(_ways_schema(3))
-        .json(path)
-        .select(_relation_id().alias("relation_id"), "features")
-        .select("relation_id", F.posexplode("features").alias("feature_idx", "f"))
+        raw.select(
+            "relation_id",
+            F.from_json("value", _ways_schema(3)).alias("doc"),
+        )
+        .select("relation_id", F.posexplode("doc.features").alias("feature_idx", "f"))
         .filter(F.col("f.geometry.type") == "MultiLineString")
         .select(
             "relation_id",
