@@ -156,8 +156,12 @@ def time_spark(root: str) -> tuple[float, int]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     root = build_input(n)
-    ref_s, ref_rows = time_reference(root)
-    spark_s, spark_rows = time_spark(root)
+    # the host VM shows ±60% run-to-run jitter at small scale; best-of-2
+    # on BOTH engines (symmetric) approximates steady state where each run
+    # is cheap.  At n>8 a single run is minutes long and self-averages.
+    runs = 2 if n <= 8 else 1
+    ref_s, ref_rows = min(time_reference(root) for _ in range(runs))
+    spark_s, spark_rows = min(time_spark(root) for _ in range(runs))
     print(json.dumps({
         "replication": n,
         "reference_script_sec": round(ref_s, 2),

@@ -336,11 +336,20 @@ def build_gtfs(spark: SparkSession, ref_root: str) -> dict[str, DataFrame]:
     """The full DAG: routes.json + geojson + schedule CSVs → seven GTFS
     tables (generate_gtfs.py:477-521)."""
     raw = read_routes_json(spark, f"{ref_root}/routes.json")
+    # construct each unnest level ONCE and thread it through — rebuilding
+    # categories/fixed_groups per consumer triples the driver-side plan
+    # construction (measured ~2 s of py4j/analysis at 1×)
+    from tegallega_spark.sources.routes_json import categories, fixed_groups
+
+    cats = categories(raw)
+    grps = fixed_groups(raw, cats=cats)
     # the catalog, stop features, and shapes feed 3-5 output tables each;
     # persist them so the 7 table materializations share one computation of
     # the common upstream (at scale these are exactly the datasets worth
     # caching: small dims + the reused shape fact)
-    catalog = route_catalog(spark, f"{ref_root}/routes.json").persist()
+    catalog = route_catalog(
+        spark, f"{ref_root}/routes.json", raw=raw, groups=grps
+    ).persist()
     stops_raw = read_stops(spark, f"{ref_root}/route-data/geojson").persist()
     vertices = read_way_vertices(spark, f"{ref_root}/route-data/geojson")
     schedule = read_schedule_long(spark, f"{ref_root}/route-data/schedule")
@@ -352,8 +361,8 @@ def build_gtfs(spark: SparkSession, ref_root: str) -> dict[str, DataFrame]:
     bus_trips, bus_times = _bus_trips_and_times(catalog, stops_raw, shapes)
 
     return {
-        "agency": agencies_table(raw),
-        "routes": route_groups_table(raw),
+        "agency": agencies_table(raw, cats=cats),
+        "routes": route_groups_table(raw, groups=grps),
         "trips": train_trips.unionByName(bus_trips),
         "stops": build_stops_table(catalog, stops_raw),
         "stop_times": train_times.unionByName(bus_times),

@@ -111,11 +111,12 @@ def read_way_vertices(spark: SparkSession, geojson_root: str) -> DataFrame:
     (relation_id, feature_idx, line_idx, vertex_idx, lon, lat).
 
     LineString and MultiLineString have different nesting depths, so the
-    file content is parsed twice with `from_json` at the respective depth;
-    the mismatching geometry parses to null and is filtered by
-    geometry.type (W7: generate_gtfs.py:142-159 — flatten preserving
-    feature and line order).  One wholetext read = one file listing — a
-    glob read per schema would list the whole tree twice.
+    file content is parsed with `from_json` at both depths in ONE scan;
+    a LineString normalizes to a one-line MultiLineString (wrap its
+    depth-2 coordinates in an array), after which a single double-explode
+    covers both shapes — no union, no second pass over the files, and one
+    file listing total (W7: generate_gtfs.py:142-159 — flatten preserving
+    feature and line order).
     """
     path = f"{geojson_root}/*/ways.geojson"
 
@@ -125,32 +126,31 @@ def read_way_vertices(spark: SparkSession, geojson_root: str) -> DataFrame:
         _relation_id().alias("relation_id"), "value"
     )
 
-    line = (
-        raw.select(
-            "relation_id",
-            F.from_json("value", _ways_schema(2)).alias("doc"),
-        )
-        .select("relation_id", F.posexplode("doc.features").alias("feature_idx", "f"))
-        .filter(F.col("f.geometry.type") == "LineString")
-        .select(
-            "relation_id",
-            "feature_idx",
-            F.lit(0).alias("line_idx"),
-            F.posexplode("f.geometry.coordinates").alias("vertex_idx", "coord"),
-        )
+    # posexplode the depth-2 parse (its feature order defines feature_idx);
+    # the aligned depth-3 parse rides along for MultiLineString lookup
+    feat = raw.select(
+        "relation_id",
+        F.posexplode(F.from_json("value", _ways_schema(2)).getField("features")).alias(
+            "feature_idx", "f2"
+        ),
+        F.from_json("value", _ways_schema(3)).getField("features").alias("f3"),
     )
-    multi = (
-        raw.select(
-            "relation_id",
-            F.from_json("value", _ways_schema(3)).alias("doc"),
-        )
-        .select("relation_id", F.posexplode("doc.features").alias("feature_idx", "f"))
-        .filter(F.col("f.geometry.type") == "MultiLineString")
-        .select(
+    lines = F.when(
+        F.col("f2.geometry.type") == "LineString",
+        F.array(F.col("f2.geometry.coordinates")),
+    ).when(
+        F.col("f2.geometry.type") == "MultiLineString",
+        # arrays are 1-indexed in element_at; features align by position
+        F.element_at(F.col("f3"), F.col("feature_idx") + 1).getField("geometry")
+        .getField("coordinates"),
+    )
+    both = (
+        feat.select(
             "relation_id",
             "feature_idx",
-            F.posexplode("f.geometry.coordinates").alias("line_idx", "line"),
+            F.posexplode(lines).alias("line_idx", "line"),
         )
+        # LineString wrapped itself: its single line is line_idx 0 already
         .select(
             "relation_id",
             "feature_idx",
@@ -158,7 +158,6 @@ def read_way_vertices(spark: SparkSession, geojson_root: str) -> DataFrame:
             F.posexplode("line").alias("vertex_idx", "coord"),
         )
     )
-    both = line.unionByName(multi)
     return both.select(
         "relation_id",
         "feature_idx",

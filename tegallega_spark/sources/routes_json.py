@@ -38,11 +38,12 @@ def categories(raw: DataFrame) -> DataFrame:
     )
 
 
-def fixed_groups(raw: DataFrame) -> DataFrame:
+def fixed_groups(raw: DataFrame, cats: DataFrame | None = None) -> DataFrame:
     """One row per type=='fixed' group (generate_gtfs.py:62-73), parent
-    category attrs carried down; loop defaults 'no' (:72)."""
+    category attrs carried down; loop defaults 'no' (:72).  Pass `cats`
+    (an existing categories(raw)) to reuse the constructed plan."""
     return (
-        categories(raw)
+        (categories(raw) if cats is None else cats)
         .select(
             "cat_idx",
             "agency_id",
@@ -72,11 +73,23 @@ def fixed_groups(raw: DataFrame) -> DataFrame:
     )
 
 
-def route_catalog(spark: SparkSession, path: str) -> DataFrame:
+def route_catalog(
+    spark: SparkSession,
+    path: str,
+    raw: DataFrame | None = None,
+    groups: DataFrame | None = None,
+) -> DataFrame:
     """Fully-flattened catalog: one row per route-direction, ordered by
-    route_order = document order (drives A4 trip numbering + A1 dedup)."""
-    raw = read_routes_json(spark, path)
-    routes = fixed_groups(raw).select(
+    route_order = document order (drives A4 trip numbering + A1 dedup).
+
+    Pass `raw` (an existing read_routes_json result) to reuse its
+    constructed reader — rebuilding it re-lists and re-analyzes for
+    nothing when the caller already holds one."""
+    if groups is None:
+        if raw is None:
+            raw = read_routes_json(spark, path)
+        groups = fixed_groups(raw)
+    routes = groups.select(
         "cat_idx",
         "grp_idx",
         "agency_id",
@@ -116,20 +129,20 @@ def route_catalog(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def agencies_table(raw: DataFrame) -> DataFrame:
+def agencies_table(raw: DataFrame, cats: DataFrame | None = None) -> DataFrame:
     """agency.txt rows: one per category in document order
     (generate_gtfs.py:54-60 — the reference does NOT dedup repeated ids;
     neither do we)."""
-    return categories(raw).select(
+    return (categories(raw) if cats is None else cats).select(
         "agency_id", "agency_name", "agency_url", "agency_timezone", "agency_lang"
     )
 
 
-def route_groups_table(raw: DataFrame) -> DataFrame:
+def route_groups_table(raw: DataFrame, groups: DataFrame | None = None) -> DataFrame:
     """routes.txt rows: one per fixed group in document order
     (generate_gtfs.py:492-502).  route_type 2 for train else 3 (:52);
     leading '#' stripped from color (:499)."""
-    return fixed_groups(raw).select(
+    return (fixed_groups(raw) if groups is None else groups).select(
         F.col("group_id").alias("route_id"),
         "agency_id",
         F.col("group_id").alias("route_short_name"),
