@@ -1,0 +1,170 @@
+"""Product quantization (PQ) — memory-bounded ANN for 100 TB embedding sets.
+
+Classic PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature): split a d-dim vector
+into m subvectors, k-means each subspace to k centroids, store each vector
+as m small codes.  A 64-float embedding (256 B) becomes m=8 bytes — 32×
+compression — so the code column of a corpus whose raw embeddings are tens
+of TB fits a hot tier, and asymmetric distance computation (ADC) scans
+codes with m table lookups per row instead of d multiplies.
+
+Spark mapping:
+- codebooks train driver-side on a bounded SAMPLE (the PQ paper itself
+  trains on a learning subset; sample size is independent of corpus size)
+  and broadcast into an Arrow UDF — no iterative cluster-wide jobs;
+- encoding is one Arrow pass (numpy argmin over (k, dsub) per subspace);
+- search precomputes the query's m×k distance table driver-side, then one
+  Arrow pass does `table[sub, code]` gathers + row sums; top-k via
+  TakeOrdered, never a global sort;
+- exact re-rank of the ADC candidates (standard PQ practice) restores
+  exact top-k whenever the true neighbors survive the candidate cut —
+  recall is measured, not assumed (`test_scale_ops`-style harness).
+
+Distances are squared-L2, the PQ-native metric; for cosine over
+unit-normalized embeddings the two rankings agree (||a-b||² = 2-2cosθ),
+which `pq_topk(..., normalize=True)` exploits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["train_pq_codebooks", "encode_pq", "pq_topk"]
+
+
+def _kmeans(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's: first-k init (the sample is hash-ordered, so
+    first-k is an arbitrary-but-fixed draw), empty clusters re-seeded from
+    the farthest points."""
+    centroids = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+            else:
+                centroids[j] = x[d2.min(axis=1).argmax()]
+    return centroids
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    normalize: bool = False,
+) -> np.ndarray:
+    """(m, k, d/m) codebooks trained on a deterministic hash-ordered sample.
+
+    The sample bound makes training cost independent of corpus size — on
+    100 TB this is one pruned scan of `sample` rows, not an iterative job.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(vec_col).alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    if normalize:
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [_kmeans(x[:, i * dsub : (i + 1) * dsub], k, iters) for i in range(m)]
+    )
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    normalize: bool = False,
+) -> DataFrame:
+    """Append the m-byte PQ code (array<smallint>, one entry per subspace).
+
+    One Arrow pass; codebooks ride into the UDF closure (≤ m·k·dsub floats,
+    kilobytes — broadcast by pickling, same as any Spark closure constant).
+    """
+    cb = codebooks.astype(np.float64)
+    m, k, dsub = cb.shape
+
+    @pandas_udf("array<smallint>")
+    def enc(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            if normalize:
+                x = x / max(np.linalg.norm(x), 1e-12)
+            codes = np.empty(m, dtype=np.int16)
+            for i in range(m):
+                sub = x[i * dsub : (i + 1) * dsub]
+                codes[i] = ((cb[i] - sub) ** 2).sum(axis=1).argmin()
+            out.append(codes)
+        return pd.Series(out)
+
+    return df.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    k: int = 10,
+    rerank: int = 0,
+    normalize: bool = False,
+) -> DataFrame:
+    """ADC top-k: m×k query distance table (driver), one Arrow gather-sum
+    pass over the codes, TakeOrdered.  With rerank=R > k, the top-R ADC
+    candidates are re-scored with exact cosine on the raw vectors and the
+    exact top-k of that pool is returned (columns: id, cos_sim) — matching
+    similarity.brute_force_topk's output contract so the two are
+    interchangeable."""
+    cb = codebooks.astype(np.float64)
+    m, kk, dsub = cb.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if normalize:
+        q = q / max(np.linalg.norm(q), 1e-12)
+    table = np.stack(
+        [((cb[i] - q[i * dsub : (i + 1) * dsub]) ** 2).sum(axis=1) for i in range(m)]
+    )  # (m, k) query→centroid squared distances
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        arr = np.stack(codes.to_numpy())  # (batch, m)
+        return pd.Series(table[np.arange(m), arr].sum(axis=1))
+
+    scored = encoded.select(
+        id_col, vec_col, adc(F.col(code_col)).alias("adc_dist")
+    )
+    if not rerank:
+        return scored.select(id_col, "adc_dist").orderBy(
+            "adc_dist", F.col(id_col)
+        ).limit(k)
+
+    from tegallega_spark.operators.similarity import cosine
+
+    cands = scored.orderBy("adc_dist", F.col(id_col)).limit(rerank)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            id_col,
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
