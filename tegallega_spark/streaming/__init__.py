@@ -15,3 +15,6 @@ from tegallega_spark.streaming.events import (  # noqa: F401
     run_available_now,
 )
 from tegallega_spark.streaming.dedup_stream import dedup_stream  # noqa: F401
+from tegallega_spark.streaming.neardup_stream import (  # noqa: F401
+    neardup_candidates_stream,
+)

@@ -1,0 +1,92 @@
+"""Streaming LSH near-dup: candidate parity with the batch banded join,
+including across separate incremental deliveries (state persistence)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from tegallega_spark.operators.dedup import make_band_hash_udf, _pairs_from_band_hashes
+from tegallega_spark.session import load_table
+from tegallega_spark.streaming.events import run_available_now
+from tegallega_spark.streaming.neardup_stream import neardup_candidates_stream
+from tests.conftest import SF_SMOKE
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def _batch_candidates(spark, docs):
+    bh_udf = make_band_hash_udf(3, 32, 16)
+    bh = docs.select(
+        F.col("doc_id").alias("__id"), bh_udf(F.col("text")).alias("__bh")
+    )
+    return {
+        (r.id_a, r.id_b) for r in _pairs_from_band_hashes(bh).collect()
+    }
+
+
+def test_stream_candidates_match_batch(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = _batch_candidates(spark, docs)
+    assert want, "smoke corpus should contain banded candidates"
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(feed / "all.parquet"))
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(feed / "all.parquet"))
+    result = neardup_candidates_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, "neardup_stream_all", ckpt, output_mode="append")
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM neardup_stream_all").collect()
+    }
+    assert got == want
+
+
+def test_cross_delivery_pairs_found(spark, tmp_path):
+    """A near-dup whose twin arrived in an EARLIER delivery must still be
+    flagged — bucket state persists across incremental runs."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = _batch_candidates(spark, docs)
+    # split so that at least one known pair straddles the deliveries
+    a_id, b_id = sorted(next(iter(sorted(want))))
+    first = docs.filter(F.col("doc_id") % 2 == a_id % 2)
+    second = docs.filter(F.col("doc_id") % 2 != a_id % 2)
+    if b_id % 2 == a_id % 2:  # both landed in `first`: move b over
+        first = first.filter(F.col("doc_id") != b_id)
+        second = second.unionByName(docs.filter(F.col("doc_id") == b_id))
+
+    feed = tmp_path / "feed2"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "sink2")
+    key = (a_id, b_id) if a_id < b_id else (b_id, a_id)
+
+    def deliver(df, n):
+        # memory sinks can't recover a checkpoint; the file sink is the
+        # recoverable one, matching a real incremental deployment
+        df.coalesce(1).write.mode("overwrite").parquet(str(feed / f"d{n}.parquet"))
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(f"{feed}/*.parquet")
+        result = neardup_candidates_stream(stream)
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(sink).select("id_a", "id_b").distinct().collect()
+        }
+
+    got1 = deliver(first, 1)
+    assert key not in got1
+
+    got2 = deliver(second, 2)
+    assert key in got2, "cross-delivery pair missed — state not persisted"
+    assert got2 == want
