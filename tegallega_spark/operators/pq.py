@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["train_pq_codebooks", "encode_pq", "pq_topk"]
+__all__ = ["train_pq_codebooks", "encode_pq", "pq_topk", "ivfpq_topk"]
 
 
 def _kmeans(x: np.ndarray, k: int, iters: int) -> np.ndarray:
@@ -167,4 +167,42 @@ def pq_topk(
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_topk(
+    ivf_index,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    normalize: bool = False,
+) -> DataFrame:
+    """IVF-PQ composition (the standard coarse-quantizer + PQ layout):
+    prune to the `nprobe` nearest inverted lists — `ivf_list` is a plain
+    column, so on a table partitioned by it this is partition pruning, not
+    a filter scan — then ADC-scan only those lists' codes and exact-re-rank
+    the survivors.  At 100 TB: touch nprobe/k_lists of the corpus, read
+    m-byte codes instead of d-float vectors, fetch raw vectors only for
+    `rerank` rows.
+
+    `ivf_index` is an operators.ivf.IVFIndex whose `assigned` DataFrame has
+    been through encode_pq (call encode_pq(ivf_index.assigned, ...) once
+    and reassign) or any DataFrame-holder with .assigned/.centroids.
+    """
+    lists = ivf_index._nearest_lists(query_vec, nprobe)
+    pruned = ivf_index.assigned.filter(F.col("ivf_list").isin(lists))
+    return pq_topk(
+        pruned,
+        codebooks,
+        query_vec,
+        id_col=id_col,
+        vec_col=ivf_index.vec_col,
+        code_col=code_col,
+        k=k,
+        rerank=rerank,
+        normalize=normalize,
     )

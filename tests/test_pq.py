@@ -68,3 +68,34 @@ def test_bounded_rerank_recall(spark, emb, codebooks):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.6, f"recall@10 with 10% rerank = {recall}"
+
+
+def test_ivfpq_composition(spark, emb, codebooks):
+    """IVF pruning + PQ ADC + exact re-rank: with all lists probed and a
+    full re-rank this must equal brute force; with real pruning it must
+    keep usable recall."""
+    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.pq import ivfpq_topk
+
+    idx = train_ivf_index(emb, k=8)
+    idx.assigned = encode_pq(idx.assigned, codebooks, normalize=True).persist()
+    n = emb.count()
+    query = emb.orderBy("vec_id").first().embedding
+
+    exact = [r.vec_id for r in brute_force_topk(emb, query, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivfpq_topk(
+            idx, codebooks, query, k=10, nprobe=8, rerank=n, normalize=True
+        ).collect()
+    ]
+    assert full == exact
+
+    pruned = {
+        r.vec_id
+        for r in ivfpq_topk(
+            idx, codebooks, query, k=10, nprobe=4, rerank=50, normalize=True
+        ).collect()
+    }
+    recall = len(set(exact) & pruned) / 10
+    assert recall >= 0.5, f"IVF-PQ recall@10 = {recall}"
