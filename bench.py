@@ -86,13 +86,16 @@ def main() -> None:
 
     # best-of-2 per query: the box this runs on is a shared VM with
     # multi-x run-to-run jitter; the min of two runs is the steady-state
-    # number a dedicated cluster would see (classic benchmarking practice,
-    # and both runs execute the full plan against the same cold cache)
+    # number a dedicated cluster would see (classic benchmarking practice).
+    # clearCache() between runs keeps both runs full executions — queries
+    # with internal persist() would otherwise have run 2 reuse run 1's
+    # cache through logical-plan matching.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = SPARK_QUERIES[name]
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = q(spark, sf_dir)
             # noop sink fully materializes every column (count() would let
