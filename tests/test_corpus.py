@@ -1,0 +1,60 @@
+"""End-to-end corpus cleaning pipeline: stage invariants on real data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tegallega_spark.pipeline.corpus import clean_corpus
+from tegallega_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_clean_corpus_end_to_end(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    # blocklist = one real document's text → that doc must be removed
+    leaked = docs.orderBy("doc_id").limit(1)
+    leaked_id = leaked.first().doc_id
+    blocklist = leaked.select(F.col("doc_id").alias("bench_id"), "text")
+
+    out = clean_corpus(
+        docs,
+        blocklist,
+        min_quality=0.3,
+        jaccard_threshold=0.7,
+        pack_budget=1024,
+        n_shards=8,
+    ).persist()
+    rows = out.collect()
+    assert rows, "pipeline must keep something"
+    assert sorted(out.columns) == sorted(
+        ["doc_id", "lang", "bucket", "quality", "dup_ngram_frac", "cluster_id",
+         "n_tokens", "shard", "pack_id", "pack_offset", "spills_over"]
+    )
+
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # one row per surviving doc
+    assert leaked_id not in ids  # decontamination removed the leaked doc
+    assert all(r.quality >= 0.3 for r in rows)
+    # near-dup clustering keeps only canonical docs: each survivor is its
+    # own cluster representative
+    assert all(r.cluster_id == r.doc_id for r in rows)
+    # packing invariants: offsets are within-budget starts, shards bounded
+    assert all(0 <= r.pack_offset < 1024 for r in rows)
+    assert all(0 <= r.shard < 8 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_clean_corpus_drops_near_duplicates(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    from tegallega_spark.operators.dedup import exact_shingle_jaccard_pairs
+
+    pairs = exact_shingle_jaccard_pairs(docs, "doc_id", "text", 4, 0.5).collect()
+    out_ids = {
+        r.doc_id
+        for r in clean_corpus(docs, None, min_quality=0.0,
+                              max_dup_ngram_frac=1.0).collect()
+    }
+    for p in pairs:
+        a, b = p.id_a, p.id_b
+        # the non-canonical twin of every near-dup pair must be gone
+        assert not (a in out_ids and b in out_ids), (a, b)
