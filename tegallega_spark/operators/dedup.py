@@ -357,11 +357,31 @@ def make_band_hash_udf(shingle_n: int = 3, num_hashes: int = 32, bands: int = 16
     return band_hashes
 
 
-def _pairs_from_band_hashes(bh: DataFrame) -> DataFrame:
-    """Distinct bare (id_a, id_b) pairs from (__id, __bh: array<long>)."""
+def _pairs_from_band_hashes(
+    bh: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct bare (id_a, id_b) pairs from (__id, __bh: array<long>).
+
+    max_bucket (off by default — exact banded semantics) drops band buckets
+    with more than max_bucket members BEFORE the self-join: a bucket of k
+    docs emits k² join rows, so one template shingle-block shared by 10⁶
+    docs is a 10¹²-row hot key.  Dropping over-full buckets is the
+    standard LSH spam guard — the docs in them still collide in their
+    OTHER, more selective bands unless they are template-only, which is
+    exactly the spam being guarded against.  The count+join reads the
+    banded rows twice; at scale that re-scan is one cheap aggregate versus
+    a quadratic hot-key blowup."""
     banded = bh.select(
         "__id", F.posexplode("__bh").alias("band_idx", "band_hash")
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(ok, ["band_idx", "band_hash"], "left_semi")
     left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
     return (
@@ -456,6 +476,7 @@ def minhash_near_duplicates_verified(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     use_arrow: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
 
@@ -476,7 +497,7 @@ def minhash_near_duplicates_verified(
         bh = parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"), bh_udf(F.col(text_col)).alias("__bh")
         ).persist()  # both sides of the band self-join read it
-        pairs = _pairs_from_band_hashes(bh)
+        pairs = _pairs_from_band_hashes(bh, max_bucket=max_bucket)
     else:
         sig = df.select(
             F.col(id_col).alias("__id"),

@@ -128,3 +128,29 @@ def test_sequence_packing_window_is_sharded(spark):
     plan = plan_of(SPARK_QUERIES["q17_sequence_packing"](spark, SF_SMOKE), "simple")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pq_topk_uses_take_ordered(spark):
+    """The ADC scan must end in TakeOrderedAndProject — a global sort of
+    scored codes would be the classic 100 TB top-k mistake."""
+    from tegallega_spark.operators.pq import encode_pq, pq_topk, train_pq_codebooks
+    from tegallega_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cb = train_pq_codebooks(emb, m=8, k=16)
+    enc = encode_pq(emb, cb)
+    q = emb.first().embedding
+    plan = plan_of(pq_topk(enc, cb, q, k=5), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffled_shards_plan_is_range_exchange(spark):
+    """Training export must be one sampled range exchange + in-partition
+    sort — no single-partition global sort."""
+    from tegallega_spark.operators.export import shuffled_shards
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    plan = plan_of(shuffled_shards(docs, "doc_id", 8), "simple")
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan

@@ -170,3 +170,25 @@ def test_repetition_stats_flags_boilerplate(spark):
     # doc1: 7 bigrams, 2 distinct ("spam ham" x4, "ham spam" x3)
     assert got[1] == (round(1 - 2 / 7, 4), round(4 / 7, 4))
     assert got[2] == (0.0, round(1 / 5, 4))
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A template-spam corpus (many identical docs) must not explode the
+    band join when max_bucket is set; default (None) semantics unchanged."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+
+    spam = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template text repeated across every "
+              "document in this synthetic spam block").alias("text"),
+    )
+    full = minhash_near_duplicates_verified(spam, "doc_id", "text")
+    assert full.count() == 40 * 39 // 2  # identical docs: all pairs
+
+    capped = minhash_near_duplicates_verified(
+        spam, "doc_id", "text", max_bucket=10
+    )
+    # every bucket holds all 40 docs (identical signatures) -> all dropped
+    assert capped.count() == 0
