@@ -654,6 +654,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     use_arrow: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 63-bit fingerprint into `bands`
     chunks; by pigeonhole, any pair within max_hamming (< bands) shares at
@@ -678,6 +679,16 @@ def simhash_near_duplicates(
             )
         ).alias("band_idx", "band_val"),
     )
+    if max_bucket is not None:
+        # same k^2 hot-bucket guard as _pairs_from_band_hashes: a band value
+        # shared by k docs emits k^2 join rows; template spam gets dropped
+        ok = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(ok, ["band_idx", "band_val"], "left_semi")
     a = banded.select(F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"), "band_idx", "band_val")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"), "band_idx", "band_val")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -704,6 +715,7 @@ def simhash_near_duplicates_verified(
     bands: int = 13,
     jaccard_threshold: float = 0.7,
     use_arrow: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with EXACT Jaccard verification.
 
@@ -715,7 +727,8 @@ def simhash_near_duplicates_verified(
     falls within max_hamming (verified on the test corpora; a miss would
     show up as an oracle mismatch, which is the point)."""
     cand = simhash_near_duplicates(
-        df, id_col, text_col, shingle_n, max_hamming, bands, use_arrow
+        df, id_col, text_col, shingle_n, max_hamming, bands, use_arrow,
+        max_bucket=max_bucket,
     ).select("id_a", "id_b")
     exact = exact_jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)
     return exact.filter(F.col("jaccard") >= jaccard_threshold)
