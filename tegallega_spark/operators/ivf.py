@@ -51,6 +51,25 @@ class IVFIndex:
         self.centroids = centroids
         self.vec_col = vec_col
 
+    def encode(
+        self,
+        codebooks,
+        code_col: str = "pq_code",
+        normalize: bool = False,
+    ) -> "IVFIndex":
+        """Attach PQ codes to the inverted lists in place (one call, no
+        manual reassignment ritual) and return self so
+        `train_ivf_index(df).encode(cb)` chains.  After this,
+        operators.pq.ivfpq_topk(self, cb, q) works directly."""
+        from tegallega_spark.operators.pq import encode_pq
+
+        old = self.assigned
+        self.assigned = encode_pq(
+            old, codebooks, vec_col=self.vec_col, code_col=code_col, normalize=normalize
+        ).persist()
+        old.unpersist()
+        return self
+
     def _nearest_lists(self, query_vec: list[float], nprobe: int) -> list[int]:
         import math
 

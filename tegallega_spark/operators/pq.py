@@ -44,12 +44,19 @@ def _kmeans(x: np.ndarray, k: int, iters: int) -> np.ndarray:
     for _ in range(iters):
         d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        empty = []
         for j in range(k):
             members = x[assign == j]
             if len(members):
                 centroids[j] = members.mean(axis=0)
             else:
-                centroids[j] = x[d2.min(axis=1).argmax()]
+                empty.append(j)
+        if empty:
+            # Re-seed each empty cluster from a DISTINCT farthest point —
+            # a shared argmax would duplicate centroids.
+            far = np.argsort(-d2.min(axis=1))
+            for rank, j in enumerate(empty):
+                centroids[j] = x[far[rank % len(far)]]
     return centroids
 
 
@@ -74,6 +81,11 @@ def train_pq_codebooks(
         .collect()
     )
     x = np.array([r.v for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(
+            f"PQ training sample has {len(x)} rows < k={k} centroids; "
+            "raise `sample` or lower k"
+        )
     if normalize:
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     d = x.shape[1]
@@ -148,20 +160,20 @@ def pq_topk(
         arr = np.stack(codes.to_numpy())  # (batch, m)
         return pd.Series(table[np.arange(m), arr].sum(axis=1))
 
-    scored = encoded.select(
-        id_col, vec_col, adc(F.col(code_col)).alias("adc_dist")
-    )
+    # The ADC scan touches ONLY (id, code): the 100 TB contract is that the
+    # hot pass reads m-byte codes, never the raw d-float vectors.  Raw
+    # vectors come back via a broadcast join for the <= `rerank` survivors.
+    scored = encoded.select(id_col, adc(F.col(code_col)).alias("adc_dist"))
     if not rerank:
-        return scored.select(id_col, "adc_dist").orderBy(
-            "adc_dist", F.col(id_col)
-        ).limit(k)
+        return scored.orderBy("adc_dist", F.col(id_col)).limit(k)
 
     from tegallega_spark.operators.similarity import cosine
 
-    cands = scored.orderBy("adc_dist", F.col(id_col)).limit(rerank)
+    cands = scored.orderBy("adc_dist", F.col(id_col)).limit(rerank).select(id_col)
+    pool = encoded.select(id_col, vec_col).join(F.broadcast(cands), on=id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        cands.select(
+        pool.select(
             id_col,
             cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
         )
@@ -189,9 +201,10 @@ def ivfpq_topk(
     m-byte codes instead of d-float vectors, fetch raw vectors only for
     `rerank` rows.
 
-    `ivf_index` is an operators.ivf.IVFIndex whose `assigned` DataFrame has
-    been through encode_pq (call encode_pq(ivf_index.assigned, ...) once
-    and reassign) or any DataFrame-holder with .assigned/.centroids.
+    `ivf_index` is an operators.ivf.IVFIndex whose `assigned` DataFrame
+    carries PQ codes — call `ivf_index.encode(codebooks)` once after
+    training (or any DataFrame-holder with .assigned/.centroids whose
+    assigned has a `code_col`).
     """
     lists = ivf_index._nearest_lists(query_vec, nprobe)
     pruned = ivf_index.assigned.filter(F.col("ivf_list").isin(lists))

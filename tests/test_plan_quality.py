@@ -144,6 +144,35 @@ def test_pq_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_adc_scan_reads_codes_only(spark, tmp_path):
+    """The whole point of PQ at 100 TB: the ADC pass reads m-byte codes,
+    never the raw d-float vectors.  Pin it via ReadSchema on a materialized
+    encoded table; with re-rank the raw vectors may appear only in the
+    separate broadcast-join branch over the candidate ids."""
+    from tegallega_spark.operators.pq import encode_pq, pq_topk, train_pq_codebooks
+    from tegallega_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cb = train_pq_codebooks(emb, m=8, k=16)
+    path = str(tmp_path / "pq_encoded")
+    encode_pq(emb, cb).write.parquet(path)
+    enc = spark.read.parquet(path)
+    q = emb.first().embedding
+
+    # Pure ADC top-k: NO scan may read the embedding column.
+    plan = plan_of(pq_topk(enc, cb, q, k=5), "formatted")
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("embedding" not in ln for ln in schemas)
+
+    # Re-rank path: the ADC branch stays codes-only; embeddings are read
+    # by a second pruned scan joined via broadcast of <=rerank ids.
+    plan = plan_of(pq_topk(enc, cb, q, k=5, rerank=50), "formatted")
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("pq_code" in ln and "embedding" not in ln for ln in schemas)
+    assert any("embedding" in ln and "pq_code" not in ln for ln in schemas)
+    assert "BroadcastExchange" in plan
+
+
 def test_shuffled_shards_plan_is_range_exchange(spark):
     """Training export must be one sampled range exchange + in-partition
     sort — no single-partition global sort."""

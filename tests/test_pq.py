@@ -29,6 +29,13 @@ def test_codebook_shape_and_determinism(emb, codebooks):
     assert np.array_equal(codebooks, again)
 
 
+def test_train_raises_when_sample_smaller_than_k(emb):
+    """Fewer sample rows than centroids must fail loudly, not silently
+    emit duplicated/degenerate codebooks (ADVICE r2)."""
+    with pytest.raises(ValueError, match="rows < k"):
+        train_pq_codebooks(emb, m=8, k=16, sample=8)
+
+
 def test_codes_compress_32x(emb, codebooks):
     enc = encode_pq(emb, codebooks, normalize=True)
     row = enc.first()
@@ -77,8 +84,7 @@ def test_ivfpq_composition(spark, emb, codebooks):
     from tegallega_spark.operators.ivf import train_ivf_index
     from tegallega_spark.operators.pq import ivfpq_topk
 
-    idx = train_ivf_index(emb, k=8)
-    idx.assigned = encode_pq(idx.assigned, codebooks, normalize=True).persist()
+    idx = train_ivf_index(emb, k=8).encode(codebooks, normalize=True)
     n = emb.count()
     query = emb.orderBy("vec_id").first().embedding
 
