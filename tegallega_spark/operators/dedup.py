@@ -801,6 +801,7 @@ def exact_shingle_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard over all pairs via an inverted index.
 
@@ -814,6 +815,16 @@ def exact_shingle_jaccard_pairs(
     key is ~3× narrower, and the shingle computation runs vectorized and
     once (persisted; the interpreted HOF path would be re-evaluated for
     each of its three consumers, at scan parallelism).
+
+    `max_df` is the hot-shingle guard: a shingle appearing in k documents
+    emits k² rows from the postings self-join, so one boilerplate sentence
+    shared corpus-wide is a quadratic hot key at 100 TB.  With `max_df=N`,
+    shingles with document frequency > N are dropped from BOTH the join and
+    the cardinalities — the standard DF-cut: the result is the exact
+    Jaccard over the (DF ≤ N)-shingle sets, and the candidate join is
+    bounded by N·(#shingles) rows.  Near-universal shingles carry almost no
+    pair-discriminating signal, so at sane N the reported Jaccard barely
+    moves (test-pinned).  Default None = exact classic semantics.
     """
     sh_udf = make_shingle_hash_udf(shingle_n)
     sh = (
@@ -822,6 +833,16 @@ def exact_shingle_jaccard_pairs(
         .select("__id", F.explode("__sh").alias("__g"))
         .persist()
     )
+    if max_df is not None:
+        # DF per shingle is map-side combinable; the keep-join shuffles on
+        # the same key as the pair join below, so no extra exchange shape.
+        keep = (
+            sh.groupBy("__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__g")
+        )
+        sh = sh.join(keep, "__g").persist()
     card = sh.groupBy("__id").agg(F.count("*").alias("__c"))
     common = (
         sh.select(F.col("__id").alias("id_a"), "__g")

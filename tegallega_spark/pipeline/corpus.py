@@ -29,6 +29,7 @@ from tegallega_spark.operators.cc import dedup_cluster_assignments
 from tegallega_spark.operators.dedup import (
     contamination_report,
     exact_shingle_jaccard_pairs,
+    minhash_near_duplicates_verified,
 )
 from tegallega_spark.operators.packing import pack_sequences
 from tegallega_spark.operators.sampling import stratified_hash_sample
@@ -49,6 +50,9 @@ def clean_corpus(
     default_sample_threshold: str = "ff",
     pack_budget: int = 2048,
     n_shards: int = 256,
+    dedup_strategy: str = "auto",
+    max_shingle_df: int | None = 1000,
+    exact_dedup_limit: int = 20_000,
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -56,6 +60,16 @@ def clean_corpus(
     (id, stratum, bucket, quality, dup_ngram_frac, cluster_id, n_tokens,
     shard, pack_id, pack_offset, spills_over).  Default sample threshold
     'ff' keeps ~everything — sampling is opt-in via thresholds.
+
+    `dedup_strategy` picks the near-dup pair generator:
+    - 'exact'   — inverted-index exact Jaccard, guarded by the
+                  `max_shingle_df` DF-cut (hot-shingle quadratic-join
+                  protection; None disables the guard);
+    - 'minhash' — banded MinHash-LSH candidates re-scored with exact
+                  Jaccard (the 100 TB path: bounded-width band joins,
+                  hot-bucket caps, identical output contract);
+    - 'auto'    — exact below `exact_dedup_limit` surviving docs (one
+                  cheap count of the post-filter corpus), minhash above.
     """
     # 1. quality + repetition gate (scan-side)
     scored = docs.withColumn("quality", TXT.quality_score(F.col(text_col)))
@@ -77,9 +91,24 @@ def clean_corpus(
         kept = kept.join(contaminated, id_col, "left_anti")
 
     # 3. near-dup clustering; keep the canonical (min-id) doc per cluster
-    pairs = exact_shingle_jaccard_pairs(
-        kept, id_col, text_col, shingle_n, jaccard_threshold
-    )
+    strategy = dedup_strategy
+    if strategy == "auto":
+        # stages 1-2 are scan-side, so this count is one fused pass; the
+        # persist keeps stage 3+ from re-running the quality/decontam scan
+        kept = kept.persist()
+        strategy = "exact" if kept.count() <= exact_dedup_limit else "minhash"
+    if strategy == "exact":
+        pairs = exact_shingle_jaccard_pairs(
+            kept, id_col, text_col, shingle_n, jaccard_threshold,
+            max_df=max_shingle_df,
+        )
+    elif strategy == "minhash":
+        pairs = minhash_near_duplicates_verified(
+            kept, id_col, text_col, shingle_n=shingle_n,
+            jaccard_threshold=jaccard_threshold, max_bucket=max_shingle_df,
+        )
+    else:
+        raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
     clusters = dedup_cluster_assignments(pairs).withColumnRenamed("doc_id", id_col)
     kept = (
         kept.join(clusters.select(id_col, "cluster_id"), id_col, "left")

@@ -44,6 +44,51 @@ def test_clean_corpus_end_to_end(spark):
     assert all(r.n_tokens > 0 for r in rows)
 
 
+def test_hot_shingle_df_cut_bounds_candidates(spark):
+    """One shingle shared by ALL docs is the 100 TB quadratic hot key: the
+    DF-cut must eliminate the k² candidate blowup entirely."""
+    from tegallega_spark.operators.dedup import exact_shingle_jaccard_pairs
+
+    n = 200
+    common = "alpha beta gamma delta"
+    rows = [(i, f"{common} u{i}a u{i}b u{i}c") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # Uncapped: every pair shares the universal shingle -> n(n-1)/2 pairs.
+    uncapped = exact_shingle_jaccard_pairs(docs, "doc_id", "text", 4, 0.01)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    # DF-cut drops the universal shingle; no other shingle is shared, so
+    # the candidate join emits zero rows — the bound, not just a filter.
+    capped = exact_shingle_jaccard_pairs(docs, "doc_id", "text", 4, 0.01, max_df=10)
+    assert capped.count() == 0
+
+
+def test_df_cut_is_noop_when_not_binding(spark):
+    """With max_df above every shingle's document frequency the guarded
+    path must return byte-identical pairs to the classic exact path."""
+    from tegallega_spark.operators.dedup import exact_shingle_jaccard_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = exact_shingle_jaccard_pairs(docs, "doc_id", "text", 4, 0.5).collect()
+    b = exact_shingle_jaccard_pairs(docs, "doc_id", "text", 4, 0.5, max_df=10_000).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_clean_corpus_minhash_strategy_matches_exact(spark):
+    """The scale-path dedup strategy (banded MinHash + exact re-score) must
+    keep the same survivors as the exact inverted-index path."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    kw = dict(min_quality=0.0, max_dup_ngram_frac=1.0, jaccard_threshold=0.7)
+    exact_ids = {
+        r.doc_id for r in clean_corpus(docs, None, dedup_strategy="exact", **kw).collect()
+    }
+    mh_ids = {
+        r.doc_id for r in clean_corpus(docs, None, dedup_strategy="minhash", **kw).collect()
+    }
+    assert exact_ids == mh_ids
+
+
 def test_clean_corpus_drops_near_duplicates(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
     from tegallega_spark.operators.dedup import exact_shingle_jaccard_pairs
