@@ -1,9 +1,11 @@
 """Deterministic shuffle-shard export: reproducibility across input
-partitionings, epoch independence, and shard balance."""
+partitionings, epoch independence, shard balance, and the pure-function
+shard-membership contract."""
 
 from __future__ import annotations
 
 import glob
+import re
 
 import pyarrow.parquet as pq
 import pyspark.sql.functions as F
@@ -14,9 +16,15 @@ from tests.conftest import SF_SMOKE
 
 
 def _shard_contents(path):
-    out = []
-    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
-        out.append(tuple(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()))
+    """{shard: (doc_id, ...)} in file order; asserts one file per shard."""
+    out = {}
+    for d in glob.glob(f"{path}/__shard=*"):
+        shard = int(re.search(r"__shard=(\d+)", d).group(1))
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"shard {shard} split across {len(files)} files"
+        out[shard] = tuple(
+            pq.read_table(files[0], columns=["doc_id"]).column("doc_id").to_pylist()
+        )
     return out
 
 
@@ -27,8 +35,26 @@ def test_shuffle_is_reproducible_across_input_partitioning(spark, tmp_path):
     write_training_shards(docs.repartition(3), "doc_id", a, n_shards=4, seed=7)
     write_training_shards(docs.repartition(17), "doc_id", b, n_shards=4, seed=7)
     sa, sb = _shard_contents(a), _shard_contents(b)
-    assert len(sa) == len(sb) == 4
+    assert sorted(sa) == sorted(sb) == [0, 1, 2, 3]
     assert sa == sb  # same shards, same order, regardless of input layout
+
+
+def test_shard_membership_is_pure_function_of_key(spark, tmp_path):
+    """The written shard of every row must equal the closed-form
+    (unsigned-top-32-bits * n >> 32) bucket of xxhash64(id, seed) —
+    membership depends on the key alone, never on sampling or layout."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    path = str(tmp_path / "p")
+    write_training_shards(docs, "doc_id", path, n_shards=8, seed=3)
+    expected = {
+        r.doc_id: (((r.k + 2**64) % 2**64) >> 32) * 8 >> 32
+        for r in docs.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(3)).alias("k")
+        ).collect()
+    }
+    for shard, ids in _shard_contents(path).items():
+        for doc_id in ids:
+            assert expected[doc_id] == shard
 
 
 def test_different_seed_reshuffles(spark, tmp_path):
@@ -39,15 +65,16 @@ def test_different_seed_reshuffles(spark, tmp_path):
     write_training_shards(docs, "doc_id", b, n_shards=4, seed=1)
     sa, sb = _shard_contents(a), _shard_contents(b)
     assert sa != sb  # a new epoch order...
-    assert sorted(x for s in sa for x in s) == sorted(x for s in sb for x in s)
+    assert sorted(x for s in sa.values() for x in s) == sorted(
+        x for s in sb.values() for x in s
+    )
 
 
 def test_shards_are_balanced_and_complete(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
     n = docs.count()
     sh = shuffled_shards(docs, "doc_id", 4)
-    sizes = [
-        r["count"] for r in sh.groupBy(F.spark_partition_id()).count().collect()
-    ]
+    sizes = [r["count"] for r in sh.groupBy("__shard").count().collect()]
+    assert len(sizes) == 4
     assert sum(sizes) == n
     assert max(sizes) <= 2 * min(sizes), f"unbalanced shards: {sizes}"

@@ -173,13 +173,16 @@ def test_pq_adc_scan_reads_codes_only(spark, tmp_path):
     assert "BroadcastExchange" in plan
 
 
-def test_shuffled_shards_plan_is_range_exchange(spark):
-    """Training export must be one sampled range exchange + in-partition
-    sort — no single-partition global sort."""
+def test_shuffled_shards_plan_is_one_hash_exchange(spark):
+    """Training export must be exactly one hash exchange on the
+    deterministic shard column + in-partition sort — no sampled range
+    exchange (layout-dependent boundaries), no single-partition sort."""
     from tegallega_spark.operators.export import shuffled_shards
     from tegallega_spark.session import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
     plan = plan_of(shuffled_shards(docs, "doc_id", 8), "simple")
-    assert "rangepartitioning" in plan.lower()
+    assert plan.lower().count("exchange") == 1
+    assert "hashpartitioning(__shard" in plan
+    assert "rangepartitioning" not in plan.lower()
     assert "SinglePartition" not in plan
