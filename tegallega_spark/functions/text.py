@@ -11,9 +11,15 @@ import pyspark.sql.functions as F
 
 
 def simplify_name(col: Column) -> Column:
-    """Strip '^(Commuter Line|Koridor \\d+:?)\\s*' prefix, then trim — the
-    reference strips the whole name after prefix removal (convert.py:75-77)."""
-    return F.trim(F.regexp_replace(col, r"^(Commuter Line|Koridor \d+:?)\s*", ""))
+    """Strip '^(Commuter Line|Koridor \\d+:?)\\s*' prefix, then strip — the
+    reference strips the whole name after prefix removal (convert.py:75-77).
+    Python str.strip() removes ALL whitespace (tabs/newlines/CR), while
+    F.trim removes only 0x20 — use a regex strip for byte parity."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"^(Commuter Line|Koridor \d+:?)\s*", ""),
+        r"^\s+|\s+$",
+        "",
+    )
 
 
 def detect_direction(col: Column) -> Column:

@@ -57,6 +57,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    n_changed = 0
     for _ in range(max_iter):
         # min label among each node's neighbors, one shuffle keyed on node
         nbr_min = (
@@ -77,6 +78,15 @@ def connected_components(
         labels = proposed.drop("changed")
         if n_changed == 0:
             break
+
+    if n_changed:
+        # Returning unconverged labels would silently split one dup cluster
+        # into several "canonical" near-duplicates downstream — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({n_changed} labels still changing); the graph diameter "
+            "exceeds max_iter — raise it"
+        )
 
     return labels.select("node", F.col("label").alias("cluster_id"))
 

@@ -23,6 +23,8 @@ import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from tegallega_spark.session import attach_intermediates
+
 
 def parallelize_for_udf(df: DataFrame) -> DataFrame:
     """Match partition count to cluster parallelism before a CPU-bound
@@ -258,10 +260,11 @@ def minhash_near_duplicates(
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
-    return (
+    return attach_intermediates(
         with_sigs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select("id_a", "id_b", "est_jaccard"),
+        sig,
     )
 
 
@@ -462,8 +465,12 @@ def exact_jaccard_for_pairs(
     joined = pairs.join(a, "id_a").join(b, "id_b")
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
-    return joined.select(
-        "id_a", "id_b", (common.cast("double") / union).alias("jaccard")
+    return attach_intermediates(
+        joined.select(
+            "id_a", "id_b", (common.cast("double") / union).alias("jaccard")
+        ),
+        pairs,
+        sh,
     )
 
 
@@ -507,7 +514,11 @@ def minhash_near_duplicates_verified(
         ).persist()
         pairs = _lsh_candidate_pairs(sig, bands, num_hashes // bands)
     exact = exact_jaccard_for_pairs(pairs, df, id_col, text_col, shingle_n)
-    return exact.filter(F.col("jaccard") >= jaccard_threshold)
+    return attach_intermediates(
+        exact.filter(F.col("jaccard") >= jaccard_threshold),
+        exact,
+        bh if use_arrow else sig,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -696,13 +707,14 @@ def simhash_near_duplicates(
     # band join anyway, so filtering each join row first means the dedup
     # shuffle only sees true near-candidates — with coarse chunks (small
     # 64/bands) the unfiltered band join can emit millions of junk pairs
-    return (
+    return attach_intermediates(
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        fp,
     )
 
 
@@ -726,12 +738,15 @@ def simhash_near_duplicates_verified(
     the exact all-pairs result whenever every true pair at the threshold
     falls within max_hamming (verified on the test corpora; a miss would
     show up as an oracle mismatch, which is the point)."""
-    cand = simhash_near_duplicates(
+    cand_full = simhash_near_duplicates(
         df, id_col, text_col, shingle_n, max_hamming, bands, use_arrow,
         max_bucket=max_bucket,
-    ).select("id_a", "id_b")
+    )
+    cand = attach_intermediates(cand_full.select("id_a", "id_b"), cand_full)
     exact = exact_jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)
-    return exact.filter(F.col("jaccard") >= jaccard_threshold)
+    return attach_intermediates(
+        exact.filter(F.col("jaccard") >= jaccard_threshold), exact
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -827,12 +842,13 @@ def exact_shingle_jaccard_pairs(
     moves (test-pinned).  Default None = exact classic semantics.
     """
     sh_udf = make_shingle_hash_udf(shingle_n)
-    sh = (
+    sh_raw = (
         parallelize_for_udf(df)
         .select(F.col(id_col).alias("__id"), sh_udf(F.col(text_col)).alias("__sh"))
         .select("__id", F.explode("__sh").alias("__g"))
         .persist()
     )
+    sh = sh_raw
     if max_df is not None:
         # DF per shingle is map-side combinable; the keep-join shuffles on
         # the same key as the pair join below, so no extra exchange shape.
@@ -843,6 +859,9 @@ def exact_shingle_jaccard_pairs(
             .select("__g")
         )
         sh = sh.join(keep, "__g").persist()
+        handles = [sh_raw, sh]
+    else:
+        handles = [sh]
     card = sh.groupBy("__id").agg(F.count("*").alias("__c"))
     common = (
         sh.select(F.col("__id").alias("id_a"), "__g")
@@ -852,11 +871,12 @@ def exact_shingle_jaccard_pairs(
         .agg(F.count("*").alias("__common"))
     )
     jac = F.col("__common") / (F.col("__ca") + F.col("__cb") - F.col("__common"))
-    return (
+    return attach_intermediates(
         common.join(card.select(F.col("__id").alias("id_a"), F.col("__c").alias("__ca")), "id_a")
         .join(card.select(F.col("__id").alias("id_b"), F.col("__c").alias("__cb")), "id_b")
         .filter(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select("id_a", "id_b", jac.alias("jaccard")),
+        *handles,
     )
 
 

@@ -193,4 +193,8 @@ def all_pairs_above(
             F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
         ).alias("cos_sim"),
     )
-    return scored.filter(F.col("cos_sim") >= min_cosine)
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(
+        scored.filter(F.col("cos_sim") >= min_cosine), with_buckets
+    )

@@ -92,10 +92,11 @@ def clean_corpus(
 
     # 3. near-dup clustering; keep the canonical (min-id) doc per cluster
     strategy = dedup_strategy
+    corpus_handle = None
     if strategy == "auto":
         # stages 1-2 are scan-side, so this count is one fused pass; the
         # persist keeps stage 3+ from re-running the quality/decontam scan
-        kept = kept.persist()
+        kept = corpus_handle = kept.persist()
         strategy = "exact" if kept.count() <= exact_dedup_limit else "minhash"
     if strategy == "exact":
         pairs = exact_shingle_jaccard_pairs(
@@ -129,7 +130,15 @@ def clean_corpus(
         kept, token_col="n_tokens", order_col=id_col, shard_col="shard",
         budget=pack_budget,
     )
-    return packed.select(
-        id_col, stratum_col, "bucket", "quality", "dup_ngram_frac", "cluster_id",
-        "n_tokens", "shard", "pack_id", "pack_offset", "spills_over",
+    from tegallega_spark.session import attach_intermediates
+
+    # pairs' persisted LSH/postings intermediates + the auto-mode corpus
+    # persist ride out on the result for release_intermediates(out)
+    return attach_intermediates(
+        packed.select(
+            id_col, stratum_col, "bucket", "quality", "dup_ngram_frac", "cluster_id",
+            "n_tokens", "shard", "pack_id", "pack_offset", "spills_over",
+        ),
+        pairs,
+        *([corpus_handle] if corpus_handle is not None else []),
     )

@@ -51,6 +51,38 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
     return builder.getOrCreate()
 
 
+def attach_intermediates(out, *sources):
+    """Tag `out` with the persisted intermediates its plan reads.
+
+    Operators like the LSH near-dup family persist() internal frames that
+    both sides of a self-join consume; those frames must stay cached until
+    the CALLER's action runs, so the operator cannot unpersist them itself.
+    Recording the handles on the returned DataFrame lets the caller release
+    them with `release_intermediates(df)` once done — in a long-lived
+    session, un-released intermediates otherwise accumulate until LRU
+    pressure.  Each source is either a persisted DataFrame or a DataFrame
+    previously tagged by this helper (its recorded handles are merged)."""
+    handles = []
+    for s in sources:
+        handles.extend(getattr(s, "_tegallega_persisted", ()))
+        if s.is_cached:
+            handles.append(s)
+    out._tegallega_persisted = handles
+    return out
+
+
+def release_intermediates(df, blocking: bool = False) -> int:
+    """Unpersist every intermediate recorded on `df` by
+    attach_intermediates; returns how many were released.  Call after the
+    consuming action (collect/write) — releasing earlier just forfeits the
+    cache and recomputes."""
+    handles = getattr(df, "_tegallega_persisted", ())
+    for h in handles:
+        h.unpersist(blocking)
+    df._tegallega_persisted = []
+    return len(handles)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -210,3 +210,23 @@ def test_per_route_shapefile_layout(spark, tmp_path):
     stype, _, sshapes = _read_shp(str(route_dir / "stops.shp"))
     assert stype == 1 and sshapes == [[(107.6, -6.9)]]
     assert len(written) == 2
+
+
+def test_simplify_name_strips_all_whitespace(spark):
+    """Python str.strip() removes tabs/newlines/CR, not just spaces —
+    simplify_name must match (reference convert.py:75-77; ADVICE r2)."""
+    from tegallega_spark.functions import simplify_name
+
+    cases = {
+        "Commuter Line Bogor": "Bogor",
+        "Koridor 2: Cicaheum - Cibeureum": "Cicaheum - Cibeureum",
+        "Koridor 2: Cicaheum\t": "Cicaheum",
+        "Commuter Line \tBogor\n": "Bogor",
+        "  plain \r\n": "plain",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["name"])
+    got = {
+        r.name: r.s
+        for r in df.select("name", simplify_name(F.col("name")).alias("s")).collect()
+    }
+    assert got == cases

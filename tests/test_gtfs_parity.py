@@ -28,16 +28,40 @@ GOLDEN_CACHE = "/tmp/tegallega_fresh_golden"
 FLOAT_COLS = {"stop_lat", "stop_lon", "shape_pt_lat", "shape_pt_lon", "shape_dist_traveled"}
 
 
+def _input_fingerprint() -> str:
+    """sha256 over every reference input the golden depends on — the cache
+    key, so an input change can never serve a stale golden."""
+    import hashlib
+
+    h = hashlib.sha256()
+    paths = [f"{REF}/routes.json", f"{REF}/action-scripts/generate_gtfs.py"]
+    for root, dirs, files in os.walk(f"{REF}/route-data"):
+        dirs.sort()
+        paths.extend(os.path.join(root, f) for f in sorted(files))
+    for p in paths:
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def _ensure_fresh_golden() -> str:
-    """Run the reference generate_gtfs.py once against the current inputs."""
+    """Run the reference generate_gtfs.py once against the current inputs;
+    re-run whenever any input file's content changes."""
     marker = os.path.join(GOLDEN_CACHE, "gtfs", "stop_times.txt")
-    if os.path.exists(marker):
+    stamp = os.path.join(GOLDEN_CACHE, "INPUT_SHA")
+    fp = _input_fingerprint()
+    if (
+        os.path.exists(marker)
+        and os.path.exists(stamp)
+        and open(stamp).read() == fp
+    ):
         return os.path.join(GOLDEN_CACHE, "gtfs")
+    shutil.rmtree(GOLDEN_CACHE, ignore_errors=True)
     os.makedirs(GOLDEN_CACHE, exist_ok=True)
     for item in ("routes.json",):
         shutil.copy(f"{REF}/{item}", GOLDEN_CACHE)
-    if not os.path.exists(f"{GOLDEN_CACHE}/route-data"):
-        shutil.copytree(f"{REF}/route-data", f"{GOLDEN_CACHE}/route-data")
+    shutil.copytree(f"{REF}/route-data", f"{GOLDEN_CACHE}/route-data")
     os.makedirs(f"{GOLDEN_CACHE}/action-scripts", exist_ok=True)
     shutil.copy(
         f"{REF}/action-scripts/generate_gtfs.py", f"{GOLDEN_CACHE}/action-scripts/"
@@ -49,7 +73,24 @@ def _ensure_fresh_golden() -> str:
         capture_output=True,
         timeout=1800,
     )
+    with open(stamp, "w") as f:
+        f.write(fp)
     return os.path.join(GOLDEN_CACHE, "gtfs")
+
+
+def test_golden_cache_invalidates_on_input_change():
+    """A stale stamp must force regeneration; a matching one must not."""
+    _ensure_fresh_golden()
+    marker = os.path.join(GOLDEN_CACHE, "gtfs", "stop_times.txt")
+    stamp = os.path.join(GOLDEN_CACHE, "INPUT_SHA")
+    mtime = os.path.getmtime(marker)
+    _ensure_fresh_golden()
+    assert os.path.getmtime(marker) == mtime  # hit: untouched
+    with open(stamp, "w") as f:
+        f.write("stale")
+    _ensure_fresh_golden()
+    assert os.path.getmtime(marker) > mtime  # miss: regenerated
+    assert open(stamp).read() == _input_fingerprint()
 
 
 def _canon(value: str, col: str) -> str:

@@ -192,3 +192,34 @@ def test_minhash_hot_bucket_cap(spark):
     )
     # every bucket holds all 40 docs (identical signatures) -> all dropped
     assert capped.count() == 0
+
+
+def test_cc_raises_when_diameter_exceeds_max_iter(spark):
+    """Unconverged labels would silently split one dup cluster into several
+    'canonical' docs — the operator must fail loudly instead (ADVICE r2)."""
+    import pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and a diameter within the budget still converges cleanly
+    got = {r["cluster_id"] for r in connected_components(chain, max_iter=40).collect()}
+    assert got == {0}
+
+
+def test_release_intermediates_frees_operator_caches(spark):
+    """LSH operators persist() self-join inputs; the handles must ride out
+    on the result so callers can free them after their action (ADVICE r2)."""
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+    from tegallega_spark.session import load_table, release_intermediates
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pairs = minhash_near_duplicates_verified(docs, "doc_id", "text")
+    pairs.collect()
+    handles = pairs._tegallega_persisted
+    assert len(handles) >= 3  # band hashes + candidate pairs + shingle sets
+    assert all(h.is_cached for h in handles)
+    assert release_intermediates(pairs) == len(handles)
+    assert not any(h.is_cached for h in handles)
+    assert release_intermediates(pairs) == 0  # idempotent
