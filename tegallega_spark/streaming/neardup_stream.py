@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from tegallega_spark.operators.dedup import make_band_hash_udf
+from tegallega_spark.operators.dedup import (
+    exact_jaccard_for_pairs,
+    make_band_hash_udf,
+)
+from tegallega_spark.session import release_intermediates
 
 PAIR_SCHEMA = "id_a bigint, id_b bigint, band_idx int"
 STATE_SCHEMA = "ids array<bigint>"
@@ -84,3 +88,51 @@ def neardup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def verified_neardup_sink(
+    candidates: DataFrame,
+    corpus,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    available_now: bool = True,
+):
+    """Compose the candidate stream with EXACT Jaccard verification — the
+    same falsifiable contract as the batch path: streamed verified pairs
+    equal minhash_near_duplicates_verified on the delivered corpus
+    (test-pinned).
+
+    Each micro-batch of LSH candidates is re-scored via
+    exact_jaccard_for_pairs against `corpus` — a batch DataFrame of all
+    docs landed so far, or a zero-arg callable returning one (a callable
+    re-reads the landed table per batch, picking up the delivery that
+    produced the candidates).  A candidate pair is emitted in exactly one
+    micro-batch (the one where its newer doc first arrives), so per-batch
+    verification never double-scores; survivors append to `out_path` as
+    (id_a, id_b, jaccard) parquet.  State/scale bounds are inherited from
+    neardup_candidates_stream; verification cost is per-candidate, not
+    per-corpus (semi-join pushdown in exact_jaccard_for_pairs).
+
+    Returns the started StreamingQuery.
+    """
+
+    def _verify(batch_df, batch_id):
+        pairs = batch_df.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        base = corpus() if callable(corpus) else corpus
+        verified = exact_jaccard_for_pairs(pairs, base, id_col, text_col, shingle_n)
+        out = verified.filter(F.col("jaccard") >= jaccard_threshold)
+        out.write.mode("append").parquet(out_path)
+        release_intermediates(verified)
+
+    writer = (
+        candidates.writeStream.foreachBatch(_verify)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,3 +90,53 @@ def test_cross_delivery_pairs_found(spark, tmp_path):
     got2 = deliver(second, 2)
     assert key in got2, "cross-delivery pair missed — state not persisted"
     assert got2 == want
+
+
+def test_stream_verified_pairs_match_batch(spark, tmp_path):
+    """End-to-end falsifiable contract: streamed candidates + per-batch
+    exact verification must reproduce the batch verified result — same
+    pairs, same exact Jaccard values — including across deliveries."""
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+    from tegallega_spark.streaming.neardup_stream import verified_neardup_sink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_near_duplicates_verified(
+            docs, "doc_id", "text", shingle_n=3, jaccard_threshold=0.7
+        ).collect()
+    }
+    assert want, "smoke corpus should contain verified near-dups"
+
+    feed = tmp_path / "vfeed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "vckpt")
+    sink = str(tmp_path / "vsink")
+
+    # two deliveries so at least some pairs straddle state
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(feed / "d1.parquet")
+    )
+
+    def run_delivery():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(f"{feed}/*.parquet")
+        q = verified_neardup_sink(
+            neardup_candidates_stream(stream),
+            lambda: spark.read.schema(DOC_SCHEMA).parquet(f"{feed}/*.parquet"),
+            sink,
+            ckpt,
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination()
+
+    run_delivery()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(feed / "d2.parquet")
+    )
+    run_delivery()
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == want
