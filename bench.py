@@ -2,10 +2,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "secondary": {"sf": "0.1x4", "value": N, "queries": {...}}}
 
 value = total wall-clock seconds over the headline set (excluding Spark
 session startup), which is the number compared against BASELINE.
+
+`secondary` is a SECOND scale point: the same headline set on an N×
+key-shifted replica of the primary tables (tegallega_spark/scale_data.py),
+so per-round BENCH files surface scale regressions, not just 1× ones.
+Control with SPARK_GRAFT_BENCH_SCALE2 (replication factor, default 4;
+"0"/"off" disables) or point SPARK_GRAFT_SF2_DIR at an existing directory
+to use it as the second point directly.
 """
 
 from __future__ import annotations
@@ -90,34 +98,63 @@ def main() -> None:
     # clearCache() between runs keeps both runs full executions — queries
     # with internal persist() would otherwise have run 2 reuse run 1's
     # cache through logical-plan matching.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = SPARK_QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = q(spark, sf_dir)
-            # noop sink fully materializes every column (count() would let
-            # Catalyst prune the projections and flatter the numbers)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
+    def time_headline(dir_: str, label: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            q = SPARK_QUERIES[name]
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = q(spark, dir_)
+                # noop sink fully materializes every column (count() would
+                # let Catalyst prune projections and flatter the numbers)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"# {label} {name}: done in {timings[name]}s", file=sys.stderr)
+        return timings
 
-    total = round(sum(timings.values()), 3)
+    timings = time_headline(sf_dir, "primary")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+
+    # second scale point (see module docstring)
+    secondary = None
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR")
+    scale2 = os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "4").lower()
+    try:
+        if sf2_dir:
+            sf2_label = sf2_dir.rstrip("/").rsplit("sf", 1)[-1]
+        elif scale2 not in ("0", "off", ""):
+            n = int(scale2)
+            from tegallega_spark.scale_data import SHIFT_COLS, replicate_tables
+
+            sf2_dir = f"/tmp/tegallega_bench_sf{sf}_x{n}"
+            sf2_label = f"{sf}x{n}"
+            replicate_tables(spark, sf_dir, sf2_dir, n)
+            for t in SHIFT_COLS:  # warm the second point's file indexes
+                load_table(spark, sf2_dir, t).limit(1).collect()
+        if sf2_dir:
+            t2 = time_headline(sf2_dir, "secondary")
+            secondary = {
+                "sf": sf2_label,
+                "value": round(sum(t2.values()), 3),
+                "queries": t2,
             }
-        )
-    )
+    except Exception as e:  # the primary number must survive a broken 2nd point
+        print(f"# secondary scale point failed: {e}", file=sys.stderr)
+        secondary = None
+
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if secondary is not None:
+        result["secondary"] = secondary
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -19,27 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pyspark.sql.functions as F  # noqa: E402
-
 from tegallega_spark.queries import SPARK_QUERIES  # noqa: E402
+from tegallega_spark.scale_data import SHIFT_COLS, replicate_tables  # noqa: E402
 from tegallega_spark.session import get_spark, load_table  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/tegallega_stress_sf"
-
-# id columns to shift per copy so key cardinality scales with volume
-SHIFT_COLS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "nation": [],
-    "region": [],
-}
 
 QUERIES = [
     "q01_pricing_summary",
@@ -58,35 +43,6 @@ QUERIES = [
 ]
 
 
-def replicate(spark, n: int) -> None:
-    marker = os.path.join(OUT, f".complete_{n}")
-    if os.path.exists(marker):
-        return
-    os.makedirs(OUT, exist_ok=True)
-    for table, shift_cols in SHIFT_COLS.items():
-        df = load_table(spark, BASE, table)
-        if not shift_cols:
-            out = df
-        else:
-            shift = int(1e9)
-            copies = []
-            for i in range(n):
-                c = df
-                for col in shift_cols:
-                    c = c.withColumn(col, F.col(col) + F.lit(i * shift))
-                if table == "documents":
-                    # perturb text so copies are near- not exact duplicates
-                    c = c.withColumn(
-                        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
-                    )
-                copies.append(c)
-            out = copies[0]
-            for c in copies[1:]:
-                out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{table}.parquet"))
-    open(marker, "w").close()
-
-
 def run(spark, sf_dir: str) -> dict[str, float]:
     timings = {}
     for name in QUERIES:
@@ -100,7 +56,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark("stress-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark, n)
+    replicate_tables(spark, BASE, OUT, n)
     # warm both file indexes
     for t in SHIFT_COLS:
         load_table(spark, BASE, t).limit(1).collect()
