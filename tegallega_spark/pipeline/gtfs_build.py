@@ -332,9 +332,19 @@ def calendar_table(spark: SparkSession) -> DataFrame:
     )
 
 
-def build_gtfs(spark: SparkSession, ref_root: str) -> dict[str, DataFrame]:
+def build_gtfs(
+    spark: SparkSession, ref_root: str, on_shapes=None
+) -> dict[str, DataFrame]:
     """The full DAG: routes.json + geojson + schedule CSVs → seven GTFS
-    tables (generate_gtfs.py:477-521)."""
+    tables (generate_gtfs.py:477-521).
+
+    `on_shapes` (optional callback) receives the persisted shapes frame as
+    soon as its plan exists — a driver can submit its materialization job
+    there so the shape computation overlaps the (driver-side, py4j-bound)
+    construction of the remaining table plans instead of serializing after
+    it.  Plan construction and cluster execution are independent resources;
+    overlapping them is free latency.
+    """
     raw = read_routes_json(spark, f"{ref_root}/routes.json")
     # construct each unnest level ONCE and thread it through — rebuilding
     # categories/fixed_groups per consumer triples the driver-side plan
@@ -355,6 +365,8 @@ def build_gtfs(spark: SparkSession, ref_root: str) -> dict[str, DataFrame]:
     schedule = read_schedule_long(spark, f"{ref_root}/route-data/schedule")
 
     shapes = build_shapes_table(catalog, vertices).persist()
+    if on_shapes is not None:
+        on_shapes(shapes)
     shaped_rels = shapes.select("relation_id", "shape_id").distinct()
 
     train_trips, train_times = _train_trips_and_times(catalog, schedule, shaped_rels)

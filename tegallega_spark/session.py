@@ -46,6 +46,17 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.sql.files.openCostInBytes", "524288")
+        # File-index listing: above this many paths Spark launches a
+        # CLUSTER JOB to list them in parallel — ~0.4 s of scheduling
+        # latency per source on this box, triggered at the default of 32
+        # by the 126-dir geojson glob.  Driver-side listing of a few
+        # thousand paths is milliseconds on any filesystem; on an object
+        # store with 100k+ objects per table, lower this back (env) so
+        # listing parallelizes across executors.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "4096"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
