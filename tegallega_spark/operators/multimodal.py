@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata.  The
 Spark-side plumbing — schema, partition-friendly batch iteration, Arrow
-batch shape — is real and tested; the actual codec call is stubbed behind a
-deterministic fake (the decode libraries are not in this container), with
-the real integration point clearly marked.
+batch shape — is real and tested.  The codec layer dispatches on content:
+PNG payloads go through a REAL pure-stdlib decoder (zlib inflate + chunk
+parse + scanline un-filtering — no Pillow in this container, none needed
+for PNG); anything else falls back to a deterministic fake whose
+integration point for further codecs (JPEG, audio, video) is marked.
 
 At 100 TB: mapInPandas streams Arrow record batches through the Python
 worker without collecting a partition in memory; batch size is governed by
@@ -14,12 +16,17 @@ Arrow buffers end-to-end (no per-row pickling).
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 DECODED_SCHEMA = (
     "doc_id bigint, byte_len int, format string, width int, height int, "
@@ -39,13 +46,136 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Minimal PNG writer (pure stdlib): 8-bit grayscale (h, w), RGB
+    (h, w, 3), or RGBA (h, w, 4), non-interlaced, filter 0 rows.  Exists so
+    tests and pipelines can round-trip real image bytes without codec
+    libraries."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, h, w = 0, *px.shape
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[px.shape[2]]
+        h, w = px.shape[:2]
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decode, pure stdlib + numpy: chunk walk → IHDR → concat
+    IDAT → zlib inflate → per-scanline un-filter (all five PNG filter
+    types).  Supports the formats encode_png emits plus anything else
+    8-bit/non-interlaced in gray/RGB/RGBA.  Returns uint8 (h, w[, c]).
+
+    Un-filtering is sequential by definition (each row references the
+    previous); rows are processed with numpy where the filter allows (None,
+    Up) and tight per-pixel loops otherwise — fine for the thumbnail-scale
+    payloads a metadata pass decodes. A production still-image pipeline
+    would swap in a C codec here; the point is the path is REAL: bytes in,
+    pixels out, verified round-trip."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color_type} "
+                    f"interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[r] = prev = line
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+def _decode_png_meta(payload: bytes) -> dict:
+    px = decode_png(payload)
+    h, w = px.shape[:2]
+    return {
+        "byte_len": len(payload),
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        # content fingerprint over DECODED pixels (+dims): two encodings of
+        # the same image hash identically, any pixel change does not
+        "feature_hash": (zlib.crc32(px.tobytes()) << 24) ^ (w << 12) ^ h,
+    }
+
+
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image/audio decoder.
+    """Deterministic stand-in for the non-PNG codecs.
 
     REAL INTEGRATION POINT: replace the body with e.g.
         img = PIL.Image.open(io.BytesIO(payload)); return {...}
-    The container lacks codec libraries, so derive metadata from the bytes
-    deterministically instead — keeps schema, batching, and tests real.
+    for JPEG/audio/video once codec libraries are available; PNG already
+    takes the real path (_decode_png_meta).  Derives metadata from the
+    bytes deterministically — keeps schema, batching, and tests real.
     """
     n = len(payload)
     return {
@@ -67,9 +197,12 @@ def decode_batches(df: DataFrame) -> DataFrame:
     — constant memory regardless of partition size.
     """
 
+    def decode_one(p: bytes) -> dict:
+        return _decode_png_meta(p) if p[:8] == PNG_MAGIC else _fake_decode(p)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            metas = [decode_one(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
