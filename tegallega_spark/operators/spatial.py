@@ -101,6 +101,137 @@ def project_onto_segments(
     )
 
 
+def line_slice(
+    slices: DataFrame,
+    vertices: DataFrame,
+    key: str = "relation_id",
+    slice_id: str = "slice_id",
+) -> DataFrame:
+    """Slice a polyline between two points — `turf.lineSlice` re-expressed
+    as a set operation over MANY (start, stop, line) triples at once
+    (reference index.html:234-247, Q5 in SURVEY §2.12).
+
+    turf's algorithm: project both points onto the line
+    (nearestPointOnLine), order the two hits by segment index, then emit
+    [projected_lo] + line.vertices[i_lo+1 .. i_hi] + [projected_hi] — the
+    output always follows line direction regardless of argument order.
+
+    slices must carry (slice_id, key, start_lon, start_lat, stop_lon,
+    stop_lat); vertices (key, vertex_idx, lon, lat).  Returns
+    (slice_id, key, pt_seq, lon, lat) — pt_seq ascending along the line.
+
+    One projection pass for both endpoints (role packed into a struct id),
+    then an equi-join on the route key for interior vertices — candidates
+    stay bounded per key, never a global cross join.  The winning segment
+    index is recovered from the fractional index as ceil(frac)-1 (floored
+    at 0): turf's strict-less first-win scan assigns a point lying exactly
+    on shared vertex j to segment j-1, and a point clamped to the line's
+    end (t=1 on the last segment) to that last segment — both reproduced,
+    including turf's duplicate-vertex emission in the former case.
+    """
+    pts = slices.select(
+        F.col(key),
+        F.struct(F.col(slice_id).alias("sid"), F.lit("start").alias("role")).alias("__pid"),
+        F.col("start_lon").alias("lon"),
+        F.col("start_lat").alias("lat"),
+    ).unionByName(
+        slices.select(
+            F.col(key),
+            F.struct(F.col(slice_id).alias("sid"), F.lit("stop").alias("role")).alias("__pid"),
+            F.col("stop_lon").alias("lon"),
+            F.col("stop_lat").alias("lat"),
+        )
+    )
+    proj = project_onto_segments(pts, vertices, key, "__pid").select(
+        key,
+        F.col("__pid.sid").alias(slice_id),
+        F.col("__pid.role").alias("__role"),
+        F.greatest(F.ceil("frac_idx") - 1, F.lit(0)).cast("int").alias("__idx"),
+        "proj_lon",
+        "proj_lat",
+    )
+    start = proj.filter(F.col("__role") == "start").drop("__role")
+    stop = proj.filter(F.col("__role") == "stop").drop("__role")
+    wide = start.alias("a").join(stop.alias("b"), [key, slice_id])
+    # order ends by integer segment index, exactly as turf does
+    swap = F.col("a.__idx") > F.col("b.__idx")
+    ends = wide.select(
+        key,
+        slice_id,
+        F.when(swap, F.col("b.__idx")).otherwise(F.col("a.__idx")).alias("lo_idx"),
+        F.when(swap, F.col("a.__idx")).otherwise(F.col("b.__idx")).alias("hi_idx"),
+        F.when(swap, F.col("b.proj_lon")).otherwise(F.col("a.proj_lon")).alias("lo_lon"),
+        F.when(swap, F.col("b.proj_lat")).otherwise(F.col("a.proj_lat")).alias("lo_lat"),
+        F.when(swap, F.col("a.proj_lon")).otherwise(F.col("b.proj_lon")).alias("hi_lon"),
+        F.when(swap, F.col("a.proj_lat")).otherwise(F.col("b.proj_lat")).alias("hi_lat"),
+    )
+    head = ends.select(key, slice_id, F.lit(0).alias("pt_seq"),
+                       F.col("lo_lon").alias("lon"), F.col("lo_lat").alias("lat"))
+    tail = ends.select(key, slice_id,
+                       (F.col("hi_idx") - F.col("lo_idx") + 1).alias("pt_seq"),
+                       F.col("hi_lon").alias("lon"), F.col("hi_lat").alias("lat"))
+    interior = (
+        ends.join(vertices, key)
+        .filter(
+            (F.col("vertex_idx") > F.col("lo_idx"))
+            & (F.col("vertex_idx") <= F.col("hi_idx"))
+        )
+        .select(key, slice_id,
+                (F.col("vertex_idx") - F.col("lo_idx")).alias("pt_seq"), "lon", "lat")
+    )
+    return head.unionByName(interior).unionByName(tail)
+
+
+def slice_path_geojson(
+    path: list[str],
+    routes: list[str],
+    vertices: DataFrame,
+    stop_coords: DataFrame,
+    key: str = "relation_id",
+) -> dict:
+    """Q5 end-to-end: turn a Dijkstra result (stop path + route labels,
+    operators/graph.dijkstra_local) into the FeatureCollection the
+    reference renders (index.html:232-252) — one LineString per hop,
+    each sliced from its route's polyline between the hop's endpoints.
+
+    stop_coords must carry (stop_id, lon, lat); vertices the per-route
+    polylines keyed by `key`.  Presentation-sized output (a handful of
+    hops), so the final assembly collects; the slicing itself is the
+    distributed line_slice above.
+    """
+    spark = vertices.sparkSession
+    coords = {
+        r["stop_id"]: (float(r["lon"]), float(r["lat"]))
+        for r in stop_coords.select("stop_id", "lon", "lat").collect()
+    }
+    rows = []
+    for i, route in enumerate(routes):
+        (slon, slat), (tlon, tlat) = coords[path[i]], coords[path[i + 1]]
+        rows.append((i, route, slon, slat, tlon, tlat))
+    slices = spark.createDataFrame(
+        rows,
+        f"slice_id int, {key} string, start_lon double, start_lat double, "
+        "stop_lon double, stop_lat double",
+    )
+    sliced = line_slice(slices, vertices, key=key).collect()
+    by_slice: dict[int, list] = {}
+    for r in sliced:
+        by_slice.setdefault(r["slice_id"], []).append(
+            (r["pt_seq"], [r["lon"], r["lat"]])
+        )
+    features = []
+    for i, route in enumerate(routes):
+        pts = [c for _, c in sorted(by_slice.get(i, []))]
+        features.append(
+            {
+                "type": "Feature",
+                "properties": {"route": route, "from": path[i], "to": path[i + 1]},
+                "geometry": {"type": "LineString", "coordinates": pts},
+            }
+        )
+    return {"type": "FeatureCollection", "features": features}
+
+
 def drop_near_real(
     virtual: DataFrame,
     real: DataFrame,
