@@ -1,0 +1,178 @@
+"""S8 OSM XML → PBF (osm-to-pbf.yml:18-20): entity round-trip through our
+writer+reader, blob framing structure, multi-block delta reset, randomized
+round-trip, and the parallel Spark source."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from tegallega_spark.sources.osm_pbf import (
+    decode_primitive_block,
+    osm_entity_tables,
+    osm_xml_to_pbf,
+    parse_osm_xml,
+    read_osm_pbf,
+    read_pbf,
+    scan_blob_offsets,
+    write_osm_pbf,
+)
+
+OSM_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6" generator="test">
+ <bounds minlat="-7.0" minlon="107.5" maxlat="-6.8" maxlon="107.8"/>
+ <node id="1" lat="-6.914744" lon="107.609810">
+  <tag k="name" v="Alun-Alun"/><tag k="highway" v="bus_stop"/>
+ </node>
+ <node id="2" lat="-6.920000" lon="107.600000"/>
+ <node id="3" lat="-6.900000" lon="107.620000">
+  <tag k="name" v="Cicaheum"/>
+ </node>
+ <way id="10">
+  <nd ref="1"/><nd ref="2"/><nd ref="3"/>
+  <tag k="highway" v="primary"/><tag k="name" v="Jl. Asia Afrika"/>
+ </way>
+ <way id="11"><nd ref="3"/><nd ref="1"/></way>
+ <relation id="100">
+  <member type="way" ref="10" role="outer"/>
+  <member type="node" ref="2" role="stop"/>
+  <member type="relation" ref="101" role=""/>
+  <tag k="type" v="route"/><tag k="route" v="bus"/>
+ </relation>
+</osm>
+"""
+
+
+@pytest.fixture()
+def xml_file(tmp_path):
+    p = tmp_path / "bandung.osm"
+    p.write_text(OSM_XML)
+    return str(p)
+
+
+def canon(entities):
+    out = {"node": {}, "way": {}, "relation": {}}
+    for kind, e in entities:
+        if kind == "bounds":
+            continue
+        out[kind][e["id"]] = e
+    return out
+
+
+def assert_equal_entities(a, b):
+    assert set(a["node"]) == set(b["node"])
+    for nid, n in a["node"].items():
+        m = b["node"][nid]
+        assert abs(n["lat"] - m["lat"]) < 1e-7 and abs(n["lon"] - m["lon"]) < 1e-7
+        assert n["tags"] == m["tags"]
+    assert {k: (v["refs"], v["tags"]) for k, v in a["way"].items()} == \
+        {k: (v["refs"], v["tags"]) for k, v in b["way"].items()}
+    assert {k: (v["members"], v["tags"]) for k, v in a["relation"].items()} == \
+        {k: (v["members"], v["tags"]) for k, v in b["relation"].items()}
+
+
+def test_xml_to_pbf_round_trip(xml_file, tmp_path):
+    pbf = str(tmp_path / "bandung.osm.pbf")
+    n = osm_xml_to_pbf(xml_file, pbf)
+    assert n == 6  # 3 nodes + 2 ways + 1 relation
+    assert_equal_entities(canon(parse_osm_xml(xml_file)), canon(read_pbf(pbf)))
+
+
+def test_blob_framing_structure(xml_file, tmp_path):
+    pbf = str(tmp_path / "o.pbf")
+    osm_xml_to_pbf(xml_file, pbf)
+    blobs = scan_blob_offsets(pbf)
+    # header first, then one data blob per kind run (nodes, ways, relations)
+    assert [b[0] for b in blobs] == ["OSMHeader", "OSMData", "OSMData", "OSMData"]
+    # each Blob records raw_size matching its zlib payload
+    with open(pbf, "rb") as f:
+        for btype, off, size in blobs:
+            f.seek(off)
+            buf = f.read(size)
+            raw_size = zdata = None
+            pos = 0
+            while pos < len(buf):
+                key = buf[pos]
+                pos += 1
+                field = key >> 3
+                if key & 7 == 0:
+                    v = 0
+                    shift = 0
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                    if field == 2:
+                        raw_size = v
+                else:
+                    ln = buf[pos]
+                    pos += 1
+                    if field == 3:
+                        zdata = buf[pos:pos + ln]
+                    pos += ln
+            assert raw_size == len(zlib.decompress(zdata))
+
+
+def test_multi_block_delta_reset(tmp_path):
+    # force 1-entity blocks: per-block delta coding must restart cleanly
+    entities = [
+        ("node", {"id": i * 7 + 1, "lat": -6.9 + i * 0.001, "lon": 107.6 - i * 0.002,
+                   "tags": {} if i % 2 else {"ref": str(i)}})
+        for i in range(5)
+    ]
+    pbf = str(tmp_path / "tiny.pbf")
+    write_osm_pbf(iter(entities), pbf, block_size=1)
+    blobs = scan_blob_offsets(pbf)
+    assert sum(1 for b in blobs if b[0] == "OSMData") == 5
+    assert_equal_entities(canon(entities), canon(read_pbf(pbf)))
+
+
+def test_randomized_round_trip(tmp_path):
+    rng = random.Random(42)
+    entities = []
+    nid = 0
+    for _ in range(200):
+        nid += rng.randint(1, 1000)
+        entities.append(("node", {
+            "id": nid,
+            "lat": rng.uniform(-90, 90),
+            "lon": rng.uniform(-180, 180),
+            "tags": {f"k{rng.randint(0, 5)}": f"v{rng.randint(0, 50)}"
+                     for _ in range(rng.randint(0, 3))},
+        }))
+    wid = nid
+    for _ in range(40):
+        wid += rng.randint(1, 100)
+        entities.append(("way", {
+            "id": wid,
+            "refs": [rng.randint(1, nid) for _ in range(rng.randint(2, 30))],
+            "tags": {"highway": "x"} if rng.random() < 0.5 else {},
+        }))
+    pbf = str(tmp_path / "rand.pbf")
+    write_osm_pbf(iter(entities), pbf, block_size=64)
+    got = canon(read_pbf(pbf))
+    assert_equal_entities(canon(entities), got)
+
+
+def test_spark_parallel_source(spark, xml_file, tmp_path):
+    pbf = str(tmp_path / "s.pbf")
+    osm_xml_to_pbf(xml_file, pbf)
+    tables = osm_entity_tables(read_osm_pbf(spark, pbf))
+    nodes = {r["id"]: r for r in tables["nodes"].collect()}
+    assert set(nodes) == {1, 2, 3}
+    assert nodes[1]["tags"]["name"] == "Alun-Alun"
+    assert abs(nodes[1]["lat"] - -6.914744) < 1e-7
+    ways = {r["id"]: r for r in tables["ways"].collect()}
+    assert ways[10]["refs"] == [1, 2, 3]
+    rel = tables["relations"].collect()[0]
+    assert rel["id"] == 100
+    assert [(m["mtype"], m["ref"], m["role"]) for m in rel["members"]] == [
+        ("way", 10, "outer"), ("node", 2, "stop"), ("relation", 101, ""),
+    ]
+    assert rel["tags"]["route"] == "bus"
