@@ -156,53 +156,106 @@ def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
     return a_s, b_s
 
 
+def _mix_constants(n: int, stream: int) -> list[int]:
+    """Deterministic odd 64-bit multipliers (splitmix64 of (stream, i))."""
+    out = []
+    for i in range(n):
+        x = ((stream << 32 | i) * 0x9E3779B97F4A7C15 + 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 31
+        out.append(x | 1)
+    return out
+
+
+def _make_shingle_kernel(shingle_n: int):
+    """Per-worker closure: text → np.uint64 array of DISTINCT shingle hashes.
+
+    Tokenization is identical to word_shingles (lowercase, [^a-z0-9]+ split,
+    empties removed).  Each distinct WORD is hashed once — 8-byte blake2b,
+    memoized across the Arrow batch and the (reused) worker's lifetime, a
+    big win under Zipfian vocabularies — and a shingle's hash is a fixed
+    odd-multiplier positional polynomial over its word hashes mod 2^64,
+    numpy-vectorized over all shingle positions at once; np.unique gives
+    the distinct set.  Collision odds per distinct-shingle pair are the
+    same order as hashing the shingle strings directly (~2⁻⁶⁴), and kernel
+    hashes are only ever compared to hashes from this same kernel, so set
+    cardinalities — and every Jaccard derived from them — match the
+    string-set semantics the oracles compute.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    token_re = re.compile(r"[^a-z0-9]+")
+    coef_ints = _mix_constants(shingle_n, stream=0x5173)
+    coef = np.array(coef_ints, dtype=np.uint64)
+    empty = np.array(
+        [int.from_bytes(hashlib.blake2b(b"", digest_size=8).digest(), "big")],
+        dtype=np.uint64,
+    )
+    cache: dict[str, int] = {}
+
+    def kernel(text: str | None) -> "np.ndarray":
+        words = [w for w in token_re.split((text or "").lower()) if w]
+        n = len(words)
+        if n == 0:
+            return empty
+        if len(cache) > (1 << 21):  # bound worker-lifetime memory
+            cache.clear()
+        wh = np.empty(n, dtype=np.uint64)
+        miss = cache.get
+        for i, w in enumerate(words):
+            h = miss(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                cache[w] = h
+            wh[i] = h
+        if n < shingle_n:
+            # whole text is the single shingle; prefix of the same polynomial
+            acc = 0
+            for i in range(n):
+                acc = (acc + coef_ints[i] * int(wh[i])) & 0xFFFFFFFFFFFFFFFF
+            return np.array([acc], dtype=np.uint64)
+        m = n - shingle_n + 1
+        acc = wh[:m] * coef[0]
+        for j in range(1, shingle_n):
+            acc = acc + wh[j : m + j] * coef[j]
+        return np.unique(acc)
+
+    return kernel
+
+
 def make_signature_udf(shingle_n: int = 3, num_hashes: int = 32):
     """Arrow-vectorized text→signature pandas_udf.
 
     The pure-column path (word_shingles → shingle_hashes → permutations)
     runs as interpreted higher-order functions — correct but ~3× slower on
     long documents because HOFs don't enter whole-stage codegen.  This UDF
-    does the same pipeline per Arrow batch: regex tokenize, 8-byte blake2b
-    per distinct shingle, then all permutations as one numpy matrix op.
-    Hash values differ from the column path (blake2b vs xxhash64) but
-    MinHash only ever compares signatures to each other, so the estimator
-    is unaffected.
+    runs the shared shingle kernel (memoized word hashes + one numpy
+    polynomial pass, see _make_shingle_kernel) then all permutations as one
+    numpy matrix op.  Hash values differ from the column path but MinHash
+    only ever compares signatures to each other, so the estimator is
+    unaffected.
     """
-    import hashlib
-    import re
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     a_s, b_s = _perm_constants(num_hashes)
     A = np.array(a_s, dtype=np.int64)[:, None]
     B = np.array(b_s, dtype=np.int64)[:, None]
-    token_re = re.compile(r"[^a-z0-9]+")
+    P = MINHASH_PRIME
+    kernel = _make_shingle_kernel(shingle_n)
 
     @pandas_udf("array<long>")
     def signature(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            words = [w for w in token_re.split((text or "").lower()) if w]
-            if len(words) < shingle_n:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_n])
-                    for i in range(len(words) - shingle_n + 1)
-                }
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    % MINHASH_PRIME
-                    for s in shingles
-                ),
-                dtype=np.int64,
-                count=len(shingles),
-            )
-            out.append(((A * hv + B) % MINHASH_PRIME).min(axis=1).tolist())
+            hv = (kernel(text) % np.uint64(P)).astype(np.int64)
+            out.append(((A * hv + B) % P).min(axis=1).tolist())
         return pd.Series(out)
 
     return signature
@@ -299,65 +352,88 @@ def _lsh_candidate_pairs(sig: DataFrame, bands: int, rows_per_band: int) -> Data
     )
 
 
+def _make_band_kernel(num_hashes: int, bands: int):
+    """Shared numpy step: distinct shingle hashes (uint64) → band hashes.
+
+    MinHash permutations as one matrix min, then each band's rows_per_band
+    signature values combined with a second odd-multiplier polynomial plus a
+    splitmix-style avalanche so band buckets hash-partition uniformly.  All
+    numpy — no per-band byte hashing.
+    """
+    import numpy as np
+
+    a_s, b_s = _perm_constants(num_hashes)
+    A = np.array(a_s, dtype=np.int64)[:, None]
+    B = np.array(b_s, dtype=np.int64)[:, None]
+    P = MINHASH_PRIME
+    rows_per_band = num_hashes // bands
+    BC = np.array(_mix_constants(rows_per_band, stream=0xBAD5), dtype=np.uint64)
+
+    def band_kernel(sh: "np.ndarray") -> "np.ndarray":
+        hv = (sh % np.uint64(P)).astype(np.int64)
+        sig = ((A * hv + B) % P).min(axis=1)
+        bh = (
+            sig[: bands * rows_per_band].reshape(bands, rows_per_band).astype(np.uint64)
+            * BC
+        ).sum(axis=1, dtype=np.uint64)
+        bh ^= bh >> np.uint64(30)
+        bh *= np.uint64(0xBF58476D1CE4E5B9)
+        bh ^= bh >> np.uint64(27)
+        return bh.view(np.int64)
+
+    return band_kernel
+
+
 def make_band_hash_udf(shingle_n: int = 3, num_hashes: int = 32, bands: int = 16):
     """Arrow-vectorized text→LSH band hashes (array<long>, length `bands`).
 
     For pipelines that only need the LSH *buckets* (the verified near-dup
     path recomputes exact Jaccard per candidate, so full signatures are
     never compared), this fuses tokenize→shingle-hash→permute→band-hash
-    into one numpy pass and emits `bands` longs per document instead of
+    into one numpy pass (shared shingle kernel: memoized word hashes +
+    positional polynomial) and emits `bands` longs per document instead of
     `num_hashes` — nothing else ever shuffles or persists.
     """
-    import hashlib
-    import re
-
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    a_s, b_s = _perm_constants(num_hashes)
-    A = np.array(a_s, dtype=np.int64)[:, None]
-    B = np.array(b_s, dtype=np.int64)[:, None]
-    rows_per_band = num_hashes // bands
-    token_re = re.compile(r"[^a-z0-9]+")
+    kernel = _make_shingle_kernel(shingle_n)
+    band_kernel = _make_band_kernel(num_hashes, bands)
 
     @pandas_udf("array<long>")
     def band_hashes(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            words = [w for w in token_re.split((text or "").lower()) if w]
-            if len(words) < shingle_n:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_n])
-                    for i in range(len(words) - shingle_n + 1)
-                }
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    % MINHASH_PRIME
-                    for s in shingles
-                ),
-                dtype=np.int64,
-                count=len(shingles),
-            )
-            sig = ((A * hv + B) % MINHASH_PRIME).min(axis=1)
-            out.append([
-                int.from_bytes(
-                    hashlib.blake2b(
-                        sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes(),
-                        digest_size=8,
-                    ).digest(),
-                    "big",
-                    signed=True,
-                )
-                for b in range(bands)
-            ])
-        return pd.Series(out)
+        return pd.Series([band_kernel(kernel(t)).tolist() for t in texts])
 
     return band_hashes
+
+
+def make_band_shingle_udf(shingle_n: int = 3, num_hashes: int = 32, bands: int = 16):
+    """Arrow-vectorized text → struct<bh: array<long>, sh: array<long>>.
+
+    One pass emits BOTH the LSH band hashes and the distinct shingle-hash
+    set.  The band kernel already derives the signature from the shingle
+    hashes, so computing them separately (band UDF over the corpus, then a
+    second text scan + shingle UDF over the verify candidates, as the
+    unfused path does) does the tokenize+hash work twice; fusing halves the
+    Python CPU and removes a whole UDF stage.  The trade is storage: the
+    persisted frame carries the shingle arrays (≈ tokenized corpus size)
+    instead of just `bands` longs/doc — see minhash_near_duplicates_verified
+    for when each wins.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    kernel = _make_shingle_kernel(shingle_n)
+    band_kernel = _make_band_kernel(num_hashes, bands)
+
+    @pandas_udf("struct<bh: array<long>, sh: array<long>>")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        bh_out, sh_out = [], []
+        for t in texts:
+            sh = kernel(t)
+            bh_out.append(band_kernel(sh).tolist())
+            sh_out.append(sh.view("int64").tolist())
+        return pd.DataFrame({"bh": bh_out, "sh": sh_out})
+
+    return encode
 
 
 def _pairs_from_band_hashes(
@@ -399,37 +475,19 @@ def make_shingle_hash_udf(shingle_n: int):
     """Arrow-vectorized text→sorted distinct shingle-hash array (array<long>).
 
     Same tokenization as make_signature_udf; each distinct shingle becomes
-    its 8-byte blake2b hash, so exact set intersection/union runs over
-    compact long arrays instead of wide string arrays (≈3× smaller shuffle,
-    and the set math stays JVM-side).  Hashed-set Jaccard equals string-set
-    Jaccard up to 64-bit collisions (~(|A|+|B|)²/2⁶⁵ per pair — negligible
-    and would surface as an oracle mismatch)."""
-    import hashlib
-    import re
-
+    an 8-byte hash (shared kernel: memoized blake2b word hashes + positional
+    polynomial), so exact set intersection/union runs over compact long
+    arrays instead of wide string arrays (≈3× smaller shuffle, and the set
+    math stays JVM-side).  Hashed-set Jaccard equals string-set Jaccard up
+    to 64-bit collisions (~(|A|+|B|)²/2⁶⁵ per pair — negligible and would
+    surface as an oracle mismatch)."""
     from pyspark.sql.functions import pandas_udf
 
-    token_re = re.compile(r"[^a-z0-9]+")
+    kernel = _make_shingle_kernel(shingle_n)
 
     @pandas_udf("array<long>")
     def shingle_hashes_arr(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            words = [w for w in token_re.split((text or "").lower()) if w]
-            if len(words) < shingle_n:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_n])
-                    for i in range(len(words) - shingle_n + 1)
-                }
-            out.append(sorted(
-                int.from_bytes(
-                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big", signed=True
-                )
-                for s in shingles
-            ))
-        return pd.Series(out)
+        return pd.Series([kernel(t).view("int64").tolist() for t in texts])
 
     return shingle_hashes_arr
 
@@ -484,6 +542,7 @@ def minhash_near_duplicates_verified(
     jaccard_threshold: float = 0.7,
     use_arrow: bool = True,
     max_bucket: int | None = None,
+    fused: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
 
@@ -495,7 +554,36 @@ def minhash_near_duplicates_verified(
     × 2 rows: a pair at jaccard j collides w.p. 1-(1-j²)¹⁶ — ≥0.99998 for
     j ≥ 0.7.  Skew note (100 TB): a shingle shared by k docs puts k rows in
     one band bucket; cap bucket size or salt hot buckets before the
-    self-join if the corpus is template-heavy."""
+    self-join if the corpus is template-heavy.
+
+    fused=True (default, Arrow path): ONE UDF pass emits band hashes AND the
+    shingle-hash set per doc; the band self-join still shuffles only
+    (id, band, hash) rows, and the verify join reads shingle arrays from the
+    persisted encoded frame — no second text scan, no candidate semi-join,
+    half the Python CPU.  The trade is that the persisted frame stores the
+    shingle arrays (≈ tokenized corpus size, MEMORY_AND_DISK) instead of
+    just `bands` longs/doc.  fused=False keeps the two-scan shape for
+    storage-constrained clusters: bands-only persist, then shingle hashes
+    recomputed for the (typically tiny) candidate subset only."""
+    if use_arrow and fused:
+        enc_udf = make_band_shingle_udf(shingle_n, num_hashes, bands)
+        enc = parallelize_for_udf(df).select(
+            F.col(id_col).alias("__id"), enc_udf(F.col(text_col)).alias("__e")
+        ).persist()  # band self-join reads it twice, verify join twice more
+        pairs = _pairs_from_band_hashes(
+            enc.select("__id", F.col("__e.bh").alias("__bh")), max_bucket=max_bucket
+        )
+        a = enc.select(F.col("__id").alias("id_a"), F.col("__e.sh").alias("sh_a"))
+        b = enc.select(F.col("__id").alias("id_b"), F.col("__e.sh").alias("sh_b"))
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+        common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+        exact = joined.select(
+            "id_a", "id_b", (common.cast("double") / union).alias("jaccard")
+        )
+        return attach_intermediates(
+            exact.filter(F.col("jaccard") >= jaccard_threshold), enc
+        )
     if use_arrow:
         # signatures are only consumed through their band hashes here, so the
         # fused UDF emits `bands` longs per doc and the 32-long signature
@@ -600,41 +688,22 @@ def make_simhash_udf(shingle_n: int = 2):
     The column-expression path (simhash64) re-traverses the shingle-hash
     array once per bit — 63 interpreted F.aggregate passes per document.
     This UDF computes all 64 bit-sums in ONE numpy pass per Arrow batch:
-    hash each distinct shingle to 8 bytes, expand to a (shingles × 64) ±1
-    matrix, column-sum, threshold.  Hash values differ from the column path
-    (blake2b vs xxhash64) but fingerprints are only ever compared to each
-    other, so the near-dup semantics are unchanged."""
-    import hashlib
-    import re
-
+    distinct shingle hashes from the shared kernel (memoized word hashes +
+    positional polynomial), expand to a (shingles × 64) ±1 matrix,
+    column-sum, threshold.  Hash values differ from the column path but
+    fingerprints are only ever compared to each other, so the near-dup
+    semantics are unchanged."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    token_re = re.compile(r"[^a-z0-9]+")
+    kernel = _make_shingle_kernel(shingle_n)
     shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf("long")
     def fingerprint(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            words = [w for w in token_re.split((text or "").lower()) if w]
-            if len(words) < shingle_n:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_n])
-                    for i in range(len(words) - shingle_n + 1)
-                }
-            hv = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                    )
-                    for s in shingles
-                ),
-                dtype=np.uint64,
-                count=len(shingles),
-            )
+            hv = kernel(text)
             bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             sums = (2 * bits - 1).sum(axis=0)
             fp = int(((sums[:63] > 0).astype(np.uint64) << shifts[:63]).sum())

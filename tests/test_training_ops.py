@@ -218,7 +218,8 @@ def test_release_intermediates_frees_operator_caches(spark):
     pairs = minhash_near_duplicates_verified(docs, "doc_id", "text")
     pairs.collect()
     handles = pairs._tegallega_persisted
-    assert len(handles) >= 3  # band hashes + candidate pairs + shingle sets
+    # fused path: one encoded frame (band hashes + shingle sets together)
+    assert len(handles) >= 1
     assert all(h.is_cached for h in handles)
     assert release_intermediates(pairs) == len(handles)
     assert not any(h.is_cached for h in handles)
