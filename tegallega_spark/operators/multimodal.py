@@ -131,7 +131,9 @@ def decode_png(payload: bytes) -> "np.ndarray":
             pass
         elif ftype == 1:  # Sub
             for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+                # int() avoids a uint8-overflow RuntimeWarning; & 0xFF is the
+                # PNG spec's mod-256 reconstruction either way
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ftype == 2:  # Up
             line += prev
         elif ftype == 3:  # Average

@@ -91,7 +91,11 @@ def sessionize(
     cumulative sum = session id.  The standard two-window formulation."""
     w = Window.partitionBy(key).orderBy(ts_col)
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # unix_timestamp handles TIMESTAMP and TIMESTAMP_NTZ alike; cast("long")
+    # on NTZ is an ANSI type error under Spark 4.
+    gap = F.unix_timestamp(F.col(ts_col)) - F.lag(
+        F.unix_timestamp(F.col(ts_col))
+    ).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return events.withColumn("__new", new_sess).withColumn(
         "session_id", F.sum("__new").over(frame)

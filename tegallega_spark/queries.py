@@ -677,7 +677,10 @@ def q22(spark, sf_dir):
     expressed windowed; the truly stateful variant is q41)."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp works for both TIMESTAMP and TIMESTAMP_NTZ (the driver's
+    # parquet reads as NTZ under Spark 4's inferTimestampNTZ); a direct
+    # cast("long") on NTZ is an ANSI error. Session tz is pinned UTC.
+    gap = F.unix_timestamp(F.col("ts")) - F.lag(F.unix_timestamp(F.col("ts"))).over(w)
     flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("new_sess", flag)

@@ -18,18 +18,39 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) → read as long
-# (spark.sql.legacy.parquet.nanosAsLong) and convert, same as the batch path.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# The streaming source needs an explicit schema, and the right one depends
+# on how the events parquet stores `ts`: TIMESTAMP(NANOS) (older driver
+# generations — Spark's vectorized reader rejects it, so read raw int64
+# nanos and convert) vs TIMESTAMP(MICROS) (current generations — read as a
+# timestamp directly).  _events_schema probes one file's footer to decide,
+# mirroring what the batch path (session.load_table) does by dtype check.
+
+
+def _events_schema(sample_file: str):
+    """(schema, needs_nanos_conversion) chosen from the parquet footer."""
+    from pyspark.sql.types import TimestampNTZType
+
+    unit = "us"
+    try:
+        import pyarrow.parquet as pq
+
+        unit = pq.read_schema(sample_file).field("ts").type.unit
+    except Exception:
+        pass
+    ts_type = LongType() if unit == "ns" else TimestampNTZType()
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", ts_type),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        unit == "ns",
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -37,15 +58,29 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     files (production layout) or a single file (test fixture) — a file is
     turned into (parent dir + glob filter) since the streaming source
     requires a directory."""
+    import glob
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", 8)
+    if os.path.isfile(path):
+        sample = path
+    else:
+        found = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        sample = found[0] if found else path
+    schema, from_nanos = _events_schema(sample)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if from_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks demand TIMESTAMP (LTZ); under the pinned-UTC session
+        # the NTZ→LTZ cast is value-identical
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
