@@ -1,0 +1,104 @@
+"""SemDeDup-style semantic dedup (operators/semdedup.py).
+
+Contract mirrors the other near-dup families: approximate blocking +
+exact verification, pinned against exact all-pairs where the blocking is
+degenerate (k_clusters=1) and against planted duplicates where it isn't.
+"""
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from tegallega_spark.operators.semdedup import semantic_dedup, semantic_pairs
+from tegallega_spark.operators.similarity import cosine
+from tegallega_spark.session import load_table, release_intermediates
+
+
+def _exact_pairs(df, min_cosine):
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")).alias("c"),
+        )
+        .filter(F.col("c") >= min_cosine)
+        .collect()
+    }
+
+
+def test_single_cluster_matches_exact_all_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    got_df = semantic_pairs(
+        emb, min_cosine=0.3, k_clusters=1, max_cluster=10**6
+    )
+    got = {(r.id_a, r.id_b) for r in got_df.collect()}
+    release_intermediates(got_df)
+    want = _exact_pairs(emb, 0.3)
+    assert got == want
+    assert want, "threshold too strict — test would be vacuous"
+
+
+def _planted(spark, n_groups=30, copies=3, dim=16, noise=1e-3, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_groups):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for c in range(copies):
+            v = base + noise * rng.standard_normal(dim)
+            rows.append((g * copies + c, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_planted_duplicates_all_found_and_one_keeper_per_group(spark):
+    df = _planted(spark)
+    pairs_df = semantic_pairs(df, min_cosine=0.999, k_clusters=8, seed=1)
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    release_intermediates(pairs_df)
+    # near-identical copies always share a k-means cell → full recall
+    for g in range(30):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        group_pairs = {(a, b) for a in ids for b in ids if a < b}
+        assert group_pairs <= pairs, f"group {g} pairs missing"
+    # no cross-group false positives at this threshold
+    assert all(a // 3 == b // 3 for a, b in pairs)
+
+    kept = semantic_dedup(df, min_cosine=0.999, k_clusters=8, seed=1)
+    ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    assert ids == [g * 3 for g in range(30)]  # min id of each group
+
+
+def test_hot_cluster_star_guard_bounds_pairs(spark):
+    # 400 identical vectors: one cluster whatever k is; all-pairs would be
+    # ~80k pairs, the star guard emits exactly n-1 and still collapses the
+    # whole set to one keeper.
+    n = 400
+    v = [float(x) for x in np.ones(8) / np.sqrt(8)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    pairs_df = semantic_pairs(
+        df, min_cosine=0.99, k_clusters=2, max_cluster=50
+    )
+    pairs = pairs_df.collect()
+    release_intermediates(pairs_df)
+    assert len(pairs) == n - 1
+    assert {r.id_a for r in pairs} == {0}
+
+    kept = semantic_dedup(df, min_cosine=0.99, k_clusters=2, max_cluster=50)
+    assert kept.count() == 1
+
+
+def test_release_frees_cached_cluster_assignment(spark):
+    df = _planted(spark, n_groups=5)
+    pairs_df = semantic_pairs(df, min_cosine=0.999, k_clusters=2)
+    pairs_df.collect()
+    handles = getattr(pairs_df, "_tegallega_persisted", [])
+    assert handles and all(h.is_cached for h in handles)
+    release_intermediates(pairs_df)
+    assert all(not h.is_cached for h in handles)
