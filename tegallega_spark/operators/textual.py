@@ -8,7 +8,7 @@ whole-stage codegen over the parquet scan with zero Python involvement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -203,4 +203,67 @@ def repetition_stats(
         F.col(id_col),
         r4(1.0 - F.col("__nd") / F.col("__total")).alias("dup_ngram_frac"),
         r4(F.col("__top") / F.col("__total")).alias("top_ngram_frac"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frequency: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Cross-document line-level dedup (the C4/CCNet boilerplate cut):
+    drop every line whose TRIMMED form appears in more than
+    `max_doc_frequency` distinct documents — navigation menus, cookie
+    banners, footers — and reassemble each document with its surviving
+    lines in original order.  Lines shorter than `min_line_chars` after
+    trimming (blank lines, lone punctuation) are exempt: they are
+    universal, not boilerplate.
+
+    Returns df with `text_col` replaced (docs may become empty strings).
+
+    Scale shape: explode to (doc, pos, line_hash) — the only payload the
+    frequency agg and semi-join ever shuffle is an 8-byte xxhash64, not
+    the line text; the distinct-doc count is a two-level map-side-partial
+    aggregate on the hash; the blocked-hash set (boilerplate is by
+    definition a tiny fraction of distinct lines) broadcasts back as a
+    left_anti join; one final groupBy(doc) rebuilds the text.  Total: two
+    narrow shuffles keyed on line-hash + one keyed on doc id —
+    proportional to corpus line count, no hot keys (a hash shared by
+    millions of docs appears once per doc in the agg input but
+    map-side-combines before the exchange).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+    eligible = F.length("__t") >= min_line_chars
+    hashed = lines.withColumn(
+        "__h", F.when(eligible, F.xxhash64("__t")).otherwise(F.lit(None))
+    )
+    blocked = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct("__doc").alias("__df"))
+        .filter(F.col("__df") > max_doc_frequency)
+        .select("__h")
+    )
+    kept = hashed.join(blocked, "__h", "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            *others,
+            F.coalesce("__new_text", F.lit("")).alias(text_col),
+        )
     )

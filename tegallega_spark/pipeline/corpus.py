@@ -53,6 +53,7 @@ def clean_corpus(
     dedup_strategy: str = "auto",
     max_shingle_df: int | None = 1000,
     exact_dedup_limit: int = 20_000,
+    line_dedup_max_df: int | None = None,
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -70,7 +71,20 @@ def clean_corpus(
                   hot-bucket caps, identical output contract);
     - 'auto'    — exact below `exact_dedup_limit` surviving docs (one
                   cheap count of the post-filter corpus), minhash above.
+
+    `line_dedup_max_df` (opt-in): before any scoring, strip lines that
+    appear in more than this many distinct documents
+    (textual.remove_boilerplate_lines — the C4/CCNet boilerplate cut).
     """
+    # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
+    # text BEFORE anything scores or shingles it, so boilerplate lines
+    # don't depress quality scores or glue unrelated docs into near-dup
+    # pairs.  Opt-in (costs one extra pass over the corpus).
+    if line_dedup_max_df is not None:
+        docs = TXT.remove_boilerplate_lines(
+            docs, id_col, text_col, max_doc_frequency=line_dedup_max_df
+        )
+
     # 1. quality + repetition gate (scan-side)
     scored = docs.withColumn("quality", TXT.quality_score(F.col(text_col)))
     rep = TXT.repetition_stats(docs, id_col, text_col, n=2)

@@ -103,3 +103,41 @@ def test_clean_corpus_drops_near_duplicates(spark):
         a, b = p.id_a, p.id_b
         # the non-canonical twin of every near-dup pair must be gone
         assert not (a in out_ids and b in out_ids), (a, b)
+
+
+def test_clean_corpus_line_dedup_stage(spark):
+    banner = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
+    body = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs said the jovial wizard",
+        "sphinx of black quartz judge my vow under the bright autumn moon",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{banner}\n{body[i]}", "en") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    # without line dedup the shared banner makes docs near-dups of each
+    # other at a low threshold; with it, all three unique bodies survive
+    out = clean_corpus(
+        docs,
+        min_quality=0.0,
+        max_dup_ngram_frac=1.0,
+        jaccard_threshold=0.15,
+        shingle_n=2,
+        line_dedup_max_df=2,
+        pack_budget=256,
+        n_shards=2,
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 1, 2]
+
+    out_nodedup = clean_corpus(
+        docs,
+        min_quality=0.0,
+        max_dup_ngram_frac=1.0,
+        jaccard_threshold=0.15,
+        shingle_n=2,
+        pack_budget=256,
+        n_shards=2,
+    )
+    assert out_nodedup.count() < 3  # the banner glued them together

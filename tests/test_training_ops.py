@@ -224,3 +224,84 @@ def test_release_intermediates_frees_operator_caches(spark):
     assert release_intermediates(pairs) == len(handles)
     assert not any(h.is_cached for h in handles)
     assert release_intermediates(pairs) == 0  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines (C4/CCNet-style cross-document line dedup)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_lines_removed_order_preserved(spark):
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+
+    banner = "Subscribe to our newsletter today!"
+    docs = [
+        (1, f"{banner}\nunique alpha content line\nshared tail line here"),
+        (2, f"{banner}\nunique beta content line\nshared tail line here"),
+        (3, f"{banner}\nunique gamma content line\nshared tail line here"),
+        (4, "totally original document line"),
+        # short lines are exempt however common
+        (5, "ok\nunique delta content line\nok"),
+        (6, "ok\nunique epsilon content line"),
+        (7, "ok\nunique zeta content line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            df, max_doc_frequency=2, min_line_chars=5
+        ).collect()
+    }
+    # banner (3 docs) and shared tail (3 docs) exceed max_df=2 → dropped
+    assert out[1] == "unique alpha content line"
+    assert out[2] == "unique beta content line"
+    assert out[3] == "unique gamma content line"
+    assert out[4] == "totally original document line"
+    # "ok" is below min_line_chars → kept in all docs, order preserved
+    assert out[5] == "ok\nunique delta content line\nok"
+    assert out[6] == "ok\nunique epsilon content line"
+    assert out[7] == "ok\nunique zeta content line"
+
+
+def test_boilerplate_line_dedup_matches_duckdb(spark, sf_dir):
+    """Same semantics in DuckDB SQL over the documents table — falsifiable
+    parity for the blocked-line selection AND the reassembled text."""
+    import duckdb
+
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+    from tegallega_spark.session import load_table, table_path
+
+    max_df, min_chars = 1, 10
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            docs, max_doc_frequency=max_df, min_line_chars=min_chars
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+    )
+    want = dict(
+        con.execute(
+            f"""
+            WITH lines AS (
+              SELECT doc_id, pos, line, trim(line) AS t
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                    FROM documents)),
+            blocked AS (
+              SELECT t FROM lines WHERE length(t) >= {min_chars}
+              GROUP BY t HAVING count(DISTINCT doc_id) > {max_df}),
+            kept AS (
+              SELECT doc_id, pos, line FROM lines
+              WHERE length(t) < {min_chars} OR t NOT IN (SELECT t FROM blocked))
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+                             FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+            FROM documents d
+            """
+        ).fetchall()
+    )
+    assert got == want
