@@ -186,3 +186,38 @@ def test_shuffled_shards_plan_is_one_hash_exchange(spark):
     assert "hashpartitioning(__shard" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_boilerplate_line_dedup_shuffles_hashes_not_text(spark):
+    """The frequency agg and the blocked-set join must key on the 8-byte
+    line hash; the only plan node allowed to carry the line TEXT through
+    an exchange is the final per-doc rebuild."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = plan_of(remove_boilerplate_lines(docs))
+    # frequency aggregate is two-phase (map-side partial on __h)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    # the blocked set comes back as a broadcast or shuffled-hash semi/anti —
+    # never a nested loop over the corpus
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):
+    """Within-cluster pair search must be an equi-join on the cluster id —
+    a cartesian / nested loop would mean the blocking key got lost."""
+    import numpy as np
+
+    from tegallega_spark.operators.semdedup import semantic_pairs
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(semantic_pairs(df, k_clusters=4, min_cosine=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
