@@ -34,6 +34,8 @@ dropping the bucket)."""
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -45,6 +47,68 @@ from tegallega_spark.session import attach_intermediates
 __all__ = ["semantic_pairs", "semantic_dedup"]
 
 
+def _probe_cells_udf(centroids: list[list[float]], probes: int):
+    """Arrow-vectorized vector → its `probes` nearest centroid ids.
+    One numpy matmul per batch against the (tiny, closure-captured)
+    centroid matrix — the same shape as similarity.make_bucket_udf."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c2 = (C * C).sum(axis=1)
+    # KMeans may converge to fewer distinct centers than k (e.g. identical
+    # inputs) — never ask for more probes than centers exist
+    p = min(probes, C.shape[0])
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        # squared distance up to the per-row |x|² constant — rank-invariant
+        d2 = c2[None, :] - 2.0 * (X @ C.T)
+        if p >= d2.shape[1]:
+            idx = np.argsort(d2, axis=1)
+        else:
+            idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+        # order within the probe set by actual distance (stable output)
+        ordered = np.take_along_axis(
+            idx, np.argsort(np.take_along_axis(d2, idx, 1), axis=1), axis=1
+        )
+        return pd.Series([row.tolist() for row in ordered])
+
+    return probe
+
+
+def _cell_pairs_kernel(threshold: float):
+    """applyInPandas kernel: one cell's vectors → above-threshold pairs.
+    Pairwise cosine = normalized-row matmul; upper triangle only; ids
+    ordered id_a < id_b."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors → cosine 0, not NaN
+        Xn = X / norms
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(n, k=1)
+        sims = S[iu, ju]
+        keep = sims >= threshold
+        ids = pdf["__id"].to_numpy()
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": sims[keep]}
+        )
+
+    return fn
+
+
 def semantic_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -53,66 +117,88 @@ def semantic_pairs(
     k_clusters: int = 16,
     seed: int = 42,
     max_cluster: int = 4096,
+    probes: int = 2,
 ) -> DataFrame:
     """Verified near-duplicate pairs (id_a, id_b, cos_sim) with
-    cos_sim >= min_cosine, searched within k-means clusters only.
+    cos_sim >= min_cosine, searched within k-means cells only.
+
+    `probes` is the boundary-recall knob: each vector blocks into its
+    `probes` nearest centroids' cells (FAISS-style multi-probe), so two
+    near-identical vectors that land on opposite sides of a k-means
+    boundary still share their second-choice cell.  probes=1 is the
+    plain SemDeDup assignment; the scale race (scripts/stress_semdedup.py)
+    measured it missing ~0.3% of planted pairs at N=8k, which probes=2
+    recovers for ~2× candidate work.
 
     k_clusters=1 + max_cluster >= N degenerates to exact all-pairs — the
     oracle-parity configuration the tests pin."""
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if k_clusters == 1:
         # degenerate blocking (exact all-pairs); pyspark.ml KMeans needs k>=2
-        assigned = base.withColumn("ivf_list", F.lit(0)).persist()
+        cells = base.withColumn("__cell", F.lit(0)).persist()
+        handle = cells
     else:
         ivf = train_ivf_index(base, vec_col="__v", k=k_clusters, seed=seed)
-        assigned = ivf.assigned  # (__id, __v, ivf_list), persisted by IVFIndex
+        handle = ivf.assigned  # persisted by IVFIndex
+        p = min(probes, k_clusters)
+        if p <= 1:
+            cells = handle.withColumnRenamed("ivf_list", "__cell")
+        else:
+            probe = _probe_cells_udf(ivf.centroids, p)
+            cells = handle.drop("ivf_list").withColumn(
+                "__cell", F.explode(probe(F.col("__v")))
+            )
 
-    sizes = assigned.groupBy("ivf_list").agg(F.count("*").alias("__csize"))
-    tagged = assigned.join(F.broadcast(sizes), "ivf_list")
+    sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+    tagged = cells.join(F.broadcast(sizes), "__cell")
 
-    # normal clusters: exact all-pairs within the cluster
+    # normal cells: all pairwise cosines per cell as ONE BLAS matmul inside
+    # applyInPandas, emitting only rows >= threshold.  An earlier version
+    # expanded candidates as a self-join and scored each row with the
+    # interpreted F.aggregate cosine — correct, but the race script
+    # measured it ~50× slower than DuckDB's native loop at N=8k: a cell of
+    # c vectors is c²/2 interpreted 64-element folds as join ROWS, versus
+    # microseconds as a (c×d)@(d×c) matmul.  Pair blowup is impossible by
+    # construction (cells are capped at max_cluster).
     small = tagged.filter(F.col("__csize") <= max_cluster)
-    sa = small.select(
-        "ivf_list", F.col("__id").alias("id_a"), F.col("__v").alias("vec_a")
-    )
-    sb = small.select(
-        "ivf_list", F.col("__id").alias("id_b"), F.col("__v").alias("vec_b")
-    )
-    pairs_small = (
-        sa.join(sb, "ivf_list")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+    pairs_small = small.select("__cell", "__id", "__v").groupBy("__cell").applyInPandas(
+        _cell_pairs_kernel(min_cosine), "id_a long, id_b long, cos_sim double"
     )
 
-    # oversized clusters: star against the min-id representative
+    # oversized cells: star against the min-id representative — O(cell)
+    # rows, scored with the same vectorized cosine
     big = tagged.filter(F.col("__csize") > max_cluster)
     reps = (
-        big.groupBy("ivf_list")
+        big.groupBy("__cell")
         .agg(F.min("__id").alias("id_a"))
         .join(
             big.select(
-                "ivf_list", F.col("__id").alias("id_a"), F.col("__v").alias("vec_a")
+                "__cell", F.col("__id").alias("id_a"), F.col("__v").alias("vec_a")
             ),
-            ["ivf_list", "id_a"],
+            ["__cell", "id_a"],
         )
     )
     pairs_big = (
-        big.select("ivf_list", F.col("__id").alias("id_b"), F.col("__v").alias("vec_b"))
-        .join(F.broadcast(reps), "ivf_list")
+        big.select("__cell", F.col("__id").alias("id_b"), F.col("__v").alias("vec_b"))
+        .join(F.broadcast(reps), "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(
+                F.col("vec_a").cast("array<double>"),
+                F.col("vec_b").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
     )
 
-    scored = pairs_small.unionByName(pairs_big).select(
-        "id_a",
-        "id_b",
-        cosine(
-            F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
-        ).alias("cos_sim"),
-    )
-    return attach_intermediates(
-        scored.filter(F.col("cos_sim") >= min_cosine), assigned
-    )
+    scored = pairs_small.unionByName(pairs_big)
+    # multi-probe can produce the same pair from two shared cells (scored
+    # identically in each) — keep one
+    if k_clusters > 1 and min(probes, k_clusters) > 1:
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+    return attach_intermediates(scored, handle)
 
 
 def semantic_dedup(
@@ -123,13 +209,14 @@ def semantic_dedup(
     k_clusters: int = 16,
     seed: int = 42,
     max_cluster: int = 4096,
+    probes: int = 2,
 ) -> DataFrame:
     """Rows of `df` that survive semantic dedup: from every connected
     component of the verified pair graph, the min-id member is kept.
     One left-anti join against the (small) non-canonical set — the corpus
     itself is never shuffled."""
     pairs = semantic_pairs(
-        df, id_col, vec_col, min_cosine, k_clusters, seed, max_cluster
+        df, id_col, vec_col, min_cosine, k_clusters, seed, max_cluster, probes
     )
     assign = dedup_cluster_assignments(pairs, "id_a", "id_b")
     dupes = assign.filter(F.col("doc_id") != F.col("cluster_id")).select(
