@@ -98,12 +98,11 @@ def run_spark(spark, path: str, n: int) -> tuple[float, set[tuple[int, int]]]:
     from tegallega_spark.operators.semdedup import semantic_pairs
     from tegallega_spark.session import release_intermediates
 
-    k = max(2, n // 500)  # SemDeDup recipe: k ∝ N, ~500 vectors/cluster
+    # no explicit k: the operator's auto_k_clusters default (k ∝ N,
+    # target_cell_size=512) must be exact on its own
     t0 = time.perf_counter()
     df = spark.read.parquet(path)
-    pairs_df = semantic_pairs(
-        df, min_cosine=THRESHOLD, k_clusters=k, seed=3, max_cluster=4096
-    )
+    pairs_df = semantic_pairs(df, min_cosine=THRESHOLD, seed=3, max_cluster=4096)
     pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     dt = time.perf_counter() - t0
     release_intermediates(pairs_df)

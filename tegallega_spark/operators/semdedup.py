@@ -34,6 +34,9 @@ dropping the bucket)."""
 
 from __future__ import annotations
 
+import math
+import warnings
+
 import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 
 import pyspark.sql.functions as F
@@ -44,7 +47,18 @@ from tegallega_spark.operators.ivf import train_ivf_index
 from tegallega_spark.operators.similarity import cosine
 from tegallega_spark.session import attach_intermediates
 
-__all__ = ["semantic_pairs", "semantic_dedup"]
+__all__ = ["semantic_pairs", "semantic_dedup", "auto_k_clusters"]
+
+
+def auto_k_clusters(n: int, target_cell_size: int = 512) -> int:
+    """SemDeDup's own scaling rule, k ∝ N: enough clusters that the
+    EXPECTED cell holds ~target_cell_size vectors, so per-cell quadratic
+    work stays constant as the corpus grows.  A fixed k is the scale trap:
+    at 100 TB every cell blows past max_cluster and the operator silently
+    degrades to all-star linking (recall collapses to similarity-to-the-
+    representative).  512 matches the stress race's measured sweet spot
+    (~500 vectors/cluster, scripts/stress_semdedup.py)."""
+    return max(1, math.ceil(n / target_cell_size))
 
 
 def _probe_cells_udf(centroids: list[list[float]], probes: int):
@@ -114,13 +128,21 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    k_clusters: int = 16,
+    k_clusters: int | None = None,
     seed: int = 42,
     max_cluster: int = 4096,
     probes: int = 2,
+    target_cell_size: int = 512,
+    warn_star_fraction: float | None = 0.25,
 ) -> DataFrame:
     """Verified near-duplicate pairs (id_a, id_b, cos_sim) with
     cos_sim >= min_cosine, searched within k-means cells only.
+
+    `k_clusters=None` (default) sizes the blocking to the corpus:
+    auto_k_clusters(count, target_cell_size) — one cheap parquet
+    count() buys the k ∝ N scaling the method requires.  Pass an
+    explicit k only to pin a specific configuration (k=1 degenerates
+    to exact all-pairs — the oracle-parity configuration the tests pin).
 
     `probes` is the boundary-recall knob: each vector blocks into its
     `probes` nearest centroids' cells (FAISS-style multi-probe), so two
@@ -130,9 +152,21 @@ def semantic_pairs(
     measured it missing ~0.3% of planted pairs at N=8k, which probes=2
     recovers for ~2× candidate work.
 
-    k_clusters=1 + max_cluster >= N degenerates to exact all-pairs — the
-    oracle-parity configuration the tests pin."""
+    `max_cluster` is measured in PROBE-INFLATED rows — the per-cell row
+    count the pairwise kernel would actually receive, which is what the
+    O(cell²) work bound must cap.  With probes=p a cell holding
+    max_cluster visitors may have as few as ~max_cluster/p primary
+    members; such a cell star-links earlier than its true population
+    alone would suggest (a recall trade on top of the documented
+    hot-cluster case).  When more than `warn_star_fraction` of all
+    blocked rows land in star-linked cells, a warning is emitted (one
+    tiny aggregate over the persisted assignment) — on a healthy corpus
+    with auto-k the fraction is ~0; a high value means the blocking is
+    too coarse (raise k / lower target_cell_size) or the corpus is
+    template spam.  None disables the check."""
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if k_clusters is None:
+        k_clusters = auto_k_clusters(df.count(), target_cell_size)
     if k_clusters == 1:
         # degenerate blocking (exact all-pairs); pyspark.ml KMeans needs k>=2
         cells = base.withColumn("__cell", F.lit(0)).persist()
@@ -150,6 +184,25 @@ def semantic_pairs(
             )
 
     sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+    if warn_star_fraction is not None and k_clusters > 1:
+        # one tiny agg over the persisted assignment (KMeans already ran
+        # eagerly, so this adds a cache-backed job, not a corpus rescan):
+        # the probe-inflated row share landing in star-linked cells
+        tot, star = sizes.agg(
+            F.sum("__csize"),
+            F.sum(F.when(F.col("__csize") > max_cluster, F.col("__csize"))),
+        ).first()
+        frac = (star or 0) / tot if tot else 0.0
+        if frac > warn_star_fraction:
+            warnings.warn(
+                f"semantic_pairs: {frac:.0%} of blocked rows fall in cells "
+                f"larger than max_cluster={max_cluster} and will STAR-link "
+                "(pair recall degrades to similarity-to-representative in "
+                f"those cells). k_clusters={k_clusters} is too coarse for "
+                "this corpus — raise it (or lower target_cell_size), or "
+                "raise max_cluster if the quadratic work is acceptable.",
+                stacklevel=2,
+            )
     tagged = cells.join(F.broadcast(sizes), "__cell")
 
     # normal cells: all pairwise cosines per cell as ONE BLAS matmul inside
@@ -206,20 +259,25 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    k_clusters: int = 16,
+    k_clusters: int | None = None,
     seed: int = 42,
     max_cluster: int = 4096,
     probes: int = 2,
+    target_cell_size: int = 512,
+    warn_star_fraction: float | None = 0.25,
 ) -> DataFrame:
     """Rows of `df` that survive semantic dedup: from every connected
     component of the verified pair graph, the min-id member is kept.
     One left-anti join against the (small) non-canonical set — the corpus
-    itself is never shuffled."""
+    itself is never shuffled.  The persisted cluster assignment rides out
+    on the result (attach_intermediates) so callers can
+    release_intermediates(result) once their action has run."""
     pairs = semantic_pairs(
-        df, id_col, vec_col, min_cosine, k_clusters, seed, max_cluster, probes
+        df, id_col, vec_col, min_cosine, k_clusters, seed, max_cluster,
+        probes, target_cell_size, warn_star_fraction,
     )
     assign = dedup_cluster_assignments(pairs, "id_a", "id_b")
     dupes = assign.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(dupes, id_col, "left_anti")
+    return attach_intermediates(df.join(dupes, id_col, "left_anti"), pairs)

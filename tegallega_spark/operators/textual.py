@@ -221,7 +221,10 @@ def remove_boilerplate_lines(
     trimming (blank lines, lone punctuation) are exempt: they are
     universal, not boilerplate.
 
-    Returns df with `text_col` replaced (docs may become empty strings).
+    Returns df with `text_col` replaced.  NULL text stays NULL (split on
+    NULL explodes to zero rows, so the rebuild misses the doc; the final
+    select restores the NULL rather than normalizing it to '').  A
+    non-NULL doc whose every line is blocked becomes the empty string.
 
     Scale shape: explode to (doc, pos, line_hash) — the only payload the
     frequency agg and semi-join ever shuffle is an 8-byte xxhash64, not
@@ -249,7 +252,11 @@ def remove_boilerplate_lines(
         .filter(F.col("__df") > max_doc_frequency)
         .select("__h")
     )
-    kept = hashed.join(blocked, "__h", "left_anti")
+    # explicit broadcast: the scale argument above DEPENDS on the blocked
+    # set broadcasting — without the hint a mis-estimated size (or a
+    # lowered AQE threshold) would silently turn this into a full
+    # sort-merge shuffle of every line hash in the corpus
+    kept = hashed.join(F.broadcast(blocked), "__h", "left_anti")
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(
@@ -264,6 +271,8 @@ def remove_boilerplate_lines(
         df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
         .select(
             *others,
-            F.coalesce("__new_text", F.lit("")).alias(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__new_text", F.lit("")))
+            .alias(text_col),
         )
     )

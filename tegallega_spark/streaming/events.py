@@ -27,17 +27,35 @@ from pyspark.sql.types import (
 
 
 def _events_schema(sample_file: str):
-    """(schema, needs_nanos_conversion) chosen from the parquet footer."""
+    """(schema, needs_nanos_conversion) chosen from the parquet footer.
+
+    Raises with an actionable message when the footer cannot be probed —
+    a silently-assumed unit would build the stream with the wrong schema
+    and fail far downstream with an opaque vectorized-reader error.
+    A mixed-generation directory (some NANOS files, some MICROS) is
+    schema'd from the single probed file and is NOT supported; regenerate
+    or split such a directory."""
     from pyspark.sql.types import TimestampNTZType
 
-    unit = "us"
     try:
         import pyarrow.parquet as pq
-
-        unit = pq.read_schema(sample_file).field("ts").type.unit
-    except Exception:
-        pass
-    ts_type = LongType() if unit == "ns" else TimestampNTZType()
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise RuntimeError(
+            "read_events_stream needs pyarrow to probe the events parquet "
+            "timestamp unit (NANOS vs MICROS); the streaming source cannot "
+            "safely assume one"
+        ) from e
+    try:
+        ts_arrow = pq.read_schema(sample_file).field("ts").type
+    except (OSError, KeyError) as e:
+        raise RuntimeError(
+            f"cannot probe the parquet footer of {sample_file!r} for the "
+            f"events timestamp unit: {e}"
+        ) from e
+    # TIMESTAMP(NANOS) — and raw-int64 nanos from the oldest generation —
+    # must be read as long + converted; everything else reads as timestamp
+    is_nanos = getattr(ts_arrow, "unit", None) == "ns" or str(ts_arrow) == "int64"
+    ts_type = LongType() if is_nanos else TimestampNTZType()
     return (
         StructType(
             [
@@ -49,7 +67,7 @@ def _events_schema(sample_file: str):
                 StructField("props", StringType()),
             ]
         ),
-        unit == "ns",
+        is_nanos,
     )
 
 
@@ -64,8 +82,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isfile(path):
         sample = path
     else:
-        found = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        sample = found[0] if found else path
+        # recursive: partitioned/nested layouts keep their files below
+        # key=value subdirectories, not at the top level
+        found = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not found:
+            raise FileNotFoundError(
+                f"read_events_stream: no *.parquet files under {path!r} "
+                "(searched recursively) — cannot probe the timestamp unit"
+            )
+        sample = found[0]
     schema, from_nanos = _events_schema(sample)
     if from_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -206,6 +206,22 @@ def test_boilerplate_line_dedup_shuffles_hashes_not_text(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_boilerplate_anti_join_is_broadcast(spark):
+    """The blocked-hash set must BROADCAST back for the anti join — a
+    SortMergeJoin on __h would shuffle every line hash in a 100 TB corpus.
+    Pinned (not left to AQE estimation) because the operator's scale
+    contract depends on it."""
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = plan_of(remove_boilerplate_lines(docs), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all("BroadcastHashJoin" in ln for ln in anti_lines)
+    assert "SortMergeJoin" not in plan
+
+
 def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):
     """Within-cluster pair search must be an equi-join on the cluster id —
     a cartesian / nested loop would mean the blocking key got lost."""

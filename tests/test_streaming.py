@@ -67,3 +67,28 @@ def test_dedup_stream_drops_replayed_files(spark, sf_dir, tmp_path):
     got_ids = [r.event_id for r in got]
     assert len(got_ids) == len(set(got_ids)) == len(want_ids)
     assert set(got_ids) == want_ids
+
+
+def test_schema_probe_fails_loudly_on_empty_dir(spark, tmp_path):
+    """An empty/parquet-less directory must raise a clear error up front,
+    not silently assume MICROS and die downstream (ADVICE r3)."""
+    import pytest
+
+    empty = tmp_path / "empty_feed"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no \\*.parquet files"):
+        read_events_stream(spark, str(empty))
+
+
+def test_schema_probe_finds_nested_parquet(spark, sf_dir, tmp_path):
+    """Partitioned-style layout (files under a subdirectory) must probe
+    recursively — the old top-level-only glob found nothing and guessed."""
+    import shutil
+
+    feed = tmp_path / "feed"
+    nested = feed / "date=2026-01-01"
+    nested.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", nested / "part-0.parquet")
+    stream = read_events_stream(spark, str(feed))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"

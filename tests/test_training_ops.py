@@ -262,6 +262,28 @@ def test_boilerplate_lines_removed_order_preserved(spark):
     assert out[7] == "ok\nunique zeta content line"
 
 
+def test_boilerplate_lines_null_text_stays_null(spark):
+    """NULL in, NULL out — not ''.  A fully-blocked non-NULL doc IS ''
+    (the two cases must stay distinguishable downstream)."""
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+
+    banner = "this exact banner line repeats everywhere"
+    docs = [
+        (1, banner),
+        (2, banner),
+        (3, None),
+        (4, f"{banner}\nsurviving unique line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(df, max_doc_frequency=1).collect()
+    }
+    assert out[1] == "" and out[2] == ""  # fully blocked → empty string
+    assert out[3] is None  # NULL preserved
+    assert out[4] == "surviving unique line"
+
+
 def test_boilerplate_line_dedup_matches_duckdb(spark, sf_dir):
     """Same semantics in DuckDB SQL over the documents table — falsifiable
     parity for the blocked-line selection AND the reassembled text."""
