@@ -2,11 +2,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-     "secondary": {"sf": "0.1x4", "value": N, "queries": {...}}}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "spread": {...}, "runs_per_query": 3, "sf": ...,
+     "secondary": {"sf": "0.1x4", "value": N, "queries": {...}, "spread": {...}}}
 
 value = total wall-clock seconds over the headline set (excluding Spark
-session startup), which is the number compared against BASELINE.
+session startup), which is the number compared against BASELINE.  Each
+per-query number is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+full executions; `spread` is max-min over those runs, so a reader can
+tell a real round-over-round regression from this VM's ±60% sub-second
+jitter.
 
 `secondary` is a SECOND scale point: the same headline set on an N×
 key-shifted replica of the primary tables (tegallega_spark/scale_data.py),
@@ -20,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -92,30 +98,43 @@ def main() -> None:
                 pass
         spark.catalog.clearCache()
 
-    # best-of-2 per query: the box this runs on is a shared VM with
-    # multi-x run-to-run jitter; the min of two runs is the steady-state
-    # number a dedicated cluster would see (classic benchmarking practice).
-    # clearCache() between runs keeps both runs full executions — queries
-    # with internal persist() would otherwise have run 2 reuse run 1's
-    # cache through logical-plan matching.
-    def time_headline(dir_: str, label: str) -> dict[str, float]:
+    # median-of-N per query (default 3): the box this runs on is a shared
+    # VM whose sub-second runs jitter ±60-70% run to run (r3 verdict: q16
+    # moved 0.42→0.72 s with zero code changes), so a single sample cannot
+    # distinguish a real regression from noise.  The median is robust to
+    # one bad sample either way; the per-query spread (max-min over the
+    # timed runs) is emitted alongside so round-over-round comparisons can
+    # tell signal from noise instead of guessing.
+    # clearCache() between runs keeps every run a full execution — queries
+    # with internal persist() would otherwise reuse run 1's cache through
+    # logical-plan matching.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def time_headline(dir_: str, label: str) -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
+        spreads: dict[str, float] = {}
         for name in HEADLINE:
             q = SPARK_QUERIES[name]
-            best = float("inf")
-            for _ in range(2):
+            samples = []
+            for _ in range(n_runs):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = q(spark, dir_)
                 # noop sink fully materializes every column (count() would
                 # let Catalyst prune projections and flatter the numbers)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            print(f"# {label} {name}: done in {timings[name]}s", file=sys.stderr)
-        return timings
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(statistics.median(samples), 3)
+            spreads[name] = round(samples[-1] - samples[0], 3)
+            print(
+                f"# {label} {name}: median {timings[name]}s "
+                f"(spread {spreads[name]}s over {n_runs})",
+                file=sys.stderr,
+            )
+        return timings, spreads
 
-    timings = time_headline(sf_dir, "primary")
+    timings, spreads = time_headline(sf_dir, "primary")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # second scale point (see module docstring)
@@ -135,11 +154,12 @@ def main() -> None:
             for t in SHIFT_COLS:  # warm the second point's file indexes
                 load_table(spark, sf2_dir, t).limit(1).collect()
         if sf2_dir:
-            t2 = time_headline(sf2_dir, "secondary")
+            t2, s2 = time_headline(sf2_dir, "secondary")
             secondary = {
                 "sf": sf2_label,
                 "value": round(sum(t2.values()), 3),
                 "queries": t2,
+                "spread": s2,
             }
     except Exception as e:  # the primary number must survive a broken 2nd point
         print(f"# secondary scale point failed: {e}", file=sys.stderr)
@@ -150,6 +170,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if secondary is not None:

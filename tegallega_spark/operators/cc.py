@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from tegallega_spark.session import CheckpointHandle, attach_intermediates
+
 
 def connected_components(
     edges: DataFrame,
@@ -49,6 +51,7 @@ def connected_components(
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     und = und.localCheckpoint()
+    und_h = CheckpointHandle(und)
 
     labels = (
         und.select(F.col("s").alias("node"))
@@ -56,6 +59,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    labels_h = CheckpointHandle(labels)
 
     n_changed = 0
     for _ in range(max_iter):
@@ -72,14 +76,22 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.coalesce("nbr_label", "label") < F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized before the line below
         )
+        # the superseded round's checkpoint is dead the moment its
+        # successor materializes — free it NOW, not at ContextCleaner's
+        # leisure (a 20-round run would otherwise hold 20 generations of
+        # the full label set in block storage simultaneously)
+        labels_h.unpersist()
+        labels_h = CheckpointHandle(proposed)
         n_changed = proposed.filter("changed").count()
         labels = proposed.drop("changed")
         if n_changed == 0:
             break
 
     if n_changed:
+        und_h.unpersist()
+        labels_h.unpersist()
         # Returning unconverged labels would silently split one dup cluster
         # into several "canonical" near-duplicates downstream — fail loudly.
         raise RuntimeError(
@@ -88,7 +100,10 @@ def connected_components(
             "exceeds max_iter — raise it"
         )
 
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    und_h.unpersist()  # only the final label set outlives the loop
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    out._tegallega_persisted = [labels_h]
+    return out
 
 
 def dedup_cluster_assignments(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
@@ -100,7 +115,9 @@ def dedup_cluster_assignments(pairs: DataFrame, id_a: str = "id_a", id_b: str = 
     """
     comp = connected_components(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.join(sizes, "cluster_id")
-        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    return attach_intermediates(
+        comp.join(sizes, "cluster_id").select(
+            F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+        ),
+        comp,
     )

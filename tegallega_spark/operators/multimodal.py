@@ -4,9 +4,11 @@ Images/audio/video are opaque `binary` columns with typed metadata.  The
 Spark-side plumbing — schema, partition-friendly batch iteration, Arrow
 batch shape — is real and tested.  The codec layer dispatches on content:
 PNG payloads go through a REAL pure-stdlib decoder (zlib inflate + chunk
-parse + scanline un-filtering — no Pillow in this container, none needed
-for PNG); anything else falls back to a deterministic fake whose
-integration point for further codecs (JPEG, audio, video) is marked.
+parse + scanline un-filtering) and JPEG payloads through a REAL baseline
+decoder (operators/jpeg.py: Huffman + dequant + IDCT + chroma upsample —
+no Pillow in this container, none needed for either format); anything
+else (audio/video) falls back to a deterministic fake whose integration
+point for further codecs is marked.
 
 At 100 TB: mapInPandas streams Arrow record batches through the Python
 worker without collecting a partition in memory; batch size is governed by
@@ -170,14 +172,32 @@ def _decode_png_meta(payload: bytes) -> dict:
     }
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for the non-PNG codecs.
+def _decode_jpeg_meta(payload: bytes) -> dict:
+    from tegallega_spark.operators.jpeg import decode_jpeg
 
-    REAL INTEGRATION POINT: replace the body with e.g.
-        img = PIL.Image.open(io.BytesIO(payload)); return {...}
-    for JPEG/audio/video once codec libraries are available; PNG already
-    takes the real path (_decode_png_meta).  Derives metadata from the
-    bytes deterministically — keeps schema, batching, and tests real.
+    px = decode_jpeg(payload)
+    h, w = px.shape[:2]
+    return {
+        "byte_len": len(payload),
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        # same contract as PNG: fingerprint over DECODED pixels (+dims)
+        "feature_hash": (zlib.crc32(px.tobytes()) << 24) ^ (w << 12) ^ h,
+    }
+
+
+JPEG_MAGIC = b"\xff\xd8"
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for the non-image codecs (audio/video).
+
+    REAL INTEGRATION POINT: replace the body with a real demuxer/codec
+    once the libraries are available; PNG and JPEG already take real
+    paths (_decode_png_meta / _decode_jpeg_meta).  Derives metadata from
+    the bytes deterministically — keeps schema, batching, and tests real.
     """
     n = len(payload)
     return {
@@ -200,7 +220,11 @@ def decode_batches(df: DataFrame) -> DataFrame:
     """
 
     def decode_one(p: bytes) -> dict:
-        return _decode_png_meta(p) if p[:8] == PNG_MAGIC else _fake_decode(p)
+        if p[:8] == PNG_MAGIC:
+            return _decode_png_meta(p)
+        if p[:2] == JPEG_MAGIC:
+            return _decode_jpeg_meta(p)
+        return _fake_decode(p)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -280,4 +280,4 @@ def semantic_dedup(
     dupes = assign.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return attach_intermediates(df.join(dupes, id_col, "left_anti"), pairs)
+    return attach_intermediates(df.join(dupes, id_col, "left_anti"), pairs, assign)

@@ -54,6 +54,8 @@ def clean_corpus(
     max_shingle_df: int | None = 1000,
     exact_dedup_limit: int = 20_000,
     line_dedup_max_df: int | None = None,
+    embedding_col: str = "embedding",
+    min_cosine: float = 0.95,
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -69,6 +71,11 @@ def clean_corpus(
     - 'minhash' — banded MinHash-LSH candidates re-scored with exact
                   Jaccard (the 100 TB path: bounded-width band joins,
                   hot-bucket caps, identical output contract);
+    - 'semantic' — SemDeDup-style k-means-blocked exact-cosine pairs over
+                  `embedding_col` (requires the column and an INTEGRAL
+                  `id_col` — the pairwise kernel emits long ids; threshold
+                  `min_cosine`).  Auto-scaled blocking (k ∝ N) — the
+                  embedding-space dual of 'minhash', same keeper contract;
     - 'auto'    — exact below `exact_dedup_limit` surviving docs (one
                   cheap count of the post-filter corpus), minhash above.
 
@@ -122,9 +129,23 @@ def clean_corpus(
             kept, id_col, text_col, shingle_n=shingle_n,
             jaccard_threshold=jaccard_threshold, max_bucket=max_shingle_df,
         )
+    elif strategy == "semantic":
+        if embedding_col not in kept.columns:
+            raise ValueError(
+                f"dedup_strategy='semantic' needs column {embedding_col!r} "
+                f"on the corpus; have {kept.columns}"
+            )
+        from tegallega_spark.operators.semdedup import semantic_pairs
+
+        pairs = semantic_pairs(
+            kept, id_col=id_col, vec_col=embedding_col, min_cosine=min_cosine
+        ).withColumnRenamed("cos_sim", "similarity")
     else:
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
-    clusters = dedup_cluster_assignments(pairs).withColumnRenamed("doc_id", id_col)
+    # keep the handle-bearing frame: withColumnRenamed returns a new
+    # DataFrame without the _tegallega_persisted attribute
+    assignments = dedup_cluster_assignments(pairs, "id_a", "id_b")
+    clusters = assignments.withColumnRenamed("doc_id", id_col)
     kept = (
         kept.join(clusters.select(id_col, "cluster_id"), id_col, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
@@ -146,13 +167,15 @@ def clean_corpus(
     )
     from tegallega_spark.session import attach_intermediates
 
-    # pairs' persisted LSH/postings intermediates + the auto-mode corpus
-    # persist ride out on the result for release_intermediates(out)
+    # pairs' persisted LSH/postings intermediates, the cluster-assignment
+    # checkpoint, and the auto-mode corpus persist all ride out on the
+    # result for release_intermediates(out)
     return attach_intermediates(
         packed.select(
             id_col, stratum_col, "bucket", "quality", "dup_ngram_frac", "cluster_id",
             "n_tokens", "shard", "pack_id", "pack_offset", "spills_over",
         ),
         pairs,
+        assignments,
         *([corpus_handle] if corpus_handle is not None else []),
     )

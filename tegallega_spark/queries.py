@@ -1596,10 +1596,12 @@ def q49(spark, sf_dir):
 )
 def q50(spark, sf_dir):
     """Multimodal plumbing (north-star): binary payload column →
-    mapInPandas 'decode' → typed metadata.  The decode is a deterministic
-    stub (container has no codec libs — see operators/multimodal.py for the
-    marked integration point); the Arrow batching, schema, and byte-length
-    arithmetic are real and oracle-checked."""
+    mapInPandas 'decode' → typed metadata.  PNG and JPEG payloads take
+    REAL pure-stdlib decoders (operators/multimodal.py, operators/jpeg.py);
+    this query's text payloads exercise the deterministic audio/video
+    fallback so the oracle stays SQL-expressible.  The Arrow batching,
+    schema, and byte-length arithmetic are real and oracle-checked; the
+    real decode paths are pinned by test_jpeg.py / test_operators.py."""
     from tegallega_spark.operators import multimodal as MM
 
     d = T(spark, sf_dir, "documents")

@@ -82,11 +82,40 @@ def attach_intermediates(out, *sources):
     return out
 
 
+class CheckpointHandle:
+    """RDD-level release handle for a localCheckpoint'd DataFrame.
+
+    localCheckpoint persists its RDD OUTSIDE the SQL cache manager, so
+    `df.unpersist()` can never free it — the blocks sit in
+    getPersistentRDDs until JVM GC + ContextCleaner get around to them
+    (non-deterministic in a long-lived session).  This handle unpersists
+    the underlying checkpoint RDD directly.  After release the owning
+    DataFrame is UNUSABLE (its lineage was truncated at the checkpoint,
+    so there is nothing to recompute from) — which matches the
+    release_intermediates contract: call it only after the consuming
+    action, as the result's end-of-life."""
+
+    def __init__(self, df) -> None:
+        self._jrdd = df._jdf.queryExecution().analyzed().rdd()
+        self._cached = True
+
+    @property
+    def is_cached(self) -> bool:
+        return self._cached
+
+    def unpersist(self, blocking: bool = False) -> "CheckpointHandle":
+        if self._cached:
+            self._jrdd.unpersist(blocking)
+            self._cached = False
+        return self
+
+
 def release_intermediates(df, blocking: bool = False) -> int:
     """Unpersist every intermediate recorded on `df` by
     attach_intermediates; returns how many were released.  Call after the
     consuming action (collect/write) — releasing earlier just forfeits the
-    cache and recomputes."""
+    cache and recomputes (except CheckpointHandle intermediates, whose
+    owners cannot be recomputed: release is their end-of-life)."""
     handles = getattr(df, "_tegallega_persisted", ())
     for h in handles:
         h.unpersist(blocking)

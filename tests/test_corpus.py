@@ -141,3 +141,48 @@ def test_clean_corpus_line_dedup_stage(spark):
         n_shards=2,
     )
     assert out_nodedup.count() < 3  # the banner glued them together
+
+
+def test_clean_corpus_semantic_strategy(spark):
+    """dedup_strategy='semantic': embedding-space dedup inside the full
+    pipeline — planted groups of 3 near-identical embeddings collapse to
+    their min-id doc; everything else survives untouched."""
+    import numpy as np
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    rng = np.random.default_rng(5)
+    emb_rows, base = [], None
+    for i, d in enumerate(ids):
+        if i % 3 == 0:
+            base = rng.standard_normal(16)
+            base /= np.linalg.norm(base)
+        v = base + 1e-3 * rng.standard_normal(16)
+        emb_rows.append((d, [float(x) for x in v]))
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<float>")
+
+    out = clean_corpus(
+        docs.join(emb, "doc_id"),
+        min_quality=0.0,
+        max_dup_ngram_frac=1.0,
+        dedup_strategy="semantic",
+        min_cosine=0.999,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(ids[i] for i in range(0, len(ids), 3))
+    assert got == want
+    # the keeper contract is shared with the other strategies
+    assert all(r.cluster_id == r.doc_id for r in out.collect())
+
+
+def test_clean_corpus_semantic_requires_embedding_column(spark):
+    import pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    with pytest.raises(ValueError, match="embedding"):
+        clean_corpus(docs, dedup_strategy="semantic")
