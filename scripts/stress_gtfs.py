@@ -128,21 +128,25 @@ def time_spark(root: str) -> tuple[float, int]:
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
-    # materialize the shared persisted upstream CONCURRENTLY with the
-    # construction of the remaining table plans: the shapes job is cluster
-    # work, plan construction is driver/py4j work — serializing them (the
-    # old flow) wasted the shape job's wall-clock
-    pre = ThreadPoolExecutor(max_workers=1)
-    shapes_done = []
+    # materialize ALL shared persisted upstreams (catalog, stops_raw,
+    # shapes) CONCURRENTLY with the construction of the remaining table
+    # plans: those jobs are cluster work, plan construction is driver/py4j
+    # work — serializing them (the old flow) wasted the cache-warm jobs'
+    # wall-clock inside whichever output job touched each cache first
+    pre = ThreadPoolExecutor(max_workers=3)
+    warm = []
     tables = build_gtfs(
-        spark, root, on_shapes=lambda s: shapes_done.append(pre.submit(s.count))
+        spark, root,
+        on_shapes=lambda s: warm.append(pre.submit(s.count)),
+        on_cached=lambda _name, df: warm.append(pre.submit(df.count)),
     )
     # the 7 sinks are independent outputs — run them as concurrent jobs
     # (Spark's scheduler interleaves them; the shared persisted upstreams
     # are computed once by whichever job touches them first).  The
     # reference writes its 7 files sequentially because it is a single
     # Python process; concurrent actions are part of the engine.
-    shapes_done[0].result()  # cache ready before concurrent first-touch
+    for f in warm:  # caches ready before concurrent first-touch
+        f.result()
 
     def write(item):
         name, df = item

@@ -8,7 +8,7 @@ whole-stage codegen over the parquet scan with zero Python involvement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -117,11 +117,17 @@ def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 1
     shingle, keep hashes ≡ 0 (mod keep_every).  array<bigint> sketch usable
     for containment checks at scale."""
     toks = tokens(text)
-    num = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), num),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
-    )
+    num = F.size(toks) - F.lit(window - 1)
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) and slice rejects start 0 —
+    # a doc shorter than `window` tokens must yield an empty sketch, not
+    # throw (latent crash found in r4, regression-tested)
+    hashes = F.when(
+        num >= 1,
+        F.transform(
+            F.sequence(F.lit(1), num),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(
         F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0))
     )
@@ -264,6 +270,145 @@ def remove_boilerplate_lines(
                 lambda s: s["__line"],
             ),
             "\n",
+        ).alias("__new_text")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            *others,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__new_text", F.lit("")))
+            .alias(text_col),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+def _token_shingle_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, token position, xxhash64 of the k-token shingle starting
+    there).  Whitespace tokens; a doc shorter than k tokens emits nothing."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    num = F.size(toks) - F.lit(k - 1)
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) and slice rejects start 0 —
+    # a doc shorter than k tokens must emit an empty array, not a range
+    hashes = F.when(
+        num >= 1,
+        F.transform(
+            F.sequence(F.lit(1), num),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(hashes).alias("__pos", "__h"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every span of ≥ k
+    whitespace tokens whose every k-token window occurs ≥ `min_count`
+    times across the whole corpus (the paper's suffix-array query,
+    re-expressed at shingle resolution: a duplicated substring of length
+    ≥ k contains only duplicated k-windows, so merging the overlapping
+    duplicated windows reconstructs the maximal span; spans shorter than
+    k are below the operator's resolution and not reported).
+
+    Returns (id_col, start_tok, end_tok) with end exclusive, in token
+    coordinates of the whitespace tokenization.
+
+    Scale shape: the only wide shuffle carries (doc, pos, 8-byte hash);
+    the occurrence count is a two-level map-side-combined agg on the
+    hash; the duplicated-hash set semi-joins back keyed on the SAME hash
+    (no broadcast assumption — unlike a boilerplate blocklist the
+    duplicated set can be a large fraction of a crawl corpus); the
+    interval merge is the classic running-max window per doc — pure JVM,
+    no Python anywhere.
+    """
+    sh = _token_shingle_positions(df, id_col, text_col, k)
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__h")
+    )
+    hits = sh.join(dup, "__h").select(
+        "__doc", F.col("__pos").alias("__start"), (F.col("__pos") + k).alias("__end")
+    )
+    # interval merge: a window starts a new span iff it begins after the
+    # running max end of all earlier windows (ordered by start, ties by
+    # end — same-start windows share a span by construction)
+    w = Window.partitionBy("__doc").orderBy("__start", "__end")
+    prev_max_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new", F.when(
+            prev_max_end.isNull() | (F.col("__start") > prev_max_end), 1
+        ).otherwise(0)
+    ).withColumn(
+        "__span", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        flagged.groupBy("__doc", "__span")
+        .agg(F.min("__start").alias("start_tok"), F.max("__end").alias("end_tok"))
+        .select(F.col("__doc").alias(id_col), "start_tok", "end_tok")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Drop every duplicated span (per duplicated_spans) from every
+    document and rebuild the text from the surviving tokens in order.
+
+    Like remove_boilerplate_lines this drops ALL occurrences once a span
+    crosses the `min_count` threshold (the C4 stance), not all-but-one
+    (the paper keeps one occurrence; keeping a canonical copy of every
+    overlapping span family needs a global order arbitration that costs a
+    second shuffle — callers that need it can keep the span table and
+    arbitrate downstream).  Whitespace runs normalize to single spaces in
+    rebuilt docs (token-level surgery); NULL text stays NULL; a fully
+    duplicated doc becomes the empty string."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    drop = spans.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.sequence(F.col("start_tok"), F.col("end_tok") - 1)
+        ).alias("__pos"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__pos", "__tok"),
+    )
+    kept = toks.join(drop, ["__doc", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
         ).alias("__new_text")
     )
     others = [c for c in df.columns if c != text_col]

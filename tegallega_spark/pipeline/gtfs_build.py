@@ -333,7 +333,7 @@ def calendar_table(spark: SparkSession) -> DataFrame:
 
 
 def build_gtfs(
-    spark: SparkSession, ref_root: str, on_shapes=None
+    spark: SparkSession, ref_root: str, on_shapes=None, on_cached=None
 ) -> dict[str, DataFrame]:
     """The full DAG: routes.json + geojson + schedule CSVs → seven GTFS
     tables (generate_gtfs.py:477-521).
@@ -344,6 +344,12 @@ def build_gtfs(
     construction of the remaining table plans instead of serializing after
     it.  Plan construction and cluster execution are independent resources;
     overlapping them is free latency.
+
+    `on_cached` (optional callback) generalizes the same trick to EVERY
+    persisted upstream: it receives (name, frame) for catalog and
+    stops_raw the moment each plan exists, so a driver can warm all three
+    shared caches concurrently with plan construction instead of paying
+    for them inside whichever output job touches them first.
     """
     raw = read_routes_json(spark, f"{ref_root}/routes.json")
     # construct each unnest level ONCE and thread it through — rebuilding
@@ -360,7 +366,11 @@ def build_gtfs(
     catalog = route_catalog(
         spark, f"{ref_root}/routes.json", raw=raw, groups=grps
     ).persist()
+    if on_cached is not None:
+        on_cached("catalog", catalog)
     stops_raw = read_stops(spark, f"{ref_root}/route-data/geojson").persist()
+    if on_cached is not None:
+        on_cached("stops_raw", stops_raw)
     vertices = read_way_vertices(spark, f"{ref_root}/route-data/geojson")
     schedule = read_schedule_long(spark, f"{ref_root}/route-data/schedule")
 

@@ -222,6 +222,21 @@ def test_boilerplate_anti_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_duplicated_spans_plan_is_pure_jvm(spark):
+    """ExactSubstr-style span detection must stay whole-JVM: no Python
+    eval anywhere (tokenize/shingle/merge are all built-ins), the window
+    partitioned by doc (never SinglePartition), no cartesian join."""
+    from tegallega_spark.operators.textual import duplicated_spans
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = plan_of(duplicated_spans(docs), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both matched
+
+
 def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):
     """Within-cluster pair search must be an equi-join on the cluster id —
     a cartesian / nested loop would mean the blocking key got lost."""

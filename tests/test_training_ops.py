@@ -327,3 +327,112 @@ def test_boilerplate_line_dedup_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans / remove_duplicate_spans (ExactSubstr-style span dedup,
+# Lee et al. arXiv:2107.06499 at k-shingle resolution)
+# ---------------------------------------------------------------------------
+
+def _ref_spans(texts: dict, k: int, min_count: int) -> dict:
+    """Brute-force single-node oracle: exact window counts + interval
+    merge (adjacent-or-overlapping windows coalesce)."""
+    from collections import Counter
+
+    wins, cnt = {}, Counter()
+    for d, t in texts.items():
+        toks = t.split()
+        ws = [tuple(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+        wins[d] = ws
+        cnt.update(ws)
+    out = {}
+    for d, ws in wins.items():
+        merged = []
+        for i, w in enumerate(ws):
+            if cnt[w] < min_count:
+                continue
+            s, e = i, i + k
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        if merged:
+            out[d] = merged
+    return out
+
+
+def test_duplicated_spans_planted_phrase(spark):
+    from tegallega_spark.operators.textual import duplicated_spans
+
+    phrase = "one two three four five six seven eight nine ten eleven twelve"
+    docs = [
+        (1, f"alpha beta gamma {phrase} delta epsilon zeta"),
+        (2, f"unrelated opening words here {phrase} and a different tail"),
+        (3, "完全 unique content with no repetition at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicated_spans(df, k=8, min_count=2).collect()
+    }
+    # doc 1: phrase occupies tokens [3, 15); doc 2: tokens [4, 16)
+    assert got == {(1, 3, 15), (2, 4, 16)}
+
+
+def test_duplicated_spans_matches_bruteforce_on_real_docs(spark, sf_dir):
+    from tegallega_spark.operators.textual import duplicated_spans
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    want = {
+        (d, s, e) for d, spans in _ref_spans(texts, 5, 2).items() for s, e in spans
+    }
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicated_spans(docs, k=5, min_count=2).collect()
+    }
+    assert got == want
+    assert want, "no duplicated spans in the corpus — oracle test is vacuous"
+
+
+def test_remove_duplicate_spans_rebuild(spark):
+    from tegallega_spark.operators.textual import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us at the office for details now"
+    docs = [
+        (1, f"intro words {boiler} outro words"),
+        (2, f"{boiler}"),
+        (3, "short doc"),  # < k tokens: untouched
+        (4, None),  # NULL stays NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, k=8, min_count=2).collect()
+    }
+    assert out[1] == "intro words outro words"
+    assert out[2] == ""  # fully duplicated doc
+    assert out[3] == "short doc"
+    assert out[4] is None
+
+
+def test_rolling_hash_fingerprints_short_doc_regression(spark):
+    """Docs shorter than the window must yield an empty sketch — the
+    descending sequence(1, 0) used to reach slice(start=0) and throw."""
+    import pyspark.sql.functions as F2
+
+    from tegallega_spark.operators.textual import rolling_hash_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "a much longer document " * 8)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", rolling_hash_fingerprints(F2.col("text"), window=8).alias("f")
+        ).collect()
+    }
+    assert rows[1] == []
+    assert isinstance(rows[2], list)
