@@ -8,6 +8,8 @@ whole-stage codegen over the parquet scan with zero Python involvement.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
+
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
@@ -289,25 +291,99 @@ def remove_boilerplate_lines(
 # Training Data Makes Language Models Better", arXiv:2107.06499)
 # ---------------------------------------------------------------------------
 
+def _span_shingle_udf(k: int):
+    """Arrow-vectorized text → ORDERED array of k-token shingle hashes
+    (position = array index; empty for docs shorter than k tokens).
+
+    Same design as dedup's shared shingle kernel: memoized 8-byte blake2b
+    word hashes + one numpy positional-polynomial pass per doc (uint64
+    multiply-add wraps mod 2^64).  A first version was a pure column
+    expression — transform(sequence, slice+concat+xxhash64) — but HOF
+    lambdas are interpreted AND re-evaluate the token subtree per window
+    element, an O(tokens²) regex split per doc that measured 45× slower
+    than DuckDB's linear pass at 2k docs; materializing the token array
+    first made it linear but still interpreted.  This kernel is the same
+    shape minhash banding uses (dedup.py:237-252) for the same reason.
+
+    Tokenization matches the REBUILD path's `F.split(text, r'\\s+')`
+    exactly: Java's \\s is ASCII-only, so the Python side splits on the
+    same explicit class, not str.split()'s unicode whitespace.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+    rng = np.random.default_rng(0xD5FA)  # fixed stream — deterministic
+    coef = (
+        rng.integers(0, 2**62, size=k, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    cache: dict[str, int] = {}
+
+    def _word_hash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            if len(cache) > (1 << 21):  # bound worker memory
+                cache.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+            cache[w] = h
+        return h
+
+    @pandas_udf("array<long>")
+    def span_shingles(texts: pd.Series) -> pd.Series:
+        # Whole-batch vectorization: factorize every token of the batch to
+        # small int codes (C speed), blake2b only the DISTINCT words, then
+        # ONE sliding-window polynomial over the flat concatenated hash
+        # array, masking windows that straddle a document boundary.  A
+        # per-doc loop with a per-word dict lookup and .tolist() was 5-10×
+        # slower (11M Python int objects per batch at 80k docs).
+        per_doc = [
+            [w for w in ws_re.split(t or "") if w] for t in texts
+        ]
+        lens = np.array([len(ws) for ws in per_doc], dtype=np.int64)
+        flat_words = [w for ws in per_doc for w in ws]
+        if not flat_words:
+            return pd.Series([np.array([], dtype=np.int64)] * len(per_doc))
+        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        uh = np.fromiter(
+            (_word_hash(w) for w in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        flat = uh[codes]
+        n = len(flat)
+        if n < k:
+            win_h = np.empty(0, dtype=np.uint64)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(flat, k)
+            win_h = (win * coef).sum(axis=1, dtype=np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out = []
+        for d in range(len(per_doc)):
+            m = lens[d] - k + 1
+            if m <= 0:
+                out.append(np.array([], dtype=np.int64))
+            else:
+                s = offs[d]
+                out.append(win_h[s : s + m].view("int64"))
+        return pd.Series(out)
+
+    return span_shingles
+
+
 def _token_shingle_positions(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(doc, token position, xxhash64 of the k-token shingle starting
-    there).  Whitespace tokens; a doc shorter than k tokens emits nothing."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    num = F.size(toks) - F.lit(k - 1)
-    # guard: sequence(1, 0) DESCENDS ([1, 0]) and slice rejects start 0 —
-    # a doc shorter than k tokens must emit an empty array, not a range
-    hashes = F.when(
-        num >= 1,
-        F.transform(
-            F.sequence(F.lit(1), num),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(
+    """(doc, token position, hash of the k-token shingle starting there).
+    Whitespace tokens; a doc shorter than k tokens emits nothing."""
+    from tegallega_spark.operators.dedup import parallelize_for_udf
+
+    sh = _span_shingle_udf(k)
+    return parallelize_for_udf(df).select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(hashes).alias("__pos", "__h"),
+        F.posexplode(sh(F.col(text_col))).alias("__pos", "__h"),
     )
 
 
@@ -329,15 +405,19 @@ def duplicated_spans(
     Returns (id_col, start_tok, end_tok) with end exclusive, in token
     coordinates of the whitespace tokenization.
 
-    Scale shape: the only wide shuffle carries (doc, pos, 8-byte hash);
-    the occurrence count is a two-level map-side-combined agg on the
-    hash; the duplicated-hash set semi-joins back keyed on the SAME hash
-    (no broadcast assumption — unlike a boilerplate blocklist the
-    duplicated set can be a large fraction of a crawl corpus); the
-    interval merge is the classic running-max window per doc — pure JVM,
-    no Python anywhere.
+    Scale shape: shingle hashing is ONE Arrow pass over the corpus
+    (memoized word hashes + a numpy polynomial, _span_shingle_udf); the
+    only wide shuffle carries (doc, pos, 8-byte hash); the occurrence
+    count is a two-level map-side-combined agg on the hash; the
+    duplicated-hash set semi-joins back keyed on the SAME hash (no
+    broadcast assumption — unlike a boilerplate blocklist the duplicated
+    set can be a large fraction of a crawl corpus); the interval merge is
+    the classic running-max window per doc, JVM-side.
     """
-    sh = _token_shingle_positions(df, id_col, text_col, k)
+    # persist: the count branch and the semi-join-back branch both read
+    # the shingle frame — without it the Arrow pass (the expensive stage)
+    # runs twice.  Caller releases via release_intermediates(result).
+    sh = _token_shingle_positions(df, id_col, text_col, k).persist()
     dup = (
         sh.groupBy("__h")
         .agg(F.count("*").alias("__n"))
@@ -363,10 +443,13 @@ def duplicated_spans(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     )
-    return (
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(
         flagged.groupBy("__doc", "__span")
         .agg(F.min("__start").alias("start_tok"), F.max("__end").alias("end_tok"))
-        .select(F.col("__doc").alias(id_col), "start_tok", "end_tok")
+        .select(F.col("__doc").alias(id_col), "start_tok", "end_tok"),
+        sh,
     )
 
 
@@ -387,7 +470,10 @@ def remove_duplicate_spans(
     second shuffle — callers that need it can keep the span table and
     arbitrate downstream).  Whitespace runs normalize to single spaces in
     rebuilt docs (token-level surgery); NULL text stays NULL; a fully
-    duplicated doc becomes the empty string."""
+    duplicated doc becomes the empty string.  The persisted shingle frame
+    rides out on the result for release_intermediates."""
+    from tegallega_spark.session import attach_intermediates
+
     spans = duplicated_spans(df, id_col, text_col, k, min_count)
     drop = spans.select(
         F.col(id_col).alias("__doc"),
@@ -412,12 +498,13 @@ def remove_duplicate_spans(
         ).alias("__new_text")
     )
     others = [c for c in df.columns if c != text_col]
-    return (
+    return attach_intermediates(
         df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
         .select(
             *others,
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
             .otherwise(F.coalesce("__new_text", F.lit("")))
             .alias(text_col),
-        )
+        ),
+        spans,
     )

@@ -54,6 +54,8 @@ def clean_corpus(
     max_shingle_df: int | None = 1000,
     exact_dedup_limit: int = 20_000,
     line_dedup_max_df: int | None = None,
+    span_dedup_k: int | None = None,
+    span_dedup_min_count: int = 2,
     embedding_col: str = "embedding",
     min_cosine: float = 0.95,
 ) -> DataFrame:
@@ -82,6 +84,14 @@ def clean_corpus(
     `line_dedup_max_df` (opt-in): before any scoring, strip lines that
     appear in more than this many distinct documents
     (textual.remove_boilerplate_lines — the C4/CCNet boilerplate cut).
+
+    `span_dedup_k` (opt-in): after the line cut, drop every maximal
+    duplicated span of ≥ k whitespace tokens occurring ≥
+    `span_dedup_min_count` times corpus-wide
+    (textual.remove_duplicate_spans — the ExactSubstr cut at shingle
+    resolution).  Runs before scoring for the same reason the line cut
+    does: duplicated boilerplate spans would otherwise depress quality
+    scores and glue unrelated docs into near-dup pairs.
     """
     # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
     # text BEFORE anything scores or shingles it, so boilerplate lines
@@ -90,6 +100,12 @@ def clean_corpus(
     if line_dedup_max_df is not None:
         docs = TXT.remove_boilerplate_lines(
             docs, id_col, text_col, max_doc_frequency=line_dedup_max_df
+        )
+    span_handle = None
+    if span_dedup_k is not None:
+        docs = span_handle = TXT.remove_duplicate_spans(
+            docs, id_col, text_col, k=span_dedup_k,
+            min_count=span_dedup_min_count,
         )
 
     # 1. quality + repetition gate (scan-side)
@@ -178,4 +194,5 @@ def clean_corpus(
         pairs,
         assignments,
         *([corpus_handle] if corpus_handle is not None else []),
+        *([span_handle] if span_handle is not None else []),
     )

@@ -50,6 +50,9 @@ OPERATORS = {
     "similarity_lsh": lambda spark: __import__(
         "tegallega_spark.operators.similarity", fromlist=["x"]
     ).all_pairs_above(_emb(spark), min_cosine=0.9),
+    "span_dedup": lambda spark: __import__(
+        "tegallega_spark.operators.textual", fromlist=["x"]
+    ).remove_duplicate_spans(_docs(spark), k=5, min_count=2),
     "clean_corpus_auto": lambda spark: __import__(
         "tegallega_spark.pipeline.corpus", fromlist=["x"]
     ).clean_corpus(

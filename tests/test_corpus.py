@@ -186,3 +186,34 @@ def test_clean_corpus_semantic_requires_embedding_column(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
     with pytest.raises(ValueError, match="embedding"):
         clean_corpus(docs, dedup_strategy="semantic")
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    """span_dedup_k: the ExactSubstr cut runs before scoring — a
+    boilerplate span shared by every doc is stripped, so the docs'
+    surviving unique text no longer makes them near-duplicates of each
+    other downstream."""
+    boiler = ("this legal disclaimer paragraph appears verbatim in every "
+              "single document of the corpus without any variation at all")
+    docs = [
+        (i, f"document {i} unique opening sentence {boiler} unique tail "
+            f"content piece number {i} with several distinct extra words "
+            f"alpha{i} beta{i} gamma{i} delta{i}", "en")
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    # without the span cut, the shared boilerplate glues all six docs into
+    # one near-dup cluster → only doc 1 survives
+    out_glued = clean_corpus(
+        df, min_quality=0.0, max_dup_ngram_frac=1.0, jaccard_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in out_glued.collect()) == [1]
+
+    # with it, the boilerplate is stripped before shingling → all six
+    # docs survive as distinct documents
+    out = clean_corpus(
+        df, min_quality=0.0, max_dup_ngram_frac=1.0, jaccard_threshold=0.5,
+        span_dedup_k=8,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 4, 5, 6]

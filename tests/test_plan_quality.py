@@ -222,10 +222,10 @@ def test_boilerplate_anti_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_duplicated_spans_plan_is_pure_jvm(spark):
-    """ExactSubstr-style span detection must stay whole-JVM: no Python
-    eval anywhere (tokenize/shingle/merge are all built-ins), the window
-    partitioned by doc (never SinglePartition), no cartesian join."""
+def test_duplicated_spans_plan_shape(spark):
+    """ExactSubstr-style span detection: shingle hashing is Arrow-batched
+    (never row-at-a-time Python), the interval-merge window partitioned
+    by doc (never SinglePartition), no cartesian join."""
     from tegallega_spark.operators.textual import duplicated_spans
     from tegallega_spark.session import load_table
 
@@ -234,7 +234,8 @@ def test_duplicated_spans_plan_is_pure_jvm(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan  # Batch/ArrowEvalPython both matched
+    assert "ArrowEvalPython" in plan  # the one shingle pass
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
 
 def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):
