@@ -286,6 +286,44 @@ def remove_boilerplate_lines(
     )
 
 
+def normalize_text_udf():
+    """Arrow-vectorized corpus text normalization (the C4/CCNet prep
+    stage): unicode NFC, control characters stripped (except \\t \\n),
+    zero-width/BOM characters removed, CR/CRLF → LF, runs of spaces/tabs
+    collapsed to one space, per-line trailing whitespace trimmed.
+
+    NULL in → NULL out.  A pandas UDF because Spark SQL has no NFC
+    builtin; one Arrow batch pass with a compiled regex chain — the same
+    Python-when-unavoidable stance as the shingle kernels."""
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = re.compile(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f"  # C0/C1 minus tab/newline
+        "\u200b\u200c\u200d\u2060\ufeff]"  # zero-width, word-joiner, BOM
+    )
+    runs = re.compile("[ \t]+")
+    trail = re.compile("[ \t]+\n")
+
+    def one(t: str | None) -> str | None:
+        if t is None:
+            return None
+        t = unicodedata.normalize("NFC", t)
+        t = t.replace("\r\n", "\n").replace("\r", "\n")
+        t = ctrl.sub("", t)
+        t = runs.sub(" ", t)
+        t = trail.sub("\n", t)
+        return t.strip()
+
+    @pandas_udf("string")
+    def normalize_text(texts: pd.Series) -> pd.Series:
+        return texts.map(one, na_action="ignore")
+
+    return normalize_text
+
+
 # ---------------------------------------------------------------------------
 # ExactSubstr-style duplicated-span dedup (Lee et al., "Deduplicating
 # Training Data Makes Language Models Better", arXiv:2107.06499)

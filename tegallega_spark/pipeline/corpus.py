@@ -53,6 +53,7 @@ def clean_corpus(
     dedup_strategy: str = "auto",
     max_shingle_df: int | None = 1000,
     exact_dedup_limit: int = 20_000,
+    normalize: bool = False,
     line_dedup_max_df: int | None = None,
     span_dedup_k: int | None = None,
     span_dedup_min_count: int = 2,
@@ -81,6 +82,10 @@ def clean_corpus(
     - 'auto'    — exact below `exact_dedup_limit` surviving docs (one
                   cheap count of the post-filter corpus), minhash above.
 
+    `normalize` (opt-in): unicode NFC + control-character strip +
+    whitespace collapse (textual.normalize_text_udf) before EVERYTHING
+    else, so every downstream hash sees canonical text.
+
     `line_dedup_max_df` (opt-in): before any scoring, strip lines that
     appear in more than this many distinct documents
     (textual.remove_boilerplate_lines — the C4/CCNet boilerplate cut).
@@ -97,6 +102,11 @@ def clean_corpus(
     # text BEFORE anything scores or shingles it, so boilerplate lines
     # don't depress quality scores or glue unrelated docs into near-dup
     # pairs.  Opt-in (costs one extra pass over the corpus).
+    if normalize:
+        # step -1: unicode NFC + control-strip + whitespace collapse, so
+        # every downstream hash (line, span, shingle) sees canonical text
+        nt = TXT.normalize_text_udf()
+        docs = docs.withColumn(text_col, nt(F.col(text_col)))
     if line_dedup_max_df is not None:
         docs = TXT.remove_boilerplate_lines(
             docs, id_col, text_col, max_doc_frequency=line_dedup_max_df

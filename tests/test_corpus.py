@@ -217,3 +217,23 @@ def test_clean_corpus_span_dedup_stage(spark):
         span_dedup_k=8,
     )
     assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_clean_corpus_normalize_stage(spark):
+    """normalize=True: two docs differing only in NFC form / zero-width
+    chars / whitespace runs become exact duplicates and collapse to one."""
+    docs = [
+        (1, "the café menu " * 12, "en"),          # NFC é
+        (2, ("the café menu  " * 12).replace(" ", " ​", 3), "en"),  # NFD + zw
+        (3, "a completely different document body " * 12, "en"),
+    ]
+    # doc 2: same text in NFD with zero-width pollution + double spaces
+    import unicodedata
+    docs[1] = (2, unicodedata.normalize("NFD", docs[1][1]), "en")
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    out_raw = clean_corpus(df, min_quality=0.0, max_dup_ngram_frac=1.0)
+    assert sorted(r.doc_id for r in out_raw.collect()) == [1, 2, 3]  # no collapse
+
+    out = clean_corpus(df, min_quality=0.0, max_dup_ngram_frac=1.0, normalize=True)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]  # 2 deduped into 1

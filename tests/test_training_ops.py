@@ -436,3 +436,68 @@ def test_rolling_hash_fingerprints_short_doc_regression(spark):
     }
     assert rows[1] == []
     assert isinstance(rows[2], list)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text_udf (corpus text normalization)
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_pinned_cases(spark):
+    import pyspark.sql.functions as F2
+
+    from tegallega_spark.operators.textual import normalize_text_udf
+
+    nt = normalize_text_udf()
+    cases = [
+        (1, "plain text stays"),
+        (2, "CRLF\r\nand CR\rbecome LF"),
+        (3, "tabs\t\tand   spaces  collapse"),
+        (4, "trailing spaces   \nper line   "),
+        (5, "zero​width﻿gone"),
+        (6, "ctrl\x00\x01chars\x7fout"),
+        (7, "café nfc"),  # e + combining acute → é
+        (8, None),
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    out = {r.id: r.n for r in df.select("id", nt(F2.col("t")).alias("n")).collect()}
+    assert out[1] == "plain text stays"
+    assert out[2] == "CRLF\nand CR\nbecome LF"
+    assert out[3] == "tabs and spaces collapse"
+    assert out[4] == "trailing spaces\nper line"
+    assert out[5] == "zerowidthgone"
+    assert out[6] == "ctrlcharsout"
+    assert out[7] == "café nfc"
+    assert out[8] is None
+
+
+def test_normalize_text_matches_duckdb(spark, sf_dir):
+    """Same normalization as DuckDB SQL (nfc_normalize + the regex chain)
+    over the real documents table."""
+    import duckdb
+    import pyspark.sql.functions as F2
+
+    from tegallega_spark.operators.textual import normalize_text_udf
+    from tegallega_spark.session import load_table, table_path
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nt = normalize_text_udf()
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", nt(F2.col("text")).alias("n")).collect()
+    }
+    want = dict(
+        duckdb.connect().execute(
+            f"""
+            SELECT doc_id, trim(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g'),
+                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f\\u200b\\u200c\\u200d\\u2060\\ufeff]', '', 'g'),
+                  '[ \t]+', ' ', 'g'),
+                '[ \t]+\n', chr(10), 'g'))
+            FROM read_parquet('{table_path(sf_dir, "documents")}')
+            """
+        ).fetchall()
+    )
+    assert got == want
