@@ -465,9 +465,16 @@ def duplicated_spans(
     hits = sh.join(dup, "__h").select(
         "__doc", F.col("__pos").alias("__start"), (F.col("__pos") + k).alias("__end")
     )
-    # interval merge: a window starts a new span iff it begins after the
-    # running max end of all earlier windows (ordered by start, ties by
-    # end — same-start windows share a span by construction)
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(_merge_window_hits(hits, id_col), sh)
+
+
+def _merge_window_hits(hits: DataFrame, id_col: str) -> DataFrame:
+    """(__doc, __start, __end) windows → maximal merged spans per doc.
+    Interval merge via the classic running-max window: a window starts a
+    new span iff it begins after the running max end of all earlier
+    windows (ordered by start, ties by end)."""
     w = Window.partitionBy("__doc").orderBy("__start", "__end")
     prev_max_end = F.max("__end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -481,14 +488,46 @@ def duplicated_spans(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     )
-    from tegallega_spark.session import attach_intermediates
-
-    return attach_intermediates(
+    return (
         flagged.groupBy("__doc", "__span")
         .agg(F.min("__start").alias("start_tok"), F.max("__end").alias("end_tok"))
-        .select(F.col("__doc").alias(id_col), "start_tok", "end_tok"),
-        sh,
+        .select(F.col("__doc").alias(id_col), "start_tok", "end_tok")
     )
+
+
+def _non_canonical_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """Like duplicated_spans, but each duplicated window's globally FIRST
+    occurrence — min (doc, pos) struct order — is exempt from the drop
+    set (the ExactSubstr keep-one arbitration).  One extra min-aggregate
+    on the window hash."""
+    sh = _token_shingle_positions(df, id_col, text_col, k).persist()
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__h")
+    )
+    occ = sh.join(dup, "__h")
+    canon = occ.groupBy("__h").agg(
+        F.min(F.struct("__doc", "__pos")).alias("__c")
+    )
+    hits = (
+        occ.join(canon, "__h")
+        .filter(
+            (F.col("__doc") != F.col("__c.__doc"))
+            | (F.col("__pos") != F.col("__c.__pos"))
+        )
+        .select(
+            "__doc",
+            F.col("__pos").alias("__start"),
+            (F.col("__pos") + k).alias("__end"),
+        )
+    )
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(_merge_window_hits(hits, id_col), sh)
 
 
 def remove_duplicate_spans(
@@ -497,22 +536,32 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
-    """Drop every duplicated span (per duplicated_spans) from every
-    document and rebuild the text from the surviving tokens in order.
+    """Drop duplicated spans (per duplicated_spans) and rebuild the text
+    from the surviving tokens in order.
 
-    Like remove_boilerplate_lines this drops ALL occurrences once a span
-    crosses the `min_count` threshold (the C4 stance), not all-but-one
-    (the paper keeps one occurrence; keeping a canonical copy of every
-    overlapping span family needs a global order arbitration that costs a
-    second shuffle — callers that need it can keep the span table and
-    arbitrate downstream).  Whitespace runs normalize to single spaces in
-    rebuilt docs (token-level surgery); NULL text stays NULL; a fully
-    duplicated doc becomes the empty string.  The persisted shingle frame
-    rides out on the result for release_intermediates."""
+    keep_first=False (default): drop ALL occurrences once a span crosses
+    the `min_count` threshold — the C4 stance, mirroring
+    remove_boilerplate_lines.
+
+    keep_first=True: the paper's all-but-one removal (ExactSubstr keeps
+    one copy of every duplicated substring): each duplicated k-window's
+    globally FIRST occurrence — min (doc id, position) — is exempt, so
+    the first document containing a boilerplate block keeps it and every
+    later occurrence is cut.  Costs one extra min-aggregate shuffle on
+    the window hash (the global-order arbitration).
+
+    Whitespace runs normalize to single spaces in rebuilt docs
+    (token-level surgery); NULL text stays NULL; a fully duplicated doc
+    becomes the empty string.  The persisted shingle frame rides out on
+    the result for release_intermediates."""
     from tegallega_spark.session import attach_intermediates
 
-    spans = duplicated_spans(df, id_col, text_col, k, min_count)
+    if keep_first:
+        spans = _non_canonical_spans(df, id_col, text_col, k, min_count)
+    else:
+        spans = duplicated_spans(df, id_col, text_col, k, min_count)
     drop = spans.select(
         F.col(id_col).alias("__doc"),
         F.explode(

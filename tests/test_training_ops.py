@@ -501,3 +501,35 @@ def test_normalize_text_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """keep_first=True: the paper's all-but-one removal — the globally
+    first (min doc id, pos) occurrence of the boilerplate survives, every
+    later occurrence is cut; doc-internal repeats keep their first copy."""
+    from tegallega_spark.operators.textual import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us at the office for details now"
+    docs = [
+        (1, f"intro words {boiler} outro words"),
+        (2, f"{boiler} trailing unique content here today"),
+        (5, f"prefix {boiler} suffix"),
+        # doc-internal duplicate: second copy dropped, first kept
+        (7, f"opening {boiler} middle {boiler} closing"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, k=8, min_count=2, keep_first=True).collect()
+    }
+    assert out[1] == f"intro words {boiler} outro words"  # first occurrence kept
+    assert out[2] == "trailing unique content here today"
+    assert out[5] == "prefix suffix"
+    assert out[7] == "opening middle closing"  # both in-doc copies are later than doc 1's
+
+    # default stance unchanged: everything duplicated is dropped everywhere
+    out_all = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, k=8, min_count=2).collect()
+    }
+    assert out_all[1] == "intro words outro words"
