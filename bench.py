@@ -53,6 +53,7 @@ HEADLINE = [
     "q35_minhash_neardup",    # MinHash-LSH
     "q37_lang_detect",        # text analysis
     "q38_ann_topk",           # similarity search
+    "q51_duplicated_spans",   # ExactSubstr span dedup (r5: driver-tracked)
 ]
 
 

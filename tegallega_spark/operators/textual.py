@@ -431,6 +431,7 @@ def duplicated_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every span of ≥ k
     whitespace tokens whose every k-token window occurs ≥ `min_count`
@@ -440,34 +441,46 @@ def duplicated_spans(
     duplicated windows reconstructs the maximal span; spans shorter than
     k are below the operator's resolution and not reported).
 
+    `keep_first=True` exempts each duplicated window's globally FIRST
+    occurrence — min (doc, pos) struct order — from the result (the
+    ExactSubstr keep-one arbitration): the first document containing a
+    boilerplate block reports no span for it, every later occurrence
+    does.
+
     Returns (id_col, start_tok, end_tok) with end exclusive, in token
     coordinates of the whitespace tokenization.
 
     Scale shape: shingle hashing is ONE Arrow pass over the corpus
-    (memoized word hashes + a numpy polynomial, _span_shingle_udf); the
-    only wide shuffle carries (doc, pos, 8-byte hash); the occurrence
-    count is a two-level map-side-combined agg on the hash; the
-    duplicated-hash set semi-joins back keyed on the SAME hash (no
-    broadcast assumption — unlike a boilerplate blocklist the duplicated
-    set can be a large fraction of a crawl corpus); the interval merge is
-    the classic running-max window per doc, JVM-side.
+    (memoized word hashes + a numpy polynomial, _span_shingle_udf); then
+    ONE wide exchange of (doc, pos, 8-byte hash) keyed on the hash, over
+    which the occurrence count — and, for keep_first, the min-(doc,pos)
+    arbitration — are window aggregates sharing the same partition spec
+    (one sort, both computed in a single WindowExec).  An earlier
+    formulation persisted the shingle frame and ran groupBy-count + a
+    semi-join back — two wide shuffles of the same rows plus cache
+    memory; on mostly-singleton window hashes (the measured common case:
+    a crawl's duplicated fraction is small) the map-side combine bought
+    nothing, and the stress race showed the extra exchange bending the
+    scale curve below DuckDB at 80k docs.  No broadcast anywhere — the
+    duplicated set can be a large fraction of a crawl corpus.  The
+    interval merge is the classic running-max window per doc, JVM-side.
+    Nothing persists, so there is nothing for callers to release.
     """
-    # persist: the count branch and the semi-join-back branch both read
-    # the shingle frame — without it the Arrow pass (the expensive stage)
-    # runs twice.  Caller releases via release_intermediates(result).
-    sh = _token_shingle_positions(df, id_col, text_col, k).persist()
-    dup = (
-        sh.groupBy("__h")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= min_count)
-        .select("__h")
-    )
-    hits = sh.join(dup, "__h").select(
+    sh = _token_shingle_positions(df, id_col, text_col, k)
+    w = Window.partitionBy("__h")
+    counted = sh.withColumn("__n", F.count("*").over(w))
+    cond = F.col("__n") >= min_count
+    if keep_first:
+        first = F.min(F.struct("__doc", "__pos")).over(w)
+        counted = counted.withColumn("__c", first)
+        cond = cond & (
+            (F.col("__doc") != F.col("__c.__doc"))
+            | (F.col("__pos") != F.col("__c.__pos"))
+        )
+    hits = counted.filter(cond).select(
         "__doc", F.col("__pos").alias("__start"), (F.col("__pos") + k).alias("__end")
     )
-    from tegallega_spark.session import attach_intermediates
-
-    return attach_intermediates(_merge_window_hits(hits, id_col), sh)
+    return _merge_window_hits(hits, id_col)
 
 
 def _merge_window_hits(hits: DataFrame, id_col: str) -> DataFrame:
@@ -495,39 +508,60 @@ def _merge_window_hits(hits: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _non_canonical_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
-) -> DataFrame:
-    """Like duplicated_spans, but each duplicated window's globally FIRST
-    occurrence — min (doc, pos) struct order — is exempt from the drop
-    set (the ExactSubstr keep-one arbitration).  One extra min-aggregate
-    on the window hash."""
-    sh = _token_shingle_positions(df, id_col, text_col, k).persist()
-    dup = (
-        sh.groupBy("__h")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= min_count)
-        .select("__h")
-    )
-    occ = sh.join(dup, "__h")
-    canon = occ.groupBy("__h").agg(
-        F.min(F.struct("__doc", "__pos")).alias("__c")
-    )
-    hits = (
-        occ.join(canon, "__h")
-        .filter(
-            (F.col("__doc") != F.col("__c.__doc"))
-            | (F.col("__pos") != F.col("__c.__pos"))
-        )
-        .select(
-            "__doc",
-            F.col("__pos").alias("__start"),
-            (F.col("__pos") + k).alias("__end"),
-        )
-    )
-    from tegallega_spark.session import attach_intermediates
+def _span_cut_udf():
+    """Arrow-vectorized (text, merged token spans) → text with the spans
+    cut out, BYTE-EXACT outside the cuts: the surviving text is sliced
+    from the original string, so tabs, newlines, and multi-space runs
+    outside any span survive untouched (nearer byte-exact ExactSubstr
+    than the earlier token-rejoin rebuild, which normalized all
+    whitespace to single spaces).
 
-    return attach_intermediates(_merge_window_hits(hits, id_col), sh)
+    Cut geometry per span [start_tok, end_tok): from the first token's
+    first char THROUGH the whitespace separating the span from the next
+    token (so exactly one separator survives between the span's
+    neighbours); a span reaching the end of the document instead consumes
+    the whitespace PRECEDING it (no dangling trailing separator).
+    Leading/trailing whitespace of the document is outside every token
+    and therefore preserved — a fully-duplicated doc with no surrounding
+    whitespace becomes the empty string.
+
+    Token char offsets come from the same ASCII-whitespace class the
+    shingle kernel splits on, so token coordinates agree exactly."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")  # complement of Java \s
+
+    @pandas_udf("string")
+    def cut_spans(texts: pd.Series, spans: pd.Series) -> pd.Series:
+        out: list[str | None] = []
+        for t, sp in zip(texts, spans):
+            if t is None:
+                out.append(None)
+                continue
+            if sp is None or len(sp) == 0:
+                out.append(t)
+                continue
+            toks = [(m.start(), m.end()) for m in tok_re.finditer(t)]
+            n = len(toks)
+            pieces, cur = [], 0
+            for span in sp:
+                st, en = int(span["start_tok"]), int(span["end_tok"])
+                cs = toks[st][0]
+                if en < n:
+                    ce = toks[en][0]
+                else:
+                    ce = toks[n - 1][1]
+                    if st > 0:
+                        cs = toks[st - 1][1]
+                pieces.append(t[cur:cs])
+                cur = max(cur, ce)
+            pieces.append(t[cur:])
+            out.append("".join(pieces))
+        return pd.Series(out, dtype=object)
+
+    return cut_spans
 
 
 def remove_duplicate_spans(
@@ -538,8 +572,8 @@ def remove_duplicate_spans(
     min_count: int = 2,
     keep_first: bool = False,
 ) -> DataFrame:
-    """Drop duplicated spans (per duplicated_spans) and rebuild the text
-    from the surviving tokens in order.
+    """Drop duplicated spans (per duplicated_spans) and rebuild the text,
+    byte-identical outside the cut spans.
 
     keep_first=False (default): drop ALL occurrences once a span crosses
     the `min_count` threshold — the C4 stance, mirroring
@@ -549,49 +583,29 @@ def remove_duplicate_spans(
     one copy of every duplicated substring): each duplicated k-window's
     globally FIRST occurrence — min (doc id, position) — is exempt, so
     the first document containing a boilerplate block keeps it and every
-    later occurrence is cut.  Costs one extra min-aggregate shuffle on
-    the window hash (the global-order arbitration).
+    later occurrence is cut.  The arbitration is fused into the same
+    window pass as the occurrence count (duplicated_spans) — no extra
+    shuffle.
 
-    Whitespace runs normalize to single spaces in rebuilt docs
-    (token-level surgery); NULL text stays NULL; a fully duplicated doc
-    becomes the empty string.  The persisted shingle frame rides out on
-    the result for release_intermediates."""
-    from tegallega_spark.session import attach_intermediates
+    NULL text stays NULL; a fully duplicated doc becomes the empty
+    string (plus any surrounding whitespace, which is outside every
+    token and therefore preserved — see _span_cut_udf).
 
-    if keep_first:
-        spans = _non_canonical_spans(df, id_col, text_col, k, min_count)
-    else:
-        spans = duplicated_spans(df, id_col, text_col, k, min_count)
-    drop = spans.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(
-            F.sequence(F.col("start_tok"), F.col("end_tok") - 1)
-        ).alias("__pos"),
-    )
-    toks = df.select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        ).alias("__pos", "__tok"),
-    )
-    kept = toks.join(drop, ["__doc", "__pos"], "left_anti")
-    rebuilt = kept.groupBy("__doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__new_text")
-    )
+    Scale shape: the span frame (one row per maximal duplicated span —
+    by construction a small fraction of the corpus) aggregates to one
+    sorted span-array row per AFFECTED doc, left-joins back to the
+    corpus keyed on the id, and ONE Arrow pass slices the text.  The
+    earlier rebuild exploded every token of every document through an
+    anti-join and a collect_list — two corpus-sized token shuffles that
+    this formulation replaces with one doc-keyed join of a small frame.
+    Nothing persists, so there is nothing for callers to release."""
+    spans = duplicated_spans(df, id_col, text_col, k, min_count, keep_first)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("start_tok", "end_tok"))).alias("__spans")
+    ).withColumnRenamed(id_col, "__doc")
+    cut = _span_cut_udf()
     others = [c for c in df.columns if c != text_col]
-    return attach_intermediates(
-        df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
-        .select(
-            *others,
-            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce("__new_text", F.lit("")))
-            .alias(text_col),
-        ),
-        spans,
+    return (
+        df.join(per_doc, F.col(id_col) == F.col("__doc"), "left")
+        .select(*others, cut(F.col(text_col), F.col("__spans")).alias(text_col))
     )

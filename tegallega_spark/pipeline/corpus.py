@@ -33,6 +33,7 @@ from tegallega_spark.operators.dedup import (
 )
 from tegallega_spark.operators.packing import pack_sequences
 from tegallega_spark.operators.sampling import stratified_hash_sample
+from tegallega_spark.session import attach_intermediates
 
 
 def clean_corpus(
@@ -111,9 +112,9 @@ def clean_corpus(
         docs = TXT.remove_boilerplate_lines(
             docs, id_col, text_col, max_doc_frequency=line_dedup_max_df
         )
-    span_handle = None
     if span_dedup_k is not None:
-        docs = span_handle = TXT.remove_duplicate_spans(
+        # persists nothing (single-exchange formulation) — no handle to ride
+        docs = TXT.remove_duplicate_spans(
             docs, id_col, text_col, k=span_dedup_k,
             min_count=span_dedup_min_count,
         )
@@ -163,13 +164,24 @@ def clean_corpus(
             )
         from tegallega_spark.operators.semdedup import semantic_pairs
 
-        pairs = semantic_pairs(
+        # persist the post-filter corpus BEFORE semantic_pairs: its
+        # k_clusters=None auto-sizing calls df.count(), which on an
+        # unpersisted `kept` would re-execute the whole upstream
+        # (normalize, line/span dedup, scoring, filters) once for the
+        # count and again when KMeans scans it
+        kept = corpus_handle = kept.persist()
+        _sem = semantic_pairs(
             kept, id_col=id_col, vec_col=embedding_col, min_cosine=min_cosine
-        ).withColumnRenamed("cos_sim", "similarity")
+        )
+        # withColumnRenamed returns a NEW DataFrame without the
+        # _tegallega_persisted attribute — re-attach _sem's handles
+        # (the persisted IVF assignment) or release_intermediates(out)
+        # could never free them
+        pairs = attach_intermediates(
+            _sem.withColumnRenamed("cos_sim", "similarity"), _sem
+        )
     else:
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
-    # keep the handle-bearing frame: withColumnRenamed returns a new
-    # DataFrame without the _tegallega_persisted attribute
     assignments = dedup_cluster_assignments(pairs, "id_a", "id_b")
     clusters = assignments.withColumnRenamed("doc_id", id_col)
     kept = (
@@ -191,11 +203,9 @@ def clean_corpus(
         kept, token_col="n_tokens", order_col=id_col, shard_col="shard",
         budget=pack_budget,
     )
-    from tegallega_spark.session import attach_intermediates
-
     # pairs' persisted LSH/postings intermediates, the cluster-assignment
-    # checkpoint, and the auto-mode corpus persist all ride out on the
-    # result for release_intermediates(out)
+    # checkpoint, and the auto/semantic-mode corpus persist all ride out
+    # on the result for release_intermediates(out)
     return attach_intermediates(
         packed.select(
             id_col, stratum_col, "bucket", "quality", "dup_ngram_frac", "cluster_id",
@@ -204,5 +214,4 @@ def clean_corpus(
         pairs,
         assignments,
         *([corpus_handle] if corpus_handle is not None else []),
-        *([span_handle] if span_handle is not None else []),
     )

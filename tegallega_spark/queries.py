@@ -5,13 +5,15 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry is packed into EXACTLY 50 entries because the driver records
-correctness for at most 50: near-duplicate operator demonstrations are
-merged into combined queries (set-ops, rollup/cube/grouping-sets, string /
-date / window-function families, argmin+argmax, IN+correlated subqueries,
-array+map functions) so that every distinct operator class gets a driver
-row.  49 of 50 have oracles — only q42 (HLL sketch) is rows-only, since
-approximate sketch values are engine-specific by nature.  The previously
+The registry holds 52 entries (q01-q52): near-duplicate operator
+demonstrations are merged into combined queries (set-ops,
+rollup/cube/grouping-sets, string / date / window-function families,
+argmin+argmax, IN+correlated subqueries, array+map functions) so that
+every distinct operator class gets a driver row; q51/q52 register the
+round-4 span-dedup and text-normalization operators onto the driver's
+record.  All 52 have oracles — even q42 (HLL sketch) emits the exact
+count plus a falsifiable |approx-exact| <= 10% invariant instead of the
+engine-specific sketch value.  The previously
 rows-only near-dup queries (MinHash / SimHash / embedding-LSH) are now
 exact-verified: candidates from LSH, then the exact Jaccard / cosine is
 recomputed per pair and filtered, which makes the output deterministic and
@@ -1611,3 +1613,109 @@ def q50(spark, sf_dir):
         F.col("byte_len").cast("long").alias("byte_len"),
         "format", "width", "height",
     )
+
+
+# ===========================================================================
+# Round-5 registrations: the round-4 flagship operators onto the driver's
+# correctness record (VERDICT r4 "next round" #1)
+# ===========================================================================
+
+@register(
+    "q51_duplicated_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos,
+             tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(text, '\s+')) AS tok,
+                   generate_subscripts(string_split_regex(text, '\s+'), 1) AS raw_pos
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list(tok) OVER w, ' ') AS gram,
+             count(*) OVER w AS glen
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+    ),
+    kgrams AS (SELECT doc_id, pos, gram FROM grams WHERE glen = 8),
+    dup AS (SELECT gram FROM kgrams GROUP BY gram HAVING count(*) >= 2),
+    hits AS (
+      SELECT doc_id, pos AS s, pos + 8 AS e
+      FROM kgrams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER prev IS NULL OR s > max(e) OVER prev
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits
+      WINDOW prev AS (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    spans AS (
+      SELECT doc_id, s, e,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def q51(spark, sf_dir):
+    """ExactSubstr-style duplicated-span dedup (Lee et al. arXiv:2107.06499
+    at k-token shingle resolution): maximal spans of >= 8 whitespace tokens
+    whose every 8-token window repeats corpus-wide.  One Arrow shingle
+    pass, ONE hash-keyed exchange carrying (doc, pos, 8-byte hash) with the
+    occurrence count as a window aggregate, JVM interval merge
+    (operators/textual.duplicated_spans).  The oracle runs the identical
+    k-gram -> count -> interval-merge query as DuckDB SQL — a second
+    independent implementation, same contract as scripts/stress_spans.py."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return TXT.duplicated_spans(d, "doc_id", "text", k=8, min_count=2).select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+    )
+
+
+@register(
+    "q52_normalize_text",
+    oracle=(
+        "SELECT doc_id, trim(\n"
+        "  regexp_replace(\n"
+        "    regexp_replace(\n"
+        "      regexp_replace(\n"
+        "        regexp_replace(nfc_normalize(text), '\\r\\n|\\r', chr(10), 'g'),\n"
+        "        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+        "\\u200b\\u200c\\u200d\\u2060\\ufeff]', '', 'g'),\n"
+        "      '[ \\t]+', ' ', 'g'),\n"
+        "    '[ \\t]+' || chr(10), chr(10), 'g')) AS norm_text,\n"
+        "  CAST(length(trim(\n"
+        "  regexp_replace(\n"
+        "    regexp_replace(\n"
+        "      regexp_replace(\n"
+        "        regexp_replace(nfc_normalize(text), '\\r\\n|\\r', chr(10), 'g'),\n"
+        "        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+        "\\u200b\\u200c\\u200d\\u2060\\ufeff]', '', 'g'),\n"
+        "      '[ \\t]+', ' ', 'g'),\n"
+        "    '[ \\t]+' || chr(10), chr(10), 'g'))) AS BIGINT) AS norm_len\n"
+        "FROM documents"
+    ),
+)
+def q52(spark, sf_dir):
+    """Unicode corpus-text normalization (clean_corpus step 0): NFC,
+    control/zero-width strip, CRLF/CR -> LF, space/tab-run collapse,
+    per-line trailing-whitespace trim — one Arrow pass
+    (operators/textual.normalize_text_udf).  The oracle is DuckDB's
+    nfc_normalize plus the identical regex chain, so every emitted
+    character is independently recomputed."""
+    d = T(spark, sf_dir, "documents")
+    nt = TXT.normalize_text_udf()
+    return d.select(
+        "doc_id",
+        nt(F.col("text")).alias("norm_text"),
+    ).withColumn("norm_len", F.length("norm_text").cast("long"))

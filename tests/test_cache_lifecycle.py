@@ -50,9 +50,6 @@ OPERATORS = {
     "similarity_lsh": lambda spark: __import__(
         "tegallega_spark.operators.similarity", fromlist=["x"]
     ).all_pairs_above(_emb(spark), min_cosine=0.9),
-    "span_dedup": lambda spark: __import__(
-        "tegallega_spark.operators.textual", fromlist=["x"]
-    ).remove_duplicate_spans(_docs(spark), k=5, min_count=2),
     "clean_corpus_auto": lambda spark: __import__(
         "tegallega_spark.pipeline.corpus", fromlist=["x"]
     ).clean_corpus(
@@ -60,6 +57,20 @@ OPERATORS = {
         min_quality=0.0, max_dup_ngram_frac=1.0,
     ),
 }
+
+
+def test_span_dedup_persists_nothing(spark):
+    """The r5 single-exchange span-dedup formulation needs no persist at
+    all (the shingle frame has exactly one consumer) — the persistent-RDD
+    registry must be untouched with NO release call."""
+    from tegallega_spark.operators.textual import remove_duplicate_spans
+
+    spark.catalog.clearCache()
+    before = _persistent_ids(spark)
+    out = remove_duplicate_spans(_docs(spark), k=5, min_count=2)
+    out.collect()
+    assert _persistent_ids(spark) - before == set()
+    assert not getattr(out, "_tegallega_persisted", [])
 
 
 @pytest.mark.parametrize("name", sorted(OPERATORS))

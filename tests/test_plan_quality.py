@@ -223,19 +223,28 @@ def test_boilerplate_anti_join_is_broadcast(spark):
 
 
 def test_duplicated_spans_plan_shape(spark):
-    """ExactSubstr-style span detection: shingle hashing is Arrow-batched
-    (never row-at-a-time Python), the interval-merge window partitioned
-    by doc (never SinglePartition), no cartesian join."""
+    """ExactSubstr-style span detection: shingle hashing is ONE
+    Arrow-batched pass (never row-at-a-time Python, never evaluated
+    twice — the single-exchange window formulation replaced the old
+    persist + groupBy + join-back, so no cache appears either), the
+    count/arbitration and interval-merge windows partitioned by hash/doc
+    (never SinglePartition), no cartesian join."""
     from tegallega_spark.operators.textual import duplicated_spans
     from tegallega_spark.session import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    plan = plan_of(duplicated_spans(docs), "simple")
-    assert "Window" in plan
-    assert "SinglePartition" not in plan
-    assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" in plan  # the one shingle pass
-    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    for kf in (False, True):
+        plan = plan_of(duplicated_spans(docs, keep_first=kf), "simple")
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("ArrowEvalPython") == 1  # the one shingle pass
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "InMemoryTableScan" not in plan  # nothing persists
+        # keep_first's min-(doc,pos) arbitration must FUSE into the same
+        # exchange as the occurrence count — exactly one hash-keyed
+        # exchange feeding the window stage, not a second shuffle
+        assert plan.count("Exchange hashpartitioning(__h") == 1
 
 
 def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):

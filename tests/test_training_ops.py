@@ -417,6 +417,33 @@ def test_remove_duplicate_spans_rebuild(spark):
     assert out[4] is None
 
 
+def test_remove_duplicate_spans_byte_exact_outside_cuts(spark):
+    """The r5 rebuild slices the ORIGINAL string: tabs, newlines, and
+    multi-space runs outside any cut span survive byte-identically (the
+    earlier token-rejoin rebuild normalized all whitespace to single
+    spaces).  A span at end-of-doc consumes its PRECEDING separator, so
+    no dangling whitespace is left behind."""
+    from tegallega_spark.operators.textual import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us at the office for details now"
+    docs = [
+        (1, f"intro\twords  {boiler} outro\nwords  kept"),
+        (2, f"{boiler} second copy of it all"),
+        (3, f"ends with the block {boiler}"),
+        (4, "un\ttouched\n\ndoc  with   odd whitespace"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, k=8, min_count=2).collect()
+    }
+    # whitespace outside the cut is preserved byte-for-byte
+    assert out[1] == "intro\twords  outro\nwords  kept"
+    assert out[2] == "second copy of it all"
+    assert out[3] == "ends with the block"  # no trailing separator left
+    assert out[4] == "un\ttouched\n\ndoc  with   odd whitespace"
+
+
 def test_rolling_hash_fingerprints_short_doc_regression(spark):
     """Docs shorter than the window must yield an empty sketch — the
     descending sequence(1, 0) used to reach slice(start=0) and throw."""
