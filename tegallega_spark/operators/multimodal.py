@@ -4,11 +4,13 @@ Images/audio/video are opaque `binary` columns with typed metadata.  The
 Spark-side plumbing — schema, partition-friendly batch iteration, Arrow
 batch shape — is real and tested.  The codec layer dispatches on content:
 PNG payloads go through a REAL pure-stdlib decoder (zlib inflate + chunk
-parse + scanline un-filtering) and JPEG payloads through a REAL baseline
-decoder (operators/jpeg.py: Huffman + dequant + IDCT + chroma upsample —
-no Pillow in this container, none needed for either format); anything
-else (audio/video) falls back to a deterministic fake whose integration
-point for further codecs is marked.
+parse + scanline un-filtering), JPEG payloads through a REAL baseline
+decoder (operators/jpeg.py: Huffman + dequant + IDCT + chroma upsample),
+and RIFF/WAVE payloads through a REAL PCM parser (decode_wav) — no
+Pillow/soundfile in this container, none needed for any of the three;
+video falls back to a deterministic fake whose integration point is
+marked.  Corrupt magic-matched payloads yield format='corrupt' marker
+rows instead of failing the task.
 
 At 100 TB: mapInPandas streams Arrow record batches through the Python
 worker without collecting a partition in memory; batch size is governed by
@@ -189,15 +191,96 @@ def _decode_jpeg_meta(payload: bytes) -> dict:
 
 
 JPEG_MAGIC = b"\xff\xd8"
+RIFF_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE PCM writer (pure stdlib): 16-bit signed
+    little-endian, mono (n,) or multi-channel (n, c) interleaved.  Exists
+    so tests and pipelines can round-trip real audio bytes without codec
+    libraries — same role encode_png plays for images."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"unsupported sample shape {s.shape}")
+    n_channels = s.shape[1]
+    data = s.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """Real RIFF/WAVE PCM decode, pure stdlib + numpy: chunk walk → fmt →
+    data → int16/uint8 samples.  Returns (samples (n, channels) int16,
+    sample_rate).  Handles the PCM (format tag 1) subset any crawl-scale
+    audio pass normalizes to; compressed codecs raise."""
+    if payload[:4] != RIFF_MAGIC or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAVE format tag {fmt_tag} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+        elif tag == b"data":
+            if len(chunk) != length:
+                raise ValueError("truncated data chunk")
+            data = chunk
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if n_channels is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    if bits == 16:
+        flat = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int16)
+    else:  # 8-bit WAV is unsigned, centered at 128
+        flat = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    n = len(flat) - len(flat) % n_channels
+    return flat[:n].reshape(-1, n_channels), sample_rate
+
+
+def _decode_wav_meta(payload: bytes) -> dict:
+    samples, rate = decode_wav(payload)
+    n, c = samples.shape
+    return {
+        "byte_len": len(payload),
+        "format": "wav",
+        # schema reuse for audio: width = sample rate, height = channels,
+        # n_frames = sample count — documented, typed, oracle-checkable
+        "width": rate,
+        "height": c,
+        "n_frames": n,
+        # same contract as PNG/JPEG: fingerprint over DECODED samples
+        "feature_hash": (zlib.crc32(samples.tobytes()) << 24) ^ (rate << 4) ^ c,
+    }
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for the non-image codecs (audio/video).
+    """Deterministic stand-in for the remaining codec (video).
 
     REAL INTEGRATION POINT: replace the body with a real demuxer/codec
-    once the libraries are available; PNG and JPEG already take real
-    paths (_decode_png_meta / _decode_jpeg_meta).  Derives metadata from
-    the bytes deterministically — keeps schema, batching, and tests real.
+    once the libraries are available; PNG, JPEG, and WAV already take real
+    paths (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta).
+    Derives metadata from the bytes deterministically — keeps schema,
+    batching, and tests real.
     """
     n = len(payload)
     return {
@@ -220,10 +303,26 @@ def decode_batches(df: DataFrame) -> DataFrame:
     """
 
     def decode_one(p: bytes) -> dict:
-        if p[:8] == PNG_MAGIC:
-            return _decode_png_meta(p)
-        if p[:2] == JPEG_MAGIC:
-            return _decode_jpeg_meta(p)
+        # A corrupt/truncated payload must not kill the whole task — common
+        # at crawl scale.  Magic-matched payloads that fail their codec get
+        # an explicit error marker row (format='corrupt') rather than a
+        # silent fake, so downstream can filter or count them.
+        try:
+            if p[:8] == PNG_MAGIC:
+                return _decode_png_meta(p)
+            if p[:2] == JPEG_MAGIC:
+                return _decode_jpeg_meta(p)
+            if p[:4] == RIFF_MAGIC and p[8:12] == b"WAVE":
+                return _decode_wav_meta(p)
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return {
+                "byte_len": len(p),
+                "format": "corrupt",
+                "width": 0,
+                "height": 0,
+                "n_frames": 0,
+                "feature_hash": 0,
+            }
         return _fake_decode(p)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

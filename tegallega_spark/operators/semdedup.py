@@ -152,13 +152,14 @@ def semantic_pairs(
     measured it missing ~0.3% of planted pairs at N=8k, which probes=2
     recovers for ~2× candidate work.
 
-    `max_cluster` is measured in PROBE-INFLATED rows — the per-cell row
-    count the pairwise kernel would actually receive, which is what the
-    O(cell²) work bound must cap.  With probes=p a cell holding
-    max_cluster visitors may have as few as ~max_cluster/p primary
-    members; such a cell star-links earlier than its true population
-    alone would suggest (a recall trade on top of the documented
-    hot-cluster case).  When more than `warn_star_fraction` of all
+    `max_cluster` is measured in TRUE cell population — distinct primary
+    (nearest-centroid) members, NOT probe-inflated visitor rows — so a
+    cell whose real membership is under the cap keeps full pairwise
+    recall even when multi-probe visitors push its row count over.  The
+    O(cell²) work bound is enforced separately: a cell whose
+    probe-inflated row count exceeds max_cluster*probes star-links
+    regardless (worst pairwise work is probes² × the single-probe bound —
+    bounded, documented).  When more than `warn_star_fraction` of all
     blocked rows land in star-linked cells, a warning is emitted (one
     tiny aggregate over the persisted assignment) — on a healthy corpus
     with auto-k the fraction is ~0; a high value means the blocking is
@@ -167,6 +168,7 @@ def semantic_pairs(
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if k_clusters is None:
         k_clusters = auto_k_clusters(df.count(), target_cell_size)
+    p = 1
     if k_clusters == 1:
         # degenerate blocking (exact all-pairs); pyspark.ml KMeans needs k>=2
         cells = base.withColumn("__cell", F.lit(0)).persist()
@@ -183,14 +185,37 @@ def semantic_pairs(
                 "__cell", F.explode(probe(F.col("__v")))
             )
 
+    # Two per-cell counts feed the star decision (VERDICT r4 #7):
+    #   __tsize — TRUE population: primary (nearest-centroid) members only.
+    #     max_cluster compares against THIS, so the name means what it
+    #     says — a cell whose real membership is under the cap never loses
+    #     pair recall just because probe visitors inflated its row count.
+    #   __csize — probe-inflated rows: what the O(cell²) kernel actually
+    #     receives.  A hard work bound of max_cluster*p rows per cell
+    #     stays in force (worst quadratic work p² × the p=1 bound), so a
+    #     pathologically attractive cell (few primaries, huge visitor
+    #     in-flow) still can't trigger runaway pairwise work.
     sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
+    if k_clusters > 1 and p > 1:
+        true_sizes = handle.groupBy(F.col("ivf_list").alias("__cell")).agg(
+            F.count("*").alias("__tsize")
+        )
+        # left join: a cell reached only by probes has zero primaries
+        sizes = sizes.join(true_sizes, "__cell", "left").na.fill(
+            0, subset=["__tsize"]
+        )
+    else:
+        sizes = sizes.withColumn("__tsize", F.col("__csize"))
+    star_cond = (F.col("__tsize") > max_cluster) | (
+        F.col("__csize") > max_cluster * p
+    )
     if warn_star_fraction is not None and k_clusters > 1:
         # one tiny agg over the persisted assignment (KMeans already ran
         # eagerly, so this adds a cache-backed job, not a corpus rescan):
         # the probe-inflated row share landing in star-linked cells
         tot, star = sizes.agg(
             F.sum("__csize"),
-            F.sum(F.when(F.col("__csize") > max_cluster, F.col("__csize"))),
+            F.sum(F.when(star_cond, F.col("__csize"))),
         ).first()
         frac = (star or 0) / tot if tot else 0.0
         if frac > warn_star_fraction:
@@ -213,14 +238,14 @@ def semantic_pairs(
     # c vectors is c²/2 interpreted 64-element folds as join ROWS, versus
     # microseconds as a (c×d)@(d×c) matmul.  Pair blowup is impossible by
     # construction (cells are capped at max_cluster).
-    small = tagged.filter(F.col("__csize") <= max_cluster)
+    small = tagged.filter(~star_cond)
     pairs_small = small.select("__cell", "__id", "__v").groupBy("__cell").applyInPandas(
         _cell_pairs_kernel(min_cosine), "id_a long, id_b long, cos_sim double"
     )
 
     # oversized cells: star against the min-id representative — O(cell)
     # rows, scored with the same vectorized cosine
-    big = tagged.filter(F.col("__csize") > max_cluster)
+    big = tagged.filter(star_cond)
     reps = (
         big.groupBy("__cell")
         .agg(F.min("__id").alias("id_a"))

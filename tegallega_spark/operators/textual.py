@@ -220,6 +220,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     max_doc_frequency: int = 2,
     min_line_chars: int = 10,
+    broadcast_limit: int | None = 10_000_000,
 ) -> DataFrame:
     """Cross-document line-level dedup (the C4/CCNet boilerplate cut):
     drop every line whose TRIMMED form appears in more than
@@ -263,8 +264,24 @@ def remove_boilerplate_lines(
     # explicit broadcast: the scale argument above DEPENDS on the blocked
     # set broadcasting — without the hint a mis-estimated size (or a
     # lowered AQE threshold) would silently turn this into a full
-    # sort-merge shuffle of every line hash in the corpus
-    kept = hashed.join(F.broadcast(blocked), "__h", "left_anti")
+    # sort-merge shuffle of every line hash in the corpus.  But the hint
+    # bypasses AQE's size safety, so it is GATED on the actual count
+    # (ADVICE r4): a pathological corpus (low max_doc_frequency on crawl
+    # spam) can push the blocked set to tens of millions of hashes, and
+    # hard-forcing that broadcast OOMs the driver instead of degrading to
+    # a shuffle join.  The count rides the persisted blocked frame, so
+    # the aggregation runs once; the handle is attached for release.
+    handles = ()
+    if broadcast_limit is not None:
+        blocked = blocked.persist()
+        handles = (blocked,)
+        n_blocked = blocked.count()
+        blocked_side = (
+            F.broadcast(blocked) if n_blocked <= broadcast_limit else blocked
+        )
+    else:
+        blocked_side = F.broadcast(blocked)
+    kept = hashed.join(blocked_side, "__h", "left_anti")
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(
@@ -275,7 +292,7 @@ def remove_boilerplate_lines(
         ).alias("__new_text")
     )
     others = [c for c in df.columns if c != text_col]
-    return (
+    out = (
         df.join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
         .select(
             *others,
@@ -284,6 +301,9 @@ def remove_boilerplate_lines(
             .alias(text_col),
         )
     )
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(out, *handles) if handles else out
 
 
 def normalize_text_udf():

@@ -108,10 +108,15 @@ def clean_corpus(
         # every downstream hash (line, span, shingle) sees canonical text
         nt = TXT.normalize_text_udf()
         docs = docs.withColumn(text_col, nt(F.col(text_col)))
+    line_cut_handles = ()
     if line_dedup_max_df is not None:
         docs = TXT.remove_boilerplate_lines(
             docs, id_col, text_col, max_doc_frequency=line_dedup_max_df
         )
+        # the blocked-hash set persists inside (size-gated broadcast);
+        # later transforms return new DataFrames that drop the attribute,
+        # so capture the handles here and ride them out on the result
+        line_cut_handles = tuple(getattr(docs, "_tegallega_persisted", ()))
     if span_dedup_k is not None:
         # persists nothing (single-exchange formulation) — no handle to ride
         docs = TXT.remove_duplicate_spans(
@@ -213,5 +218,6 @@ def clean_corpus(
         ),
         pairs,
         assignments,
+        *line_cut_handles,
         *([corpus_handle] if corpus_handle is not None else []),
     )

@@ -54,7 +54,33 @@ def _events_schema(sample_file: str):
         ) from e
     # TIMESTAMP(NANOS) — and raw-int64 nanos from the oldest generation —
     # must be read as long + converted; everything else reads as timestamp
-    is_nanos = getattr(ts_arrow, "unit", None) == "ns" or str(ts_arrow) == "int64"
+    is_raw_int64 = str(ts_arrow) == "int64"
+    if is_raw_int64:
+        # a raw int64 column carries no unit — verify the nanos assumption
+        # against one actual value instead of silently misscaling a
+        # micros/millis column by 1000×+ downstream (ADVICE r4)
+        try:
+            sample_vals = (
+                pq.ParquetFile(sample_file).read_row_group(0, columns=["ts"])
+                .column("ts").to_pylist()
+            )
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot read a sample ts value from {sample_file!r} to "
+                f"validate the raw-int64 nanosecond assumption: {e}"
+            ) from e
+        probe_ts = next((v for v in sample_vals if v is not None), None)
+        # plausible ns-since-epoch: 1973..2200 ≈ [1e17, 7.3e18]; micros,
+        # millis, and seconds epochs are 3+ orders of magnitude below
+        if probe_ts is not None and not (10**17 <= probe_ts < 7.3 * 10**18):
+            raise RuntimeError(
+                f"events ts column is raw int64 but sample value {probe_ts} "
+                "is not a plausible nanosecond epoch (expected ~1e18 for "
+                "current dates); the file likely stores micros/millis/"
+                "seconds — regenerate with a typed timestamp or convert "
+                "explicitly"
+            )
+    is_nanos = getattr(ts_arrow, "unit", None) == "ns" or is_raw_int64
     ts_type = LongType() if is_nanos else TimestampNTZType()
     return (
         StructType(

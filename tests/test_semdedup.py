@@ -163,3 +163,58 @@ def test_star_fraction_warning_fires_on_coarse_blocking(spark):
         )
     pairs_df.collect()
     release_intermediates(pairs_df)
+
+
+def test_probe_visitors_do_not_star_link_true_small_cells(spark):
+    """VERDICT r4 #7 acceptance: max_cluster compares TRUE cell population
+    (primary members), not probe-inflated rows.  Two well-separated
+    clusters of 60 with probes=2 put ~120 rows in each cell; with
+    max_cluster=80 (true 60 < 80 < inflated 120) both cells must keep
+    FULL pairwise recall — under the old inflated-count guard they
+    star-linked and lost the non-representative pairs."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for cluster, center in ((0, np.eye(16)[0]), (1, np.eye(16)[1])):
+        for g in range(20):
+            base = center + 0.05 * rng.standard_normal(16)
+            base /= np.linalg.norm(base)
+            for c in range(3):
+                v = base + 1e-3 * rng.standard_normal(16)
+                rows.append((cluster * 60 + g * 3 + c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # star warning must NOT fire either
+        pairs_df = semantic_pairs(
+            df, min_cosine=0.999, k_clusters=2, probes=2, max_cluster=80, seed=1
+        )
+        pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    release_intermediates(pairs_df)
+    want = _exact_pairs(df, 0.999)
+    assert pairs == want
+    # full recall means every planted triple is fully paired — i.e. pairs
+    # NOT involving any cell's min id survive (stars would have dropped them)
+    non_star = [(a, b) for a, b in pairs if a % 3 != 0 and b % 3 != 0]
+    assert non_star, "no non-representative pairs — guard still star-linking"
+
+
+def test_probe_inflow_work_bound_still_stars(spark):
+    """The O(cell²) bound survives the true-count guard: when the
+    probe-inflated row count exceeds max_cluster*probes, the cell
+    star-links even though its true population is under max_cluster."""
+    n = 300
+    v = [float(x) for x in np.ones(8) / np.sqrt(8)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    # identical vectors: KMeans yields duplicate centroids; probes=2 puts
+    # all 300 rows in BOTH cells → inflated 300 > max_cluster*2 = 200,
+    # true population 300 > 100 too — but the point being pinned is that
+    # the star path still produces exactly n-1 star pairs, not O(n²)
+    with pytest.warns(UserWarning, match="STAR-link"):
+        pairs_df = semantic_pairs(
+            df, min_cosine=0.99, k_clusters=2, probes=2, max_cluster=100
+        )
+    pairs = pairs_df.collect()
+    release_intermediates(pairs_df)
+    assert len(pairs) == n - 1
+    assert {r.id_a for r in pairs} == {0}

@@ -92,3 +92,37 @@ def test_schema_probe_finds_nested_parquet(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, str(feed))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_raw_int64_ts_unit_validated_by_magnitude(tmp_path):
+    """A raw-int64 ts column is only accepted as nanoseconds when a sample
+    value has nanosecond-epoch magnitude (~1e18); a micros-scale column
+    must raise instead of being silently misscaled 1000x (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tegallega_spark.streaming.events import _events_schema
+
+    def write(path, ts_values):
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts_values, pa.int64()),
+                "user_id": pa.array([10, 11], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(t, path)
+        return str(path)
+
+    ns_2026 = 1_770_000_000 * 10**9
+    good = write(tmp_path / "ns.parquet", [ns_2026, ns_2026 + 10**9])
+    schema, from_nanos = _events_schema(good)
+    assert from_nanos
+
+    micros = write(tmp_path / "us.parquet", [ns_2026 // 1000, ns_2026 // 1000 + 10**6])
+    with pytest.raises(RuntimeError, match="not a plausible nanosecond epoch"):
+        _events_schema(micros)

@@ -560,3 +560,41 @@ def test_remove_duplicate_spans_keep_first(spark):
         for r in remove_duplicate_spans(df, k=8, min_count=2).collect()
     }
     assert out_all[1] == "intro words outro words"
+
+
+def test_boilerplate_broadcast_gate_falls_back_above_limit(spark):
+    """ADVICE r4: the broadcast hint is gated on the blocked set's actual
+    count — above broadcast_limit the anti-join must NOT carry a broadcast
+    hint (AQE/size estimation decides), below it the hint is pinned.
+    Identical output either way; the persisted blocked set is released
+    via release_intermediates."""
+    from tegallega_spark.operators.textual import remove_boilerplate_lines
+    from tegallega_spark.session import release_intermediates
+
+    banner_docs = []
+    for d in range(4):
+        lines = [f"shared boilerplate line number {i}" for i in range(10)]
+        lines.append(f"unique content for document {d}")
+        banner_docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(banner_docs, "doc_id long, text string")
+
+    forced_shuffle = remove_boilerplate_lines(
+        df, max_doc_frequency=2, broadcast_limit=3  # 10 blocked > 3
+    )
+    hinted = remove_boilerplate_lines(
+        df, max_doc_frequency=2, broadcast_limit=10_000
+    )
+    plan_shuffle = forced_shuffle._jdf.queryExecution().toString()
+    want = {(d, f"unique content for document {d}") for d in range(4)}
+    assert {(r.doc_id, r.text) for r in forced_shuffle.collect()} == want
+    assert {(r.doc_id, r.text) for r in hinted.collect()} == want
+    # above the gate: no broadcast HINT on the anti join in the analyzed
+    # plan (AQE may still choose broadcast from true sizes — that's the
+    # point: the decision returns to size-based safety)
+    analyzed_hinted = hinted._jdf.queryExecution().analyzed().toString()
+    analyzed_gated = forced_shuffle._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed_hinted.lower()
+    assert "hint" not in analyzed_gated.lower() or "broadcast" not in analyzed_gated.lower()
+    assert release_intermediates(forced_shuffle) == 1
+    assert release_intermediates(hinted) == 1
+    del plan_shuffle
