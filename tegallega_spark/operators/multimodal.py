@@ -6,11 +6,13 @@ batch shape — is real and tested.  The codec layer dispatches on content:
 PNG payloads go through a REAL pure-stdlib decoder (zlib inflate + chunk
 parse + scanline un-filtering), JPEG payloads through a REAL baseline
 decoder (operators/jpeg.py: Huffman + dequant + IDCT + chroma upsample),
-and RIFF/WAVE payloads through a REAL PCM parser (decode_wav) — no
-Pillow/soundfile in this container, none needed for any of the three;
-video falls back to a deterministic fake whose integration point is
-marked.  Corrupt magic-matched payloads yield format='corrupt' marker
-rows instead of failing the task.
+RIFF/WAVE payloads through a REAL PCM parser (decode_wav), and RIFF/AVI
+payloads through a REAL MJPEG demuxer (decode_avi, frames decoded by the
+baseline JPEG decoder) — no Pillow/soundfile/ffmpeg in this container,
+none needed for any of the four; unrecognized payloads fall back to a
+deterministic fake whose integration point is marked.  Corrupt
+magic-matched payloads yield format='corrupt' marker rows instead of
+failing the task.
 
 At 100 TB: mapInPandas streams Arrow record batches through the Python
 worker without collecting a partition in memory; batch size is governed by
@@ -273,14 +275,115 @@ def _decode_wav_meta(payload: bytes) -> dict:
     }
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for the remaining codec (video).
+def encode_avi(
+    frames: "list[np.ndarray]", fps: int = 10, quality: int = 85
+) -> bytes:
+    """Minimal RIFF/AVI writer with MJPEG ('MJPG') video: each frame is
+    JPEG-encoded by the from-scratch baseline encoder (operators/jpeg.py)
+    and wrapped in a '00dc' movi chunk.  One 'vids' stream, no index, no
+    audio — the smallest AVI a standard demuxer recognizes.  Exists so
+    tests and pipelines can round-trip real video bytes without codec
+    libraries — the same role encode_png/encode_wav play."""
+    from tegallega_spark.operators.jpeg import encode_jpeg
 
-    REAL INTEGRATION POINT: replace the body with a real demuxer/codec
-    once the libraries are available; PNG, JPEG, and WAV already take real
-    paths (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta).
-    Derives metadata from the bytes deterministically — keeps schema,
-    batching, and tests real.
+    if not frames:
+        raise ValueError("encode_avi needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    blobs = [encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality) for f in frames]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        10**6 // fps, 0, 0, 0x10, len(frames), 0, 1, max(map(len, blobs)),
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max(map(len, blobs)), 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> tuple["list[np.ndarray]", int]:
+    """Real RIFF/AVI MJPEG demux + decode, pure stdlib + the from-scratch
+    JPEG decoder: walk the RIFF tree, read fps from the 'vids' strh
+    (rate/scale), collect '00dc'/'00db' movi chunks, decode each as
+    baseline JPEG.  Returns (frames, fps).  Non-MJPEG codecs raise."""
+    from tegallega_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != RIFF_MAGIC or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    fps = None
+    blobs: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data = buf[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(data[4:])
+            elif tag == b"strh":
+                if data[:4] == b"vids":
+                    if data[4:8] not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"unsupported AVI video codec {data[4:8]!r} (MJPG only)"
+                        )
+                    scale, rate = struct.unpack("<II", data[20:28])
+                    fps = rate // max(scale, 1)
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                blobs.append(data)
+            pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+
+    walk(payload[12:])
+    if fps is None or not blobs:
+        raise ValueError("AVI missing vids stream header or frame chunks")
+    return [decode_jpeg(b) for b in blobs], fps
+
+
+def _decode_avi_meta(payload: bytes) -> dict:
+    frames, fps = decode_avi(payload)
+    h, w = frames[0].shape[:2]
+    acc = 0
+    for f in frames:
+        acc = zlib.crc32(f.tobytes(), acc)
+    return {
+        "byte_len": len(payload),
+        "format": "avi",
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        # same contract as the other codecs: fingerprint over DECODED
+        # pixels of every frame (+dims)
+        "feature_hash": (acc << 24) ^ (w << 12) ^ h,
+    }
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for payloads no codec claims (raw/unknown
+    formats — e.g. the text-derived payloads q50 feeds through).
+
+    PNG, JPEG, WAV, and AVI/MJPEG all take real paths
+    (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta /
+    _decode_avi_meta).  Derives metadata from the bytes deterministically
+    — keeps schema, batching, and tests real.
     """
     n = len(payload)
     return {
@@ -293,6 +396,38 @@ def _fake_decode(payload: bytes) -> dict:
         "feature_hash": (n * 1315423911 + (payload[0] if n else 0) * 2654435761
                          + (payload[-1] if n else 0)) % (1 << 62),
     }
+
+
+def attach_wav_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    sample_rate: int = 8000,
+    max_samples: int = 200,
+) -> DataFrame:
+    """Simulate an audio table deterministically: each doc's payload is a
+    real RIFF/WAVE PCM stream whose 16-bit samples are derived from the
+    first `max_samples` utf-8 bytes of the text ((byte-128)*256).  Exists
+    because the test corpus is text — in production the payload column
+    comes straight from parquet BINARY.  The derivation is arithmetic on
+    byte counts, so an oracle can predict byte_len/n_frames in SQL while
+    the decode itself runs the REAL parser."""
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")[:max_samples]
+            samples = (np.frombuffer(b, dtype=np.uint8).astype(np.int16) - 128) * 256
+            out.append(encode_wav(samples, sample_rate=sample_rate))
+        return pd.Series(out)
+
+    return df.select(
+        "doc_id",
+        to_wav(F.col(text_col)).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
 
 
 def decode_batches(df: DataFrame) -> DataFrame:
@@ -314,6 +449,8 @@ def decode_batches(df: DataFrame) -> DataFrame:
                 return _decode_jpeg_meta(p)
             if p[:4] == RIFF_MAGIC and p[8:12] == b"WAVE":
                 return _decode_wav_meta(p)
+            if p[:4] == RIFF_MAGIC and p[8:12] == b"AVI ":
+                return _decode_avi_meta(p)
         except (ValueError, IndexError, struct.error, zlib.error):
             return {
                 "byte_len": len(p),
@@ -336,8 +473,10 @@ def decode_batches(df: DataFrame) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: 1 row → N frame rows
-    via explode(sequence(...)) — the decode per frame stays stubbed."""
+    """Frame-sampling plumbing for video payloads: 1 row → N frame rows
+    via explode(sequence(...)).  For AVI/MJPEG payloads n_frames comes
+    from the REAL demuxer (decode_avi); other payloads use the
+    deterministic fallback metadata."""
     decoded = decode_batches(df)
     return decoded.select(
         "doc_id",

@@ -1719,3 +1719,93 @@ def q52(spark, sf_dir):
         "doc_id",
         nt(F.col("text")).alias("norm_text"),
     ).withColumn("norm_len", F.length("norm_text").cast("long"))
+
+
+@register(
+    "q53_wav_decode",
+    oracle=r"""
+    SELECT doc_id,
+           44 + 2 * least(octet_length(encode(coalesce(text, ''))), 200) AS byte_len,
+           'wav' AS format,
+           8000 AS width,
+           1 AS height,
+           least(octet_length(encode(coalesce(text, ''))), 200) AS n_frames
+    FROM documents
+    """,
+)
+def q53(spark, sf_dir):
+    """REAL audio decode on the driver record: each doc's text bytes become
+    a genuine RIFF/WAVE PCM payload (multimodal.attach_wav_payload), and
+    decode_batches routes it through the real chunk-walking PCM parser
+    (multimodal.decode_wav) — sample rate, channels, and sample count land
+    in width/height/n_frames.  The oracle predicts the header+PCM byte
+    arithmetic (44-byte canonical header + 2 bytes/sample) in SQL, so a
+    parser that miscounted chunks, channels, or samples hash-mismatches.
+    Unlike q50 (which exercises the non-magic fallback), every row here
+    takes the real codec path."""
+    from tegallega_spark.operators import multimodal as MM
+
+    d = T(spark, sf_dir, "documents")
+    decoded = MM.decode_batches(MM.attach_wav_payload(d))
+    return decoded.select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "format",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+@register(
+    "q54_video_demux",
+    oracle=r"""
+    SELECT doc_id,
+           'avi' AS format,
+           16 AS width,
+           8 AS height,
+           doc_id % 3 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def q54(spark, sf_dir):
+    """REAL video demux on the driver record: each doc gets a genuine
+    RIFF/AVI MJPEG payload with doc_id%3+1 frames (three payload variants
+    precomputed once in the UDF closure — the per-row work is the DECODE),
+    and decode_batches routes it through the real demuxer
+    (multimodal.decode_avi): RIFF walk -> strh -> movi '00dc' chunks ->
+    the from-scratch baseline JPEG decoder per frame.  The oracle predicts
+    format/dims/frame-count arithmetic in SQL; a demuxer that miscounted
+    chunks or misparsed dims hash-mismatches.  byte_len is excluded
+    (JPEG entropy-coded size is not SQL-predictable)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tegallega_spark.operators import multimodal as MM
+
+    base = np.tile(
+        (np.arange(16, dtype=np.uint8)[None, :, None] * 16), (8, 1, 3)
+    )
+    variants = [
+        MM.encode_avi([np.clip(base + 20 * i, 0, 255).astype(np.uint8)
+                       for i in range(n)], fps=10)
+        for n in (1, 2, 3)
+    ]
+
+    # no type hints: queries.py lacks a module-level pandas import, so
+    # string annotations ('pd.Series') would not resolve for the decorator
+    @pandas_udf("binary")
+    def to_avi(ids):
+        return pd.Series([variants[int(i) % 3] for i in ids])
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", to_avi(F.col("doc_id")).alias("payload")
+    )
+    return MM.decode_batches(d).select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
