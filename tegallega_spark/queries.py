@@ -1809,3 +1809,36 @@ def q54(spark, sf_dir):
         "height",
         F.col("n_frames").cast("long").alias("n_frames"),
     )
+
+
+@register(
+    "q55_bpe_tokenize",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '\s+', '', 'g') AS detok
+    FROM documents
+    """,
+)
+def q55(spark, sf_dir):
+    """BPE tokenization (operators/bpe.py, Sennrich arXiv:1508.07909):
+    train 300 merges on the corpus (distributed word count + driver merge
+    loop over the vocabulary-bounded type table), then encode every doc
+    with the Arrow UDF and re-concatenate the tokens.  The SQL-checkable
+    contract is LOSSLESSNESS: BPE must reproduce every non-whitespace
+    character in order — a tokenizer that drops, duplicates, or reorders
+    text under any merge table hash-mismatches.  (The merge table itself
+    is pinned against an independent naive trainer in test_bpe.py; merge
+    CHOICE is not SQL-expressible, character preservation is.)"""
+    from tegallega_spark.operators.bpe import bpe_encode_udf, train_bpe
+
+    d = T(spark, sf_dir, "documents")
+    merges = train_bpe(d, num_merges=300, min_count=2)
+    enc = bpe_encode_udf(merges)
+    return d.select(
+        "doc_id",
+        # concat_ws maps a NULL array to '' — preserve NULL explicitly so
+        # the oracle's regexp_replace(NULL)=NULL semantics match
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("", enc(F.col("text"))))
+        .alias("detok"),
+    )
