@@ -1842,3 +1842,60 @@ def q55(spark, sf_dir):
         .otherwise(F.concat_ws("", enc(F.col("text"))))
         .alias("detok"),
     )
+
+
+@register(
+    "q56_lm_perplexity",
+    oracle=r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS word FROM arr),
+    vocab AS (SELECT word FROM tok GROUP BY word HAVING count(*) >= 2),
+    vsize AS (SELECT count(*) + 1 AS V FROM vocab),
+    raw_bg AS (
+      SELECT doc_id, t[s.i] AS w1r, t[s.i + 1] AS w2r
+      FROM arr CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      WHERE len(t) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN w1r IN (SELECT word FROM vocab) THEN w1r ELSE '<unk>' END AS w1,
+             CASE WHEN w2r IN (SELECT word FROM vocab) THEN w2r ELSE '<unk>' END AS w2
+      FROM raw_bg
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS c FROM c12 GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln((coalesce(c12.c, 0) + 0.1)
+                 / (coalesce(c1.c, 0) + 0.1 * (SELECT V FROM vsize))) AS nll
+      FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(floor(avg(nll) * 1e6 + 0.5) AS BIGINT) AS avg_nll_r
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q56(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. arXiv:1911.00359,
+    with an add-alpha word-bigram model instead of KenLM so every stage
+    stays a DataFrame count/join): train on the corpus, score every doc
+    by mean negative log-probability over bigrams
+    (operators/ngram_lm.py).  The oracle re-derives the ENTIRE model —
+    vocab, <unk> mapping, bigram/context counts, smoothing, per-doc
+    average — as DuckDB CTEs: a second independent implementation, value-
+    hashed to 1e-6 (floor(x*1e6+0.5) on both sides per the verify
+    float-boundary rule)."""
+    from tegallega_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(d, min_count=2, alpha=0.1)
+    return perplexity_score(d, lm).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.floor(F.col("avg_nll") * 1e6 + F.lit(0.5)).cast("long").alias("avg_nll_r"),
+    )
