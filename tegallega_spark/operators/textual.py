@@ -107,6 +107,68 @@ def quality_score(text: Column) -> Column:
     return F.floor(raw * 10000.0 + 0.5) / 10000.0
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The MassiveText/Gopher document-quality rules (public literature:
+    Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    from Training Gopher", arXiv:2112.11446, Appendix A) as one boolean
+    flag per rule plus the conjunction `gopher_pass`:
+
+      ok_word_count    — 50 <= words <= 100,000
+      ok_mean_wlen     — mean word length in [3, 10]
+      ok_symbol_ratio  — (# + ellipsis occurrences) / words < 0.1
+      ok_bullet_lines  — < 90% of lines start with a bullet (-, *, •)
+      ok_ellipsis_lines— < 30% of lines end with an ellipsis
+      ok_alpha_words   — > 80% of words contain a letter
+      ok_stopwords     — >= 2 distinct Gopher stop words present
+
+    Pure JVM column math (split/filter/regexp — whole-stage codegen, no
+    Python); at 100 TB this is a scan-side map with no shuffle at all.
+    NULL text fails every rule (flags false, not NULL) so downstream
+    filters need no three-valued-logic care."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wlen = word_chars / nw
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    low_toks = F.transform(toks, lambda w: F.lower(w))
+    n_stops = F.size(F.filter(stop_arr, lambda s: F.array_contains(low_toks, s)))
+
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_wlen": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "ok_symbol_ratio": ((n_hash + n_ellipsis) / nw) < 0.1,
+        "ok_bullet_lines": (bullet_lines / n_lines) < 0.9,
+        "ok_ellipsis_lines": (ellipsis_lines / n_lines) < 0.3,
+        "ok_alpha_words": (alpha_words / nw) > 0.8,
+        "ok_stopwords": n_stops >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.expr(" AND ".join(flags)),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased alnum-collapsed
     text.  Identical modulo whitespace/punct/casing → identical fingerprint."""

@@ -1899,3 +1899,71 @@ def q56(spark, sf_dir):
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.floor(F.col("avg_nll") * 1e6 + F.lit(0.5)).cast("long").alias("avg_nll_r"),
     )
+
+
+@register(
+    "q57_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) AS n_words,
+        length(regexp_replace(t, '\s+', '', 'g')) AS word_chars,
+        length(t) - length(replace(t, '#', '')) AS n_hash,
+        (length(t) - length(replace(t, '...', ''))) / 3.0 AS n_ellipsis,
+        len(string_split(t, chr(10))) AS n_lines,
+        len(list_filter(string_split(t, chr(10)),
+                        l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+        len(list_filter(string_split(t, chr(10)),
+                        l -> regexp_matches(l, '\.\.\.\s*$'))) AS ellipsis_lines,
+        len(list_filter(list_filter(string_split_regex(t, '\s+'), w -> w <> ''),
+                        w -> regexp_matches(w, '\p{L}'))) AS alpha_words,
+        list_filter(string_split_regex(lower(t), '\s+'), w -> w <> '') AS lt
+      FROM base
+    )
+    SELECT doc_id,
+      n_words,
+      n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+      word_chars / greatest(n_words, 1) >= 3.0
+        AND word_chars / greatest(n_words, 1) <= 10.0 AS ok_mean_wlen,
+      (n_hash + n_ellipsis) / greatest(n_words, 1) < 0.1 AS ok_symbol_ratio,
+      bullet_lines / greatest(n_lines, 1) < 0.9 AS ok_bullet_lines,
+      ellipsis_lines / greatest(n_lines, 1) < 0.3 AS ok_ellipsis_lines,
+      alpha_words / greatest(n_words, 1) > 0.8 AS ok_alpha_words,
+      (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END) >= 2 AS ok_stopwords,
+      n_words >= 50 AND n_words <= 100000
+        AND word_chars / greatest(n_words, 1) >= 3.0
+        AND word_chars / greatest(n_words, 1) <= 10.0
+        AND (n_hash + n_ellipsis) / greatest(n_words, 1) < 0.1
+        AND bullet_lines / greatest(n_lines, 1) < 0.9
+        AND ellipsis_lines / greatest(n_lines, 1) < 0.3
+        AND alpha_words / greatest(n_words, 1) > 0.8
+        AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END) >= 2
+        AS gopher_pass
+    FROM feat
+    """,
+)
+def q57(spark, sf_dir):
+    """MassiveText/Gopher document-quality rules (Rae et al.
+    arXiv:2112.11446 Appendix A) as per-rule boolean flags + conjunction
+    (operators/textual.gopher_quality_flags).  Scan-side column math, no
+    shuffle (plan-asserted in test_training_ops); the oracle re-derives
+    every rule in DuckDB list/regex SQL."""
+    d = T(spark, sf_dir, "documents")
+    return TXT.gopher_quality_flags(d)

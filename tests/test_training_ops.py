@@ -598,3 +598,43 @@ def test_boilerplate_broadcast_gate_falls_back_above_limit(spark):
     assert release_intermediates(forced_shuffle) == 1
     assert release_intermediates(hinted) == 1
     del plan_shuffle
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags (MassiveText document-quality rules, Rae et al.)
+# ---------------------------------------------------------------------------
+
+def test_gopher_flags_each_rule_triggers(spark):
+    from tegallega_spark.operators.textual import gopher_quality_flags
+
+    good = ("the data to be used of and that have with analysis " * 6).strip()
+    docs = [
+        (1, good),                                      # passes everything
+        (2, "the of and to be"),                        # too few words
+        (3, "## " * 60 + good),                         # symbol ratio (hashes)
+        (4, "\n".join("- the item of note here today" for _ in range(20))),  # bullets
+        (5, "\n".join("the thing goes on..." for _ in range(10))),  # ellipsis lines
+        (6, ("0101 1100 1010 0110 " * 15) + "the of"),  # alpha-word frac
+        (7, ("zzzz qqqq wwww eeee rrrr " * 12).strip()),  # no stop words
+        (8, None),                                      # NULL: all false
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["gopher_pass"] is False
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[4]["ok_bullet_lines"] is False
+    assert got[5]["ok_ellipsis_lines"] is False
+    assert got[6]["ok_alpha_words"] is False
+    assert got[7]["ok_stopwords"] is False
+    assert got[8]["gopher_pass"] is False and got[8]["n_words"] == 0
+
+
+def test_gopher_flags_scan_side_no_shuffle(spark, sf_dir):
+    """Gopher scoring is a scan-side map: zero exchanges in the plan."""
+    from tegallega_spark.operators.textual import gopher_quality_flags
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = gopher_quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
