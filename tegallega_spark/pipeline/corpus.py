@@ -60,6 +60,8 @@ def clean_corpus(
     span_dedup_min_count: int = 2,
     embedding_col: str = "embedding",
     min_cosine: float = 0.95,
+    gopher_rules: bool = False,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -98,6 +100,15 @@ def clean_corpus(
     resolution).  Runs before scoring for the same reason the line cut
     does: duplicated boilerplate spans would otherwise depress quality
     scores and glue unrelated docs into near-dup pairs.
+
+    `gopher_rules` (opt-in): drop docs failing any of the 7 MassiveText
+    rules (textual.gopher_quality_flags) before the heuristic gate.
+
+    `max_perplexity` (opt-in): CCNet-style LM filter — train an add-alpha
+    bigram LM on the corpus itself and drop docs whose mean negative
+    log-probability exceeds the threshold (operators/ngram_lm).  Docs
+    with fewer than 2 tokens have no bigrams and are dropped too (the
+    CCNet convention).
     """
     # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
     # text BEFORE anything scores or shingles it, so boilerplate lines
@@ -123,6 +134,30 @@ def clean_corpus(
             docs, id_col, text_col, k=span_dedup_k,
             min_count=span_dedup_min_count,
         )
+
+    # 0.5 optional rule/model quality gates — both scan-shaped, both
+    # BEFORE the near-dup stages so junk never pays for shingling:
+    if gopher_rules:
+        # the 7 MassiveText rules (scan-side column math, no shuffle);
+        # semi-join keeps only passing docs, flags don't travel further
+        passing = TXT.gopher_quality_flags(docs, id_col, text_col).filter(
+            F.col("gopher_pass")
+        ).select(id_col)
+        docs = docs.join(passing, id_col, "left_semi")
+    if max_perplexity is not None:
+        # CCNet-style LM filter: the model is trained on THIS corpus (the
+        # in-domain convention when no external reference corpus is
+        # given); scoring joins are broadcast (vocabulary-bounded)
+        from tegallega_spark.operators.ngram_lm import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        lm = train_bigram_lm(docs, id_col, text_col)
+        ok = perplexity_score(docs, lm, id_col, text_col).filter(
+            F.col("avg_nll") <= max_perplexity
+        ).select(id_col)
+        docs = docs.join(ok, id_col, "left_semi")
 
     # 1. quality + repetition gate (scan-side)
     scored = docs.withColumn("quality", TXT.quality_score(F.col(text_col)))

@@ -237,3 +237,39 @@ def test_clean_corpus_normalize_stage(spark):
 
     out = clean_corpus(df, min_quality=0.0, max_dup_ngram_frac=1.0, normalize=True)
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]  # 2 deduped into 1
+
+
+def test_clean_corpus_gopher_and_perplexity_gates(spark):
+    """Opt-in rule/model quality gates: a Gopher-failing doc (too short /
+    no stop words) and a gibberish doc (high LM perplexity) are dropped
+    before dedup; fluent docs with enough mass survive both gates."""
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to be said of it with some more words here to clear the gate "
+    ) * 3
+    rows = [(i, fluent + f"unique tail {i}", "en") for i in range(10)]
+    rows.append((100, "zz qq ww", "en"))  # fails Gopher word count
+    # in-vocab words in orders the corpus LM has never seen repeated —
+    # each chunk is a DIFFERENT rotation+interleave, so doc 200 cannot
+    # train its own bigrams frequent; long enough to pass Gopher
+    words = "dog the over lazy jumps quick fox brown and that to of".split()
+    chunks = []
+    for i in range(8):
+        rot = words[i:] + words[:i]
+        chunks.append(" ".join(rot[::2] + rot[1::2]))
+    rows.append((200, " ".join(chunks), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = clean_corpus(
+        docs,
+        min_quality=0.0,
+        max_dup_ngram_frac=1.0,
+        jaccard_threshold=0.95,
+        gopher_rules=True,
+        max_perplexity=1.0,
+        n_shards=4,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 100 not in ids  # Gopher gate
+    assert 200 not in ids  # LM gate
+    assert ids & set(range(10))  # fluent docs survive both gates
