@@ -54,6 +54,7 @@ HEADLINE = [
     "q37_lang_detect",        # text analysis
     "q38_ann_topk",           # similarity search
     "q51_duplicated_spans",   # ExactSubstr span dedup (r5: driver-tracked)
+    "q56_lm_perplexity",      # bigram-LM train + score (r5)
 ]
 
 

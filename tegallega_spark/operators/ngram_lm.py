@@ -99,12 +99,15 @@ def train_bigram_lm(
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    vocab = tokens.filter(F.col("c") >= min_count).select("word")
-    # V = in-vocab types + <unk>; one scalar to the driver
-    vocab_size = vocab.count() + 1
+    # the model tables are vocabulary-bounded — persist them so scoring
+    # (and repeated scoring calls) reuse the trained counts instead of
+    # re-scanning the corpus per consumer; the driver-side V count
+    # doubles as the materialization action for vocab
+    vocab = tokens.filter(F.col("c") >= min_count).select("word").persist()
+    vocab_size = vocab.count() + 1  # V = in-vocab types + <unk>
 
     bg = _unk_map(_doc_bigrams(df, id_col, text_col), vocab)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return BigramLM(bigrams, contexts, vocab, vocab_size, alpha)
 
@@ -135,6 +138,10 @@ def perplexity_score(
             ).alias("nll"),
         )
     )
-    return scored.groupBy("__id").agg(
+    out = scored.groupBy("__id").agg(
         F.count("*").alias("n_bigrams"), F.avg("nll").alias("avg_nll")
     ).select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
+    # ride the persisted model tables out for release_intermediates
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(out, lm.vocab, lm.bigrams)

@@ -154,10 +154,11 @@ def clean_corpus(
         )
 
         lm = train_bigram_lm(docs, id_col, text_col)
-        ok = perplexity_score(docs, lm, id_col, text_col).filter(
-            F.col("avg_nll") <= max_perplexity
-        ).select(id_col)
+        _scored = perplexity_score(docs, lm, id_col, text_col)
+        ok = _scored.filter(F.col("avg_nll") <= max_perplexity).select(id_col)
         docs = docs.join(ok, id_col, "left_semi")
+        # the persisted model tables ride out through the final attach
+        line_cut_handles += tuple(getattr(_scored, "_tegallega_persisted", ()))
 
     # 1. quality + repetition gate (scan-side)
     scored = docs.withColumn("quality", TXT.quality_score(F.col(text_col)))

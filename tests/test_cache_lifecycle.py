@@ -56,6 +56,21 @@ OPERATORS = {
         _docs(spark).withColumn("lang", F.lit("en")),
         min_quality=0.0, max_dup_ngram_frac=1.0,
     ),
+    "ngram_lm_score": lambda spark: __import__(
+        "tegallega_spark.operators.ngram_lm", fromlist=["x"]
+    ).perplexity_score(
+        _docs(spark),
+        __import__(
+            "tegallega_spark.operators.ngram_lm", fromlist=["x"]
+        ).train_bigram_lm(_docs(spark)),
+    ),
+    "clean_corpus_lm_gate": lambda spark: __import__(
+        "tegallega_spark.pipeline.corpus", fromlist=["x"]
+    ).clean_corpus(
+        _docs(spark).withColumn("lang", F.lit("en")),
+        min_quality=0.0, max_dup_ngram_frac=1.0,
+        gopher_rules=True, max_perplexity=50.0,
+    ),
 }
 
 
