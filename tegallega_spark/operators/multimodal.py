@@ -472,6 +472,116 @@ def decode_batches(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def resize_pixels(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Bilinear resize, pure numpy (vectorized gather + lerp).  Exact on
+    linear gradients (the property the test pins); align-corners=False
+    half-pixel-center convention (the common default).  Works for
+    grayscale (h, w) and channel-last (h, w, c)."""
+    src = np.asarray(px, dtype=np.float64)
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[:, :, None]
+    h, w, c = src.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_batches(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """mapInPandas image resize: decode (PNG/JPEG, real codecs) →
+    bilinear resize → re-encode PNG (lossless, so downstream sees exact
+    resized pixels).  Non-image and corrupt payloads pass through with
+    resized=false.  Constant memory per batch, binary stays in Arrow
+    buffers — the same shape as decode_batches."""
+
+    def one(p: bytes):
+        try:
+            if p[:8] == PNG_MAGIC:
+                px = decode_png(p)
+            elif p[:2] == JPEG_MAGIC:
+                from tegallega_spark.operators.jpeg import decode_jpeg
+
+                px = decode_jpeg(p)
+            else:
+                return p, False
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return p, False
+        return encode_png(resize_pixels(px, out_h, out_w)), True
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [b for b, _ in pairs],
+                    "resized": [ok for _, ok in pairs],
+                }
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, payload binary, resized boolean")
+
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean array<double>, std array<double>, hist array<double>"
+)
+
+
+def extract_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
+    """mapInPandas image feature extraction over decoded pixels: per-
+    channel mean/std plus a normalized grayscale histogram — the typed
+    numeric columns an embedding/quality stage downstream would consume.
+    Non-image/corrupt payloads yield NULL feature arrays (schema stays
+    fixed; callers filter on mean IS NOT NULL)."""
+
+    def one(doc_id: int, p: bytes) -> dict:
+        try:
+            if p[:8] == PNG_MAGIC:
+                px = decode_png(p)
+            elif p[:2] == JPEG_MAGIC:
+                from tegallega_spark.operators.jpeg import decode_jpeg
+
+                px = decode_jpeg(p)
+            else:
+                raise ValueError("not an image")
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return {
+                "doc_id": doc_id, "width": 0, "height": 0, "channels": 0,
+                "mean": None, "std": None, "hist": None,
+            }
+        arr = px[:, :, None].astype(np.float64) if px.ndim == 2 else px.astype(np.float64)
+        gray = arr.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=hist_bins, range=(0.0, 256.0))
+        return {
+            "doc_id": doc_id,
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "mean": arr.mean(axis=(0, 1)).tolist(),
+            "std": arr.std(axis=(0, 1)).tolist(),
+            "hist": (hist / hist.sum()).tolist(),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(int(i), bytes(p)) for i, p in zip(pdf["doc_id"], pdf["payload"])]
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: 1 row → N frame rows
     via explode(sequence(...)).  For AVI/MJPEG payloads n_frames comes

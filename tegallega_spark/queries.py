@@ -1967,3 +1967,51 @@ def q57(spark, sf_dir):
     every rule in DuckDB list/regex SQL."""
     d = T(spark, sf_dir, "documents")
     return TXT.gopher_quality_flags(d)
+
+
+@register(
+    "q58_image_resize_features",
+    oracle=r"""
+    SELECT doc_id,
+           12 AS height,
+           8 AS width,
+           1 AS channels,
+           doc_id % 251 AS mean0
+    FROM documents
+    """,
+)
+def q58(spark, sf_dir):
+    """Image resize + feature extraction through REAL codecs end-to-end:
+    each doc gets a constant-gray 24x16 PNG (value doc_id % 251), which
+    rides decode_png -> bilinear resize_pixels(12, 8) -> encode_png ->
+    decode_png -> per-channel stats (multimodal.resize_batches +
+    extract_features).  A constant image is a fixed point of bilinear
+    resampling, so the oracle predicts the output dims and EXACT mean in
+    SQL — any drift in either codec round-trip or the resample plumbing
+    hash-mismatches.  (Interpolation WEIGHTS are pinned separately by the
+    linear-gradient property test in test_avi.py.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tegallega_spark.operators import multimodal as MM
+
+    variants = [
+        MM.encode_png(np.full((24, 16), v, dtype=np.uint8)) for v in range(251)
+    ]
+
+    @pandas_udf("binary")
+    def to_png(ids):
+        return pd.Series([variants[int(i) % 251] for i in ids])
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", to_png(F.col("doc_id")).alias("payload")
+    )
+    feats = MM.extract_features(MM.resize_batches(d, 12, 8))
+    return feats.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.element_at("mean", 1).cast("long").alias("mean0"),
+    )

@@ -88,3 +88,65 @@ def test_avi_strf_is_valid_bitmapinfoheader():
     strf = payload[idx : idx + 40]
     bi_size, w, h, planes, bits, fourcc = struct.unpack("<IiiHH4s", strf[:20])
     assert (bi_size, w, h, planes, bits, fourcc) == (40, 32, 20, 1, 24, b"MJPG")
+
+
+# ---------------------------------------------------------------------------
+# resize_batches / extract_features (the remaining multimodal ops the
+# north-star brief names: decode / feature-extract / resize / frame-sample)
+# ---------------------------------------------------------------------------
+
+def test_resize_pixels_exact_on_linear_gradient():
+    """Bilinear interpolation reproduces linear functions exactly — the
+    property that pins the math (up to uint8 rounding)."""
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((yy * 2 + xx) % 256).astype(np.uint8)
+    # a truly linear field: value = a*y + b*x + c without wraparound
+    lin = (1.5 * yy + 2.0 * xx + 10).astype(np.float64)
+    lin_img = np.clip(np.rint(lin), 0, 255).astype(np.uint8)
+    out = MM.resize_pixels(lin_img, 16, 24)
+    oy, ox = np.mgrid[0:16, 0:24]
+    sy = (oy + 0.5) * h / 16 - 0.5
+    sx = (ox + 0.5) * w / 24 - 0.5
+    want = np.clip(np.rint(1.5 * np.clip(sy, 0, h - 1) + 2.0 * np.clip(sx, 0, w - 1) + 10), 0, 255)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+    del grad
+
+
+def test_resize_identity_and_constant():
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=(20, 15, 3), dtype=np.uint8)
+    assert (MM.resize_pixels(px, 20, 15) == px).all()  # identity
+    const = np.full((33, 21), 137, dtype=np.uint8)
+    assert (MM.resize_pixels(const, 7, 50) == 137).all()  # constant preserved
+
+
+def test_resize_batches_real_roundtrip(spark):
+    """PNG in → resized PNG out, verified by decoding the OUTPUT bytes;
+    non-image payloads pass through untouched with resized=false."""
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    rows = [(1, bytearray(MM.encode_png(px))), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in MM.resize_batches(df, 20, 15).collect()}
+    assert got[1].resized is True
+    out_px = MM.decode_png(bytes(got[1].payload))
+    assert out_px.shape == (20, 15, 3)
+    assert (out_px == MM.resize_pixels(px, 20, 15)).all()
+    assert got[2].resized is False and bytes(got[2].payload) == b"not an image"
+
+
+def test_extract_features_matches_numpy(spark):
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    rows = [(1, bytearray(MM.encode_png(px))), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in MM.extract_features(df, hist_bins=8).collect()}
+    arr = px.astype(np.float64)
+    assert got[1].channels == 3 and (got[1].width, got[1].height) == (16, 24)
+    assert got[1].mean == pytest.approx(arr.mean(axis=(0, 1)).tolist(), abs=1e-9)
+    assert got[1].std == pytest.approx(arr.std(axis=(0, 1)).tolist(), abs=1e-9)
+    hist, _ = np.histogram(arr.mean(axis=2), bins=8, range=(0.0, 256.0))
+    assert got[1].hist == pytest.approx((hist / hist.sum()).tolist(), abs=1e-12)
+    assert sum(got[1].hist) == pytest.approx(1.0)
+    assert got[2].mean is None and got[2].channels == 0
