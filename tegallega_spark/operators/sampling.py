@@ -19,6 +19,8 @@ while keeping 50% of a low-resource language.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -52,3 +54,56 @@ def stratified_hash_sample(
     for value, t in sorted(thresholds.items()):
         thr = F.when(F.col(stratum) == value, F.lit(t)).otherwise(thr)
     return df.withColumn("bucket", hash_bucket(F.col(key))).filter(F.col("bucket") < thr)
+
+
+def hash_frac(key: Column) -> Column:
+    """Deterministic uniform fraction in [0, 1) from a row key: the first 15
+    hex chars of md5 (60 bits) as a bigint, divided by 2^60.  Fine-grained
+    sibling of hash_bucket — rate comparisons at double precision instead of
+    1/256 granularity, still a pure scan-side expression."""
+    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+    return h.cast("long").cast("double") / F.lit(float(1 << 60))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    targets: dict[str, float],
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to TARGET domain proportions (The Pile /
+    MassiveText-style mixture weighting: the training set is specified as
+    "30% web, 30% books, ..." — not as per-domain keep rates).
+
+    Given target output shares w_s (must sum to ~1) and stratum counts n_s,
+    the largest feasible output preserving the shares without upsampling is
+    N = min_s(n_s / w_s); each stratum keeps rate r_s = w_s * N / n_s (the
+    binding stratum keeps everything, the rest downsample).  Strata not in
+    `targets` are dropped — the mixture is the whole output.
+
+    Selection is `hash_frac(key) < r_s` — a pure function of the row key, so
+    the identical mixture comes back on every rerun and on any engine that
+    can evaluate md5 (the DuckDB oracle for q63 recomputes it bit-for-bit).
+    At 100 TB the per-stratum counts are one cheap agg over table metadata
+    or a catalog stat; pass `counts` to skip the counting scan entirely.
+    The filter itself stays scan-side: no shuffle, no RNG state.
+    """
+    total_w = sum(targets.values())
+    if not math.isclose(total_w, 1.0, rel_tol=1e-6):
+        raise ValueError(f"target shares must sum to 1, got {total_w}")
+    if counts is None:
+        rows = (
+            df.filter(F.col(stratum).isin(list(targets)))
+            .groupBy(stratum).count().collect()
+        )
+        counts = {r[stratum]: r["count"] for r in rows}
+    missing = sorted(set(targets) - set(counts))
+    if missing:
+        raise ValueError(f"strata with target weight but no rows: {missing}")
+    n_out = min(counts[s] / w for s, w in targets.items())
+    rates = {s: w * n_out / counts[s] for s, w in targets.items()}
+    rate: Column = F.lit(None).cast("double")
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(r)).otherwise(rate)
+    return df.filter(hash_frac(F.col(key)) < rate)

@@ -176,10 +176,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.trim(normalized))
 
 
-def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 16) -> Column:
+def rolling_hash_fingerprints(
+    text: Column, window: int = 8, keep_every: int = 16, hasher: str = "xxhash64"
+) -> Column:
     """Winnowing-style document fingerprints: hash every `window`-word
     shingle, keep hashes ≡ 0 (mod keep_every).  array<bigint> sketch usable
-    for containment checks at scale."""
+    for containment checks at scale.
+
+    hasher: 'xxhash64' (default, fastest — one JVM hash per shingle) or
+    'md5' (first 60 bits of md5 as a non-negative bigint — bit-identical
+    reproducible in any engine with an md5 function, which is what the q63
+    DuckDB oracle does; use it when the sketch must be auditable outside
+    Spark)."""
+    if hasher == "xxhash64":
+        def shingle_hash(g: Column) -> Column:
+            return F.xxhash64(g)
+    elif hasher == "md5":
+        def shingle_hash(g: Column) -> Column:
+            return F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     toks = tokens(text)
     num = F.size(toks) - F.lit(window - 1)
     # guard: sequence(1, 0) DESCENDS ([1, 0]) and slice rejects start 0 —
@@ -189,7 +205,7 @@ def rolling_hash_fingerprints(text: Column, window: int = 8, keep_every: int = 1
         num >= 1,
         F.transform(
             F.sequence(F.lit(1), num),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+            lambda i: shingle_hash(F.concat_ws(" ", F.slice(toks, i, window))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return F.array_sort(

@@ -5,13 +5,18 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 52 entries (q01-q52): near-duplicate operator
+The registry holds 63 entries (q01-q63): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
 every distinct operator class gets a driver row; q51/q52 register the
 round-4 span-dedup and text-normalization operators onto the driver's
-record.  All 52 have oracles — even q42 (HLL sketch) emits the exact
+record; q53-q58 the round-5 WAV/AVI codecs, BPE, LM-perplexity, Gopher
+rules, and image-resize paths; q59-q63 promote the previously local-only
+graph shortest-path (recursive-CTE oracle), segment-snap, and virtual-stop
+interpolation operators onto the driver's record and add engine-auditable
+winnowing fingerprints + domain-mixture sampling.  All have oracles —
+even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
 rows-only near-dup queries (MinHash / SimHash / embedding-LSH) are now
@@ -40,6 +45,8 @@ from tegallega_spark.functions.geo import haversine_km
 from tegallega_spark.functions.timecodec import seconds_to_hhmmss
 from tegallega_spark.operators import cc as CC
 from tegallega_spark.operators import dedup as D
+from tegallega_spark.operators import graph as G
+from tegallega_spark.operators import spatial as SP
 from tegallega_spark.operators import packing as PACK
 from tegallega_spark.operators import sampling as SAMP
 from tegallega_spark.operators import similarity as SIM
@@ -2015,3 +2022,281 @@ def q58(spark, sf_dir):
         "channels",
         F.element_at("mean", 1).cast("long").alias("mean0"),
     )
+
+
+# ===========================================================================
+# Round 5: driver rows for the previously local-only graph / spatial
+# operators (Q4, J4/Q2, W10) + auditable fingerprints and mixture sampling
+# ===========================================================================
+
+@register(
+    "q59_shortest_path",
+    oracle=r"""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT DISTINCT o_orderkey % 36 AS s,
+             (o_orderkey % 36) + 1 + (o_custkey % 3) AS t
+      FROM orders
+      WHERE (o_orderkey % 36) + 1 + (o_custkey % 3) <= 35),
+    we AS (
+      SELECT s, t, CAST(1 + ((s * 7 + t * 3) % 5) AS DOUBLE) AS w FROM e0),
+    reach(n, d) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+      UNION
+      SELECT e.t, r.d + e.w FROM reach r JOIN we e ON e.s = r.n)
+    SELECT n AS node, MIN(d) AS dist_total FROM reach GROUP BY n
+    """,
+)
+def q59(spark, sf_dir):
+    """Single-source weighted shortest path (reference Q4, index.html's
+    Dijkstra) via operators/graph.shortest_paths_distributed — Bellman-Ford
+    rounds as join+min-agg, one shuffle per round, localCheckpoint-truncated
+    lineage.  The graph is a deterministic sparse DAG derived from orders
+    (36 nodes, steps +1..+3, weight a pure function of the endpoint ids), so
+    DuckDB can replay it as a recursive CTE: path enumeration with UNION-
+    distinct, then MIN per node — an independent algorithm (label-
+    correcting enumeration vs distance relaxation) agreeing on every
+    distance, which is exactly what makes the row falsifiable."""
+    o = T(spark, sf_dir, "orders")
+    s = F.col("o_orderkey") % 36
+    t = s + 1 + (F.col("o_custkey") % 3)
+    edges = (
+        o.select(s.alias("s"), t.alias("t"))
+        .filter(F.col("t") <= 35)
+        .distinct()
+        .select(
+            F.col("s").cast("string").alias("src"),
+            F.col("t").cast("string").alias("dst"),
+            (1 + (F.col("s") * 7 + F.col("t") * 3) % 5).cast("double").alias("weight_km"),
+        )
+    )
+    dist = G.shortest_paths_distributed(edges, "0", max_iterations=60)
+    return dist.select(
+        F.col("id").cast("long").alias("node"), F.col("dist").alias("dist_total")
+    )
+
+
+@register(
+    "q60_segment_snap",
+    oracle=r"""
+    WITH pts AS (
+      SELECT c_custkey AS stop_id,
+             107.55 + (c_custkey % 97) / 500.0 AS px,
+             -6.95 + ((c_custkey * 13) % 89) / 500.0 AS py
+      FROM customer WHERE c_custkey % 10 = 0),
+    v AS (
+      SELECT n_nationkey AS i,
+             107.55 + n_nationkey * 0.008 AS vx,
+             -6.90 + ((n_nationkey * n_nationkey) % 11) * 0.01
+                   + n_nationkey * 0.0007 AS vy
+      FROM nation),
+    segs AS (
+      SELECT a.i AS seg_idx, a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by
+      FROM v a JOIN v b ON b.i = a.i + 1),
+    raw AS (
+      SELECT stop_id, seg_idx, ax, ay, bx, by, px, py,
+             (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS ab2,
+             (px - ax) * (bx - ax) + (py - ay) * (by - ay) AS dot
+      FROM pts CROSS JOIN segs),
+    tt AS (
+      SELECT *, CASE WHEN ab2 > 0 THEN LEAST(GREATEST(dot / ab2, 0.0), 1.0)
+                     ELSE 0.0 END AS t
+      FROM raw),
+    pp AS (
+      SELECT stop_id, seg_idx + t AS frac_idx,
+             ax + (bx - ax) * t AS qx, ay + (by - ay) * t AS qy, px, py
+      FROM tt),
+    dd AS (
+      SELECT stop_id, frac_idx, qx, qy,
+             2 * 6371000 * asin(sqrt(
+               power(sin((radians(qy) - radians(py)) / 2), 2)
+               + cos(radians(py)) * cos(radians(qy))
+                 * power(sin((radians(qx) - radians(px)) / 2), 2))) AS dist
+      FROM pp)
+    SELECT stop_id, ROUND(frac_idx, 6) AS frac_idx,
+           ROUND(qx, 6) AS proj_lon, ROUND(qy, 6) AS proj_lat,
+           ROUND(dist, 3) AS proj_dist_m
+    FROM dd
+    QUALIFY row_number() OVER (PARTITION BY stop_id ORDER BY dist, frac_idx) = 1
+    """,
+)
+def q60(spark, sf_dir):
+    """Point-to-polyline projection with fractional index (reference J4/Q2,
+    update-routes.js:206-246) through operators/spatial.project_onto_segments
+    — lead-window segments, clamped dot-product projection, struct-argmin
+    with the reference's lowest-segment tie rule.  Points and the zig-zag
+    polyline are pure column math over customer/nation, so the oracle
+    replays the identical arithmetic and picks its argmin independently."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    pts = c.select(
+        F.col("c_custkey").alias("stop_id"),
+        (F.lit(107.55) + (F.col("c_custkey") % 97) / F.lit(500.0)).alias("lon"),
+        (F.lit(-6.95) + ((F.col("c_custkey") * 13) % 89) / F.lit(500.0)).alias("lat"),
+        F.lit("r1").alias("rel"),
+    )
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(
+        F.lit("r1").alias("rel"),
+        F.col("n_nationkey").cast("int").alias("vertex_idx"),
+        (F.lit(107.55) + F.col("n_nationkey") * F.lit(0.008)).alias("lon"),
+        # + n*0.0007 drift breaks the palindromic period of n^2 % 11 — without
+        # it the zig-zag is mirror-symmetric and far points see EXACT distance
+        # ties that the two engines' argmin may break differently
+        (
+            F.lit(-6.90)
+            + ((F.col("n_nationkey") * F.col("n_nationkey")) % 11) * F.lit(0.01)
+            + F.col("n_nationkey") * F.lit(0.0007)
+        ).alias("lat"),
+    )
+    proj = SP.project_onto_segments(pts, verts, key="rel", point_id="stop_id")
+    return proj.select(
+        "stop_id",
+        F.round("frac_idx", 6).alias("frac_idx"),
+        F.round("proj_lon", 6).alias("proj_lon"),
+        F.round("proj_lat", 6).alias("proj_lat"),
+        F.round("proj_dist_m", 3).alias("proj_dist_m"),
+    )
+
+
+@register(
+    "q61_interpolate_stops",
+    oracle=r"""
+    WITH s AS (
+      SELECT 'r' || CAST(s_suppkey % 4 AS VARCHAR) AS rel,
+             CAST(s_suppkey AS DOUBLE) AS fi,
+             107.5 + (s_suppkey % 50) / 81.0 AS lon,
+             -6.9 + ((s_suppkey * 7) % 23) / 71.0 AS lat
+      FROM supplier),
+    p AS (
+      SELECT rel, fi, lon, lat,
+             lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat,
+             lead(fi) OVER w AS nfi
+      FROM s WINDOW w AS (PARTITION BY rel ORDER BY fi)),
+    g AS (
+      SELECT *, 2 * 6371 * asin(sqrt(
+               power(sin((radians(nlat) - radians(lat)) / 2), 2)
+               + cos(radians(lat)) * cos(radians(nlat))
+                 * power(sin((radians(nlon) - radians(lon)) / 2), 2))) AS gap
+      FROM p WHERE nlon IS NOT NULL),
+    e AS (
+      SELECT *, CAST(floor(gap / 0.4) AS INT) AS n
+      FROM g WHERE floor(gap / 0.4) >= 1),
+    x AS (
+      SELECT rel, lon, lat, nlon, nlat, fi, nfi, n,
+             unnest(range(1, n + 1)) AS k
+      FROM e),
+    t AS (SELECT *, CAST(k AS DOUBLE) / (n + 1) AS tt FROM x)
+    SELECT rel,
+           ROUND(lon + (nlon - lon) * tt, 6) AS vlon,
+           ROUND(lat + (nlat - lat) * tt, 6) AS vlat,
+           ROUND(fi + (nfi - fi) * tt, 6) AS vfrac
+    FROM t
+    """,
+)
+def q61(spark, sf_dir):
+    """Virtual-stop interpolation (reference W10, update-routes.js:281-333)
+    through operators/spatial.interpolate_virtual_stops: lag-pair consecutive
+    stops, explode(sequence(1, floor(gap/max_gap))), linear interpolation —
+    1-row-to-N generation with no UDTF.  Four synthetic routes derived from
+    supplier; the oracle replays lead-window + unnest(range) + lerp."""
+    sup = T(spark, sf_dir, "supplier")
+    stops = sup.select(
+        F.concat(F.lit("r"), (F.col("s_suppkey") % 4).cast("string")).alias("rel"),
+        F.col("s_suppkey").cast("double").alias("frac_idx"),
+        # /81 and /71 (not decimal steps): interpolation t = k/(n+1) is often
+        # dyadic, and dyadic-t lerps over decimal-step grids land EXACTLY on
+        # x.xxxxxx5 values whose 6-dp rounding is engine-dependent; a
+        # non-terminating-decimal grid keeps values off rounding boundaries
+        (F.lit(107.5) + (F.col("s_suppkey") % 50) / F.lit(81.0)).alias("lon"),
+        (F.lit(-6.9) + ((F.col("s_suppkey") * 7) % 23) / F.lit(71.0)).alias("lat"),
+    )
+    virt = SP.interpolate_virtual_stops(
+        stops, key="rel", order_col="frac_idx", max_gap_km=0.4
+    )
+    return virt.select(
+        "rel",
+        F.round("lon", 6).alias("vlon"),
+        F.round("lat", 6).alias("vlat"),
+        F.round("frac_idx", 6).alias("vfrac"),
+    )
+
+
+@register(
+    "q62_winnowing_fingerprints",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([list_aggregate(toks[i:i+7], 'string_agg', ' ')
+                     for i in range(1, len(toks) - 8 + 2)]) AS g
+      FROM tok WHERE len(toks) >= 8),
+    h AS (
+      SELECT doc_id,
+             list_sum([CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1
+                            AS BIGINT) << (4 * (15 - i)) for i in range(1, 16)]) AS fp
+      FROM sh)
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM h WHERE fp % 16 = 0
+    """,
+)
+def q62(spark, sf_dir):
+    """Winnowing-style document fingerprints (Schleimer et al., MOSS):
+    hash every 8-word shingle, keep hashes ≡ 0 (mod 16) — a ~1/16-density
+    sketch for containment/overlap checks at corpus scale
+    (operators/textual.rolling_hash_fingerprints).  The 'md5' hasher keeps
+    the first 60 bits of md5, which the oracle rebuilds hex-digit-by-digit
+    with shift arithmetic — the sketch is engine-auditable, not a Spark-
+    private hash."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            TXT.rolling_hash_fingerprints(
+                F.col("text"), window=8, keep_every=16, hasher="md5"
+            )
+        ).alias("fp"),
+    )
+
+
+@register(
+    "q63_mixture_sample",
+    oracle=r"""
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+    w AS (
+      SELECT * FROM (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+        AS t(source, wt)),
+    nout AS (SELECT MIN(n / wt) AS n_out FROM cnt JOIN w USING (source)),
+    rates AS (
+      SELECT source, wt * (SELECT n_out FROM nout) / n AS rate
+      FROM cnt JOIN w USING (source)),
+    hf AS (
+      SELECT doc_id, source,
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                    << (4 * (15 - i)) for i in range(1, 16)]) AS DOUBLE)
+               / 1152921504606846976.0 AS f
+      FROM documents)
+    SELECT doc_id, source FROM hf JOIN rates USING (source) WHERE f < rate
+    """,
+)
+def q63(spark, sf_dir):
+    """Domain-mixture sampling (The Pile / MassiveText practice: the corpus
+    is specified as target SHARES per source, not per-source keep rates).
+    operators/sampling.mixture_sample solves rate_s = w_s * N / n_s with
+    N = min_s(n_s / w_s) — the binding domain keeps everything, the rest
+    downsample via hash_frac(doc_id) < rate: a pure function of the row key,
+    so the identical mixture returns on any engine (the oracle recomputes
+    the 60-bit md5 fraction and the same double arithmetic)."""
+    d = T(spark, sf_dir, "documents")
+    out = SAMP.mixture_sample(
+        d, key="doc_id", stratum="source",
+        targets={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    return out.select("doc_id", "source")

@@ -9,6 +9,8 @@ answer is known by hand.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from tegallega_spark.operators.cc import connected_components, dedup_cluster_assignments
@@ -638,3 +640,67 @@ def test_gopher_flags_scan_side_no_shuffle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = gopher_quality_flags(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mixture_sample_targets_and_determinism(spark):
+    """mixture_sample keeps ALL of the binding stratum and hits the target
+    shares within hash-sampling noise; rerun returns the identical rows."""
+    from tegallega_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web" if i % 10 < 6 else ("books" if i % 10 < 9 else "code"))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"web": 0.2, "books": 0.3, "code": 0.5}
+    # counts: web 2400, books 1200, code 400 -> N = min(12000, 4000, 800) = 800
+    # rates: web 160/2400, books 240/1200, code 400/400 = 1.0 (binding)
+    out = mixture_sample(df, key="doc_id", stratum="source", targets=targets)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert got["code"] == 400                      # binding stratum: keep all
+    assert abs(got["web"] - 160) <= 40             # ~3 sigma of binomial(2400, 1/15)
+    assert abs(got["books"] - 240) <= 45
+    # deterministic: the same rows, not just the same counts
+    again = mixture_sample(df, key="doc_id", stratum="source", targets=targets)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect())
+    # absent stratum with nonzero weight is an error, not a silent empty set
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(df, key="doc_id", stratum="source",
+                       targets={"web": 0.5, "nope": 0.5})
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_sample(df, key="doc_id", stratum="source", targets={"web": 0.2})
+
+
+def test_mixture_sample_scan_side_filter(spark):
+    """With precomputed counts the mixture is a pure scan filter — no
+    shuffle, no collect: the 100 TB path."""
+    from tegallega_spark.operators.sampling import mixture_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    out = mixture_sample(df, key="doc_id", stratum="source",
+                         targets={"a": 0.5, "b": 0.5}, counts={"a": 500, "b": 500})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rolling_fingerprints_md5_hasher_matches_reference_hash(spark):
+    """The md5 hasher is the documented first-60-bits-of-md5 value — pin one
+    shingle's fingerprint against hashlib computed in plain Python."""
+    import hashlib
+
+    from tegallega_spark.operators.textual import rolling_hash_fingerprints
+
+    words = [f"w{i}" for i in range(8)]
+    text = " ".join(words)
+    expected = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = df.select(
+        rolling_hash_fingerprints(F.col("text"), window=8, keep_every=1,
+                                  hasher="md5").alias("fps")
+    ).collect()[0]["fps"]
+    assert out == [expected]
+    with pytest.raises(ValueError, match="unknown hasher"):
+        df.select(rolling_hash_fingerprints(F.col("text"), hasher="sha1"))
