@@ -2300,3 +2300,69 @@ def q63(spark, sf_dir):
         targets={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
     )
     return out.select("doc_id", "source")
+
+
+@register(
+    "q64_stitch_ways",
+    oracle=r"""
+    WITH src AS (
+      SELECT (c_custkey - 1) % 3 AS relnum,
+             ((c_custkey - 1) // 3) // 5 AS wo,
+             ((c_custkey - 1) // 3) % 5 AS vi
+      FROM customer WHERE c_custkey BETWEEN 1 AND 120),
+    lab AS (
+      SELECT relnum, wo, vi,
+             (wo % 2 = 1 AND wo <> 5) AS rev,
+             CASE WHEN (wo % 2 = 1 AND wo <> 5) THEN wo * 4 + 4 - vi
+                  ELSE wo * 4 + vi END AS g
+      FROM src),
+    keep AS (
+      SELECT * FROM lab
+      WHERE wo = 0 OR NOT (CASE WHEN rev THEN vi = 4 ELSE vi = 0 END)),
+    out AS (
+      SELECT 'r' || CAST(relnum AS VARCHAR) AS relation_id,
+             row_number() OVER (PARTITION BY relnum ORDER BY wo, g) - 1 AS vertex_idx,
+             107.0 + relnum * CAST(0.5 AS DOUBLE) + g * CAST(0.007 AS DOUBLE)
+               + CASE WHEN wo >= 5 THEN CAST(0.09 AS DOUBLE) ELSE 0 END AS lon,
+             -6.9 + relnum * CAST(0.1 AS DOUBLE)
+                  + ((g * g) % 7) * CAST(0.004 AS DOUBLE) AS lat
+      FROM keep)
+    SELECT relation_id, vertex_idx, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat
+    FROM out
+    """,
+)
+def q64(spark, sf_dir):
+    """Stateful way stitching (reference W8, update-routes.js:111-141)
+    through operators/stateful.stitch_ways — the per-key ordered fold whose
+    step depends on the previous DECISION (the running chain endpoint), run
+    as applyInPandas.  The input encodes 3 relations x 8 ways with odd ways
+    STORED REVERSED and a coordinate gap before way 5 (the reference's
+    warn-but-concatenate case); the oracle predicts the stitched chain in
+    CLOSED FORM — which vertex every way contributes after orientation
+    recovery and the unconditional joint-vertex drop — so a wrong flip, a
+    kept joint, or a broken gap path all hash-mismatch."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 120))
+    i = F.col("c_custkey") - 1
+    relnum = i % 3
+    j = F.floor(i / 3)
+    wo = F.floor(j / 5)
+    vi = j % 5
+    rev = (wo % 2 == 1) & (wo != 5)
+    g = F.when(rev, wo * 4 + 4 - vi).otherwise(wo * 4 + vi)
+    stored = c.select(
+        F.concat(F.lit("r"), relnum.cast("string")).alias("relation_id"),
+        wo.alias("way_order"),
+        vi.alias("vertex_idx"),
+        (
+            F.lit(107.0) + relnum * F.lit(0.5) + g * F.lit(0.007)
+            + F.when(wo >= 5, F.lit(0.09)).otherwise(F.lit(0.0))
+        ).alias("lon"),
+        (F.lit(-6.9) + relnum * F.lit(0.1) + ((g * g) % 7) * F.lit(0.004)).alias("lat"),
+    )
+    from tegallega_spark.operators.stateful import stitch_ways
+
+    out = stitch_ways(stored, key="relation_id")
+    return out.select(
+        "relation_id", "vertex_idx",
+        F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
+    )
