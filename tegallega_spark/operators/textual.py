@@ -292,6 +292,26 @@ def repetition_stats(
     )
 
 
+def dedupe_paragraphs(text: Column) -> Column:
+    """WITHIN-document exact paragraph dedup (RefinedWeb/CCNet intra-doc
+    cleanup: scraped pages repeat nav blocks, cookie banners, and footers
+    inside one document).  Split on blank lines, keep the FIRST occurrence
+    of each paragraph, preserve order, re-join with a single blank line.
+
+    Distinct from remove_boilerplate_lines (cross-document, needs a corpus
+    aggregate): this is a pure per-row column expression — no shuffle, no
+    state, fuses into whatever scan already reads the text.  Spark's
+    array_distinct keeps first-occurrence order, which is exactly the
+    keep-first contract.  NULL text stays NULL."""
+    paras = F.filter(
+        F.transform(F.split(text, r"\n[ \t]*\n+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("\n\n", F.array_distinct(paras))
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -32,7 +32,7 @@ from tegallega_spark.operators.dedup import (
     minhash_near_duplicates_verified,
 )
 from tegallega_spark.operators.packing import pack_sequences
-from tegallega_spark.operators.sampling import stratified_hash_sample
+from tegallega_spark.operators.sampling import mixture_sample, stratified_hash_sample
 from tegallega_spark.session import attach_intermediates
 
 
@@ -62,6 +62,9 @@ def clean_corpus(
     min_cosine: float = 0.95,
     gopher_rules: bool = False,
     max_perplexity: float | None = None,
+    paragraph_dedup: bool = False,
+    mixture_targets: dict[str, float] | None = None,
+    mixture_stratum: str = "source",
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -109,6 +112,19 @@ def clean_corpus(
     log-probability exceeds the threshold (operators/ngram_lm).  Docs
     with fewer than 2 tokens have no bigrams and are dropped too (the
     CCNet convention).
+
+    `paragraph_dedup` (opt-in): WITHIN-document exact paragraph dedup
+    (textual.dedupe_paragraphs — RefinedWeb-style intra-doc cleanup),
+    right after normalization so repeated nav blocks/footers never feed
+    the quality or shingle stages.  Pure column expression, fuses into
+    the first scan.
+
+    `mixture_targets` (opt-in): rebalance the SURVIVING corpus to target
+    domain shares over `mixture_stratum` (sampling.mixture_sample, The
+    Pile-style "30% web / 30% books" specification) — runs after dedup so
+    the mixture is computed over unique documents, before packing so the
+    packed shards carry the final mixture.  Strata not in the map are
+    dropped.
     """
     # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
     # text BEFORE anything scores or shingles it, so boilerplate lines
@@ -119,6 +135,11 @@ def clean_corpus(
         # every downstream hash (line, span, shingle) sees canonical text
         nt = TXT.normalize_text_udf()
         docs = docs.withColumn(text_col, nt(F.col(text_col)))
+    if paragraph_dedup:
+        # intra-doc repeat cut BEFORE any corpus-wide hashing: a doc whose
+        # footer repeats 40x would otherwise look like 40 duplicated lines
+        # to the cross-doc cut and depress its own quality/repetition stats
+        docs = docs.withColumn(text_col, TXT.dedupe_paragraphs(F.col(text_col)))
     line_cut_handles = ()
     if line_dedup_max_df is not None:
         docs = TXT.remove_boilerplate_lines(
@@ -231,6 +252,18 @@ def clean_corpus(
         .filter(F.col("cluster_id") == F.col(id_col))
     )
 
+    # 3.5 optional domain-mixture rebalancing — after dedup (shares are
+    # computed over UNIQUE docs), before sampling/packing.  The per-stratum
+    # count is an action, so persist the post-dedup corpus first: without
+    # it the counting pass would re-run the dedup join from scratch
+    mixture_handles: tuple = ()
+    if mixture_targets is not None:
+        kept = kept.persist()
+        mixture_handles = (kept,)
+        kept = mixture_sample(
+            kept, key=id_col, stratum=mixture_stratum, targets=mixture_targets
+        )
+
     # 4. deterministic stratified sampling (scan filter, reproducible)
     kept = stratified_hash_sample(
         kept, id_col, stratum_col, sample_thresholds or {}, default_sample_threshold
@@ -255,5 +288,6 @@ def clean_corpus(
         pairs,
         assignments,
         *line_cut_handles,
+        *mixture_handles,
         *([corpus_handle] if corpus_handle is not None else []),
     )

@@ -2366,3 +2366,71 @@ def q64(spark, sf_dir):
         "relation_id", "vertex_idx",
         F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
     )
+
+
+@register(
+    "q65_paragraph_dedup",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= 1),
+    par AS (
+      SELECT doc_id,
+             [array_to_string(toks[i*8+1:i*8+8], ' ')
+              for i in range(0, ((len(toks) - 1) // 8) + 1)] AS paras
+      FROM tok),
+    dup AS (
+      SELECT doc_id,
+             flatten([CASE WHEN (i - 1) % 3 = 0 THEN [paras[i], paras[i]]
+                           ELSE [paras[i]] END
+                      for i in range(1, len(paras) + 1)]) AS paras2
+      FROM par),
+    ex AS (
+      SELECT doc_id, unnest(paras2) AS p, generate_subscripts(paras2, 1) AS idx
+      FROM dup),
+    firsts AS (SELECT doc_id, p, MIN(idx) AS mi FROM ex GROUP BY doc_id, p),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_after,
+             md5(string_agg(p, chr(10) || chr(10) ORDER BY mi)) AS cleaned_md5
+      FROM firsts GROUP BY doc_id),
+    before AS (SELECT doc_id, len(paras2) AS n_before FROM dup)
+    SELECT doc_id, n_before, CAST(n_after AS BIGINT) AS n_after, cleaned_md5
+    FROM before JOIN agg USING (doc_id)
+    """,
+)
+def q65(spark, sf_dir):
+    """WITHIN-document paragraph dedup (textual.dedupe_paragraphs —
+    RefinedWeb/CCNet intra-doc cleanup; distinct from the cross-document
+    line cut, this is a pure per-row expression, no shuffle).  The corpus
+    has no paragraph breaks, so the query CONSTRUCTS them: 8-word chunks
+    joined by blank lines with every 3rd chunk doubled; the operator must
+    remove exactly the injected repeats while preserving first-occurrence
+    order — the oracle rebuilds the construction and dedups via
+    min-index grouping, comparing paragraph counts and the md5 of the
+    reassembled text."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    paras = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    doubled = F.flatten(
+        F.transform(
+            paras,
+            lambda p, i: F.when(i % 3 == 0, F.array(p, p)).otherwise(F.array(p)),
+        )
+    )
+    built = d.filter(n >= 1).select(
+        "doc_id",
+        F.size(doubled).alias("n_before"),
+        F.array_join(doubled, "\n\n").alias("t"),
+    )
+    cleaned = built.withColumn("c", TXT.dedupe_paragraphs(F.col("t")))
+    return cleaned.select(
+        "doc_id",
+        "n_before",
+        (F.size(F.split(F.col("c"), r"\n\n")).cast("long")).alias("n_after"),
+        F.md5(F.col("c").cast("binary")).alias("cleaned_md5"),
+    )

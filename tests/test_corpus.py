@@ -273,3 +273,43 @@ def test_clean_corpus_gopher_and_perplexity_gates(spark):
     assert 100 not in ids  # Gopher gate
     assert 200 not in ids  # LM gate
     assert ids & set(range(10))  # fluent docs survive both gates
+
+
+def test_clean_corpus_mixture_and_paragraph_stages(spark):
+    """mixture_targets rebalances the post-dedup corpus to target shares
+    (binding stratum kept whole, absent strata dropped); paragraph_dedup
+    rewrites text before token counting; persisted intermediates release."""
+    from tegallega_spark.session import release_intermediates
+
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    # plant sources: 0-199 web, 200-299 books, everything else 'other'
+    docs = base.withColumn(
+        "source",
+        F.when(F.col("doc_id") < 200, "web")
+         .when(F.col("doc_id") < 300, "books")
+         .otherwise("other"),
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before_cached = jsc.getPersistentRDDs().size()
+
+    out = clean_corpus(
+        docs,
+        min_quality=0.0,
+        max_dup_ngram_frac=1.0,
+        jaccard_threshold=0.99,
+        paragraph_dedup=True,
+        mixture_targets={"web": 0.5, "books": 0.5},
+    ).persist()
+    rows = out.collect()
+    survivors = {r.doc_id for r in rows}
+    # 'other' strata are dropped entirely — the mixture IS the output
+    assert all(i < 300 for i in survivors)
+    n_web = sum(1 for i in survivors if i < 200)
+    n_books = sum(1 for i in survivors if 200 <= i < 300)
+    # books is the binding stratum (fewer docs for an equal share): with
+    # ~no upstream attrition web should downsample toward n_books
+    assert n_books > 0 and n_web > 0
+    assert abs(n_web - n_books) <= max(10, n_books // 2)
+    out.unpersist()
+    release_intermediates(out)
+    assert jsc.getPersistentRDDs().size() == before_cached

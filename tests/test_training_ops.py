@@ -704,3 +704,35 @@ def test_rolling_fingerprints_md5_hasher_matches_reference_hash(spark):
     assert out == [expected]
     with pytest.raises(ValueError, match="unknown hasher"):
         df.select(rolling_hash_fingerprints(F.col("text"), hasher="sha1"))
+
+
+def test_dedupe_paragraphs_keep_first_order(spark):
+    """Intra-doc paragraph dedup: adjacent AND distant repeats removed,
+    first-occurrence order preserved, whitespace-only paragraphs dropped,
+    NULL text stays NULL."""
+    from tegallega_spark.operators.textual import dedupe_paragraphs
+
+    docs = [
+        (1, "alpha beta\n\ngamma\n\nalpha beta\n\ndelta\n\ngamma"),
+        (2, "one\n\n   \n\none\n \ntwo"),          # blank para; "one\n \ntwo" split
+        (3, None),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.c for r in df.select(
+        "doc_id", dedupe_paragraphs(F.col("text")).alias("c")).collect()}
+    assert got[1] == "alpha beta\n\ngamma\n\ndelta"
+    assert got[2] == "one\n\ntwo"
+    assert got[3] is None
+    assert got[4] == "solo"
+
+
+def test_dedupe_paragraphs_scan_side(spark, sf_dir):
+    """Pure column expression: no exchange, no Python in the plan."""
+    from tegallega_spark.operators.textual import dedupe_paragraphs
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(dedupe_paragraphs(F.col("text")).alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
