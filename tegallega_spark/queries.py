@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 63 entries (q01-q63): near-duplicate operator
+The registry holds 66 entries (q01-q66): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -15,7 +15,9 @@ record; q53-q58 the round-5 WAV/AVI codecs, BPE, LM-perplexity, Gopher
 rules, and image-resize paths; q59-q63 promote the previously local-only
 graph shortest-path (recursive-CTE oracle), segment-snap, and virtual-stop
 interpolation operators onto the driver's record and add engine-auditable
-winnowing fingerprints + domain-mixture sampling.  All have oracles —
+winnowing fingerprints + domain-mixture sampling; q64 way stitching
+(closed-form chain oracle), q65 intra-doc paragraph dedup, q66
+turf.lineSlice path slicing.  All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
@@ -2433,4 +2435,110 @@ def q65(spark, sf_dir):
         "n_before",
         (F.size(F.split(F.col("c"), r"\n\n")).cast("long")).alias("n_after"),
         F.md5(F.col("c").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+@register(
+    "q66_line_slice",
+    oracle=r"""
+    WITH pts AS (
+      SELECT c_custkey AS sid, 'start' AS role,
+             107.55 + (c_custkey % 97) / 500.0 AS px,
+             -6.95 + ((c_custkey * 13) % 89) / 500.0 AS py
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'stop',
+             107.56 + ((c_custkey * 7) % 89) / 450.0,
+             -6.93 + ((c_custkey * 17) % 83) / 520.0
+      FROM customer WHERE c_custkey % 10 = 0),
+    v AS (
+      SELECT n_nationkey AS i,
+             107.55 + n_nationkey * 0.008 AS vx,
+             -6.90 + ((n_nationkey * n_nationkey) % 11) * 0.01
+                   + n_nationkey * 0.0007 AS vy
+      FROM nation),
+    segs AS (
+      SELECT a.i AS seg_idx, a.vx AS ax, a.vy AS ay, b.vx AS bx, b.vy AS by
+      FROM v a JOIN v b ON b.i = a.i + 1),
+    raw AS (
+      SELECT sid, role, seg_idx, ax, ay, bx, by, px, py,
+             (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS ab2,
+             (px - ax) * (bx - ax) + (py - ay) * (by - ay) AS dot
+      FROM pts CROSS JOIN segs),
+    tt AS (
+      SELECT *, CASE WHEN ab2 > 0 THEN LEAST(GREATEST(dot / ab2, 0.0), 1.0)
+                     ELSE 0.0 END AS t
+      FROM raw),
+    pp AS (
+      SELECT sid, role, seg_idx + t AS frac_idx,
+             ax + (bx - ax) * t AS qx, ay + (by - ay) * t AS qy, px, py
+      FROM tt),
+    dd AS (
+      SELECT sid, role, frac_idx, qx, qy,
+             2 * 6371000 * asin(sqrt(
+               power(sin((radians(qy) - radians(py)) / 2), 2)
+               + cos(radians(py)) * cos(radians(qy))
+                 * power(sin((radians(qx) - radians(px)) / 2), 2))) AS dist
+      FROM pp),
+    win AS (
+      SELECT sid, role, frac_idx, qx, qy FROM dd
+      QUALIFY row_number() OVER (PARTITION BY sid, role ORDER BY dist, frac_idx) = 1),
+    idxd AS (
+      SELECT sid, role,
+             GREATEST(CAST(ceil(frac_idx) AS BIGINT) - 1, 0) AS idx, qx, qy
+      FROM win),
+    ends AS (
+      SELECT s.sid,
+             LEAST(s.idx, t.idx) AS lo_idx, GREATEST(s.idx, t.idx) AS hi_idx,
+             CASE WHEN s.idx > t.idx THEN t.qx ELSE s.qx END AS lo_lon,
+             CASE WHEN s.idx > t.idx THEN t.qy ELSE s.qy END AS lo_lat,
+             CASE WHEN s.idx > t.idx THEN s.qx ELSE t.qx END AS hi_lon,
+             CASE WHEN s.idx > t.idx THEN s.qy ELSE t.qy END AS hi_lat
+      FROM (SELECT * FROM idxd WHERE role = 'start') s
+      JOIN (SELECT * FROM idxd WHERE role = 'stop') t USING (sid)),
+    allpts AS (
+      SELECT sid, 0 AS pt_seq, lo_lon AS lon, lo_lat AS lat FROM ends
+      UNION ALL
+      SELECT sid, CAST(hi_idx - lo_idx + 1 AS INTEGER), hi_lon, hi_lat FROM ends
+      UNION ALL
+      SELECT e.sid, CAST(v.i - e.lo_idx AS INTEGER), v.vx, v.vy
+      FROM ends e JOIN v ON v.i > e.lo_idx AND v.i <= e.hi_idx)
+    SELECT CAST(sid AS INTEGER) AS slice_id, pt_seq,
+           ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat
+    FROM allpts
+    """,
+)
+def q66(spark, sf_dir):
+    """turf.lineSlice parity at set scale (reference Q5, index.html:234-247)
+    through operators/spatial.line_slice: both endpoints of every slice are
+    projected in ONE pass (role packed into a struct id), the winning
+    segment recovered as ceil(frac)-1 floored at 0 (turf's strict-less
+    first-win scan), ends ordered by segment index, then head + interior
+    vertices + tail emitted along line direction.  Same zig-zag polyline
+    as q60; the oracle replays projection, argmin, index recovery, and the
+    three-way union."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    slices = c.select(
+        F.col("c_custkey").cast("int").alias("slice_id"),
+        F.lit("r1").alias("rel"),
+        (F.lit(107.55) + (F.col("c_custkey") % 97) / F.lit(500.0)).alias("start_lon"),
+        (F.lit(-6.95) + ((F.col("c_custkey") * 13) % 89) / F.lit(500.0)).alias("start_lat"),
+        (F.lit(107.56) + ((F.col("c_custkey") * 7) % 89) / F.lit(450.0)).alias("stop_lon"),
+        (F.lit(-6.93) + ((F.col("c_custkey") * 17) % 83) / F.lit(520.0)).alias("stop_lat"),
+    )
+    n = T(spark, sf_dir, "nation")
+    verts = n.select(
+        F.lit("r1").alias("rel"),
+        F.col("n_nationkey").cast("int").alias("vertex_idx"),
+        (F.lit(107.55) + F.col("n_nationkey") * F.lit(0.008)).alias("lon"),
+        (
+            F.lit(-6.90)
+            + ((F.col("n_nationkey") * F.col("n_nationkey")) % 11) * F.lit(0.01)
+            + F.col("n_nationkey") * F.lit(0.0007)
+        ).alias("lat"),
+    )
+    out = SP.line_slice(slices, verts, key="rel", slice_id="slice_id")
+    return out.select(
+        "slice_id", "pt_seq",
+        F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
     )
