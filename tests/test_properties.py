@@ -111,3 +111,101 @@ def test_time_codec_roundtrip_property(spark):
         h, m, sec = r.hms.split(":")
         assert int(m) < 60 and int(sec) < 60
         assert int(h) == r.s // 3600
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: intra-doc paragraph dedup + mixture sampling
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=8),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_paragraph_dedup_idempotent_and_duplicate_free(paras):
+    """Pure-python replay of dedupe_paragraphs' contract (trim, drop empty,
+    keep-first distinct): idempotence and no-duplicates, over adversarial
+    whitespace paragraphs.  The Spark expression is pinned against this
+    exact contract in test_training_ops; hypothesis explores the space."""
+    def model(text):
+        seen, out = set(), []
+        import re
+        for p in re.split(r"\n[ \t]*\n+", text):
+            p = p.strip()
+            if p and p not in seen:
+                seen.add(p)
+                out.append(p)
+        return "\n\n".join(out)
+
+    text = "\n\n".join(paras)
+    once = model(text)
+    assert model(once) == once                      # idempotent
+    kept = once.split("\n\n") if once else []
+    assert len(kept) == len(set(kept))              # duplicate-free
+    # keep-first order: kept is a subsequence of the trimmed input
+    trimmed = [p.strip() for p in paras if p.strip()]
+    it = iter(trimmed)
+    assert all(any(p == q for q in it) for p in kept)
+
+
+def test_paragraph_dedup_spark_matches_python_model(spark):
+    """The Spark expression agrees with the python model on one vectorized
+    batch of adversarial cases."""
+    import re
+
+    from tegallega_spark.operators.textual import dedupe_paragraphs
+
+    def model(text):
+        if text is None:
+            return None
+        seen, out = set(), []
+        for p in re.split(r"\n[ \t]*\n+", text):
+            p = p.strip()
+            if p and p not in seen:
+                seen.add(p)
+                out.append(p)
+        return "\n\n".join(out)
+
+    cases = [
+        "a\n\nb\n\na",
+        "a\n\n\n\na\n\nb",
+        "  x  \n\nx\n\ny",
+        "\n\n\n\n",
+        "p\n \np\n\t\np",
+        "tail\n\n",
+        "\n\nhead",
+        "one only",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got = {r.i: r.c for r in df.select(
+        "i", dedupe_paragraphs(F.col("text")).alias("c")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), f"case {i}: {c!r} -> {got[i]!r}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(st.integers(min_value=1, max_value=5000),
+                  st.floats(min_value=0.05, max_value=1.0)),
+        min_size=1, max_size=4,
+    )
+)
+def test_mixture_rates_feasible(spec):
+    """The rate formula never upsamples and always saturates the binding
+    stratum: 0 < rate_s <= 1 with equality for argmin(n_s / w_s)."""
+    total = sum(w for _, w in spec.values())
+    targets = {s: w / total for s, (_, w) in spec.items()}
+    counts = {s: n for s, (n, _) in spec.items()}
+    n_out = min(counts[s] / w for s, w in targets.items())
+    rates = {s: w * n_out / counts[s] for s, w in targets.items()}
+    assert all(0 < r <= 1 + 1e-12 for r in rates.values())
+    binding = min(targets, key=lambda s: counts[s] / targets[s])
+    assert math.isclose(rates[binding], 1.0)
