@@ -262,3 +262,31 @@ def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):
     plan = plan_of(semantic_pairs(df, k_clusters=4, min_cosine=0.9))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_snap_broadcasts_polyline(spark):
+    """q60/q66 family: the points x segments join must broadcast the
+    polyline side (vertices are city-scale — thousands — while points are
+    the 100 TB side) and never degrade to a cartesian product."""
+    plan = plan_of(SPARK_QUERIES["q60_segment_snap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the argmin is a map-side-combinable min-over-struct aggregate
+    assert "partial_min" in plan
+
+
+def test_line_slice_no_cartesian_bounded_exchanges(spark):
+    """Slicing N (start, stop, line) triples stays equi-join-shaped: no
+    cartesian product anywhere, and the whole three-way union needs only a
+    bounded number of exchanges (projection argmin + the two end joins)."""
+    plan = plan_of(SPARK_QUERIES["q66_line_slice"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_mixture_sample_is_scan_filter(spark):
+    """q63: with the per-stratum rates resolved, the mixture is a pure
+    scan-side filter — one scan of documents, zero exchanges."""
+    plan = plan_of(SPARK_QUERIES["q63_mixture_sample"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan or "BatchScan" in plan
