@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 66 entries (q01-q66): near-duplicate operator
+The registry holds 68 entries (q01-q68): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -17,7 +17,9 @@ graph shortest-path (recursive-CTE oracle), segment-snap, and virtual-stop
 interpolation operators onto the driver's record and add engine-auditable
 winnowing fingerprints + domain-mixture sampling; q64 way stitching
 (closed-form chain oracle), q65 intra-doc paragraph dedup, q66
-turf.lineSlice path slicing.  All have oracles —
+turf.lineSlice path slicing, q67 the Z-order clustering key (bit-by-bit
+SQL reassembly), q68 the salted skew join against its plain-join
+oracle.  All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
@@ -2542,3 +2544,68 @@ def q66(spark, sf_dir):
         "slice_id", "pt_seq",
         F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
     )
+
+
+@register(
+    "q67_zorder_key",
+    oracle=r"""
+    WITH s AS (
+      SELECT min(o_totalprice) AS mn1, max(o_totalprice) AS mx1,
+             min(CAST(o_custkey AS DOUBLE)) AS mn2,
+             max(CAST(o_custkey AS DOUBLE)) AS mx2
+      FROM orders),
+    q AS (
+      SELECT o_orderkey,
+             CAST(floor((o_totalprice - mn1) / (mx1 - mn1) * 255.0) AS BIGINT) AS qa,
+             CAST(floor((CAST(o_custkey AS DOUBLE) - mn2) / (mx2 - mn2) * 255.0)
+                  AS BIGINT) AS qb
+      FROM orders, s)
+    SELECT o_orderkey,
+           list_sum([(((qa >> i) & 1) << (2 * i)) + (((qb >> i) & 1) << (2 * i + 1))
+                     for i in range(0, 8)]) AS zkey
+    FROM q
+    """,
+)
+def q67(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_totalprice, o_custkey)
+    (operators/layout.add_zorder_key — the Delta/Iceberg OPTIMIZE ZORDER
+    transform: one metadata-sized min/max agg broadcast back, min-max
+    quantization to 2^bits buckets, bit interleave in whole-stage codegen,
+    no UDF).  The oracle re-derives quantization and reassembles the key
+    bit-by-bit with shift arithmetic — every bit position of every row is
+    hash-checked, so a transposed bit or an off-by-one in the scaling
+    mismatches."""
+    from tegallega_spark.operators.layout import add_zorder_key
+
+    o = T(spark, sf_dir, "orders")
+    z = add_zorder_key(o, ["o_totalprice", "o_custkey"], bits=8, key_name="zkey")
+    return z.select("o_orderkey", "zkey")
+
+
+@register(
+    "q68_salted_join",
+    oracle=r"""
+    SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment AS mktsegment,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q68(spark, sf_dir):
+    """Skew-mitigating salted join (operators/skew.salted_join): the big
+    side gets a deterministic xxhash64-derived salt, the dim side explodes
+    over all salt replicas, the join runs on (key, salt).  The oracle is
+    the PLAIN inner join — salting is a physical rewrite and must be
+    semantically invisible, which the value hash enforces row-for-row."""
+    from tegallega_spark.operators.skew import salted_join
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    out = salted_join(o, c, key="custkey", salt=8)
+    return out.select("o_orderkey", "custkey", "mktsegment", "totalprice")
