@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 68 entries (q01-q68): near-duplicate operator
+The registry holds 69 entries (q01-q69): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -19,7 +19,7 @@ winnowing fingerprints + domain-mixture sampling; q64 way stitching
 (closed-form chain oracle), q65 intra-doc paragraph dedup, q66
 turf.lineSlice path slicing, q67 the Z-order clustering key (bit-by-bit
 SQL reassembly), q68 the salted skew join against its plain-join
-oracle.  All have oracles —
+oracle, q69 IVF-PQ at the full-rerank limit against the exact top-k.  All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
@@ -2609,3 +2609,44 @@ def q68(spark, sf_dir):
     )
     out = salted_join(o, c, key="custkey", salt=8)
     return out.select("o_orderkey", "custkey", "mktsegment", "totalprice")
+
+
+@register(
+    "q69_ivfpq_full_rerank",
+    oracle=r"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               ORDER BY vec_id LIMIT 1)
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q69(spark, sf_dir):
+    """IVF-PQ ANN scale path on the driver's record: KMeans coarse lists →
+    PQ codes → ADC scan → exact cosine re-rank (operators/ivf + pq, the
+    Jégou et al. layout).  Run with nprobe = all lists and rerank = the
+    whole candidate pool, the composition must return EXACTLY the exact
+    top-k — so the oracle is the same brute-force SQL as q38, and any
+    defect in list assignment, code decode, the ADC gather, or the re-rank
+    arithmetic hash-mismatches.  (Pruned-nprobe RECALL, the approximate
+    regime, is pinned separately in test_pq/test_scale_ops — approximation
+    quality is not SQL-expressible, exactness of the full-rerank limit
+    is.)"""
+    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.pq import ivfpq_topk, train_pq_codebooks
+
+    emb = T(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    n = emb.count()
+    cb = train_pq_codebooks(emb, m=8, k=16)
+    idx = train_ivf_index(emb, k=8).encode(cb)
+    full = ivfpq_topk(idx, cb, qv, k=n, nprobe=8, rerank=n)
+    return (
+        full.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
