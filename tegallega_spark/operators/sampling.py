@@ -56,12 +56,20 @@ def stratified_hash_sample(
     return df.withColumn("bucket", hash_bucket(F.col(key))).filter(F.col("bucket") < thr)
 
 
-def hash_frac(key: Column) -> Column:
+def hash_frac(key: Column, salt: str = "") -> Column:
     """Deterministic uniform fraction in [0, 1) from a row key: the first 15
     hex chars of md5 (60 bits) as a bigint, divided by 2^60.  Fine-grained
     sibling of hash_bucket — rate comparisons at double precision instead of
-    1/256 granularity, still a pure scan-side expression."""
-    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+    1/256 granularity, still a pure scan-side expression.
+
+    `salt` prefixes the key before hashing, giving an INDEPENDENT hash
+    stream: two samplers keyed off the same id with different salts make
+    uncorrelated keep decisions.  Without it, any second md5(id)-based
+    sampler downstream conditions on the first one's survivors (hash_bucket
+    is exactly the top 8 bits of the unsalted fraction) and its effective
+    rate is silently wrong."""
+    salted = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    h = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10)
     return h.cast("long").cast("double") / F.lit(float(1 << 60))
 
 
@@ -98,7 +106,7 @@ def mixture_sample(
             .groupBy(stratum).count().collect()
         )
         counts = {r[stratum]: r["count"] for r in rows}
-    missing = sorted(set(targets) - set(counts))
+    missing = sorted(set(targets) - {s for s in counts if counts.get(s)})
     if missing:
         raise ValueError(f"strata with target weight but no rows: {missing}")
     n_out = min(counts[s] / w for s, w in targets.items())
@@ -106,4 +114,8 @@ def mixture_sample(
     rate: Column = F.lit(None).cast("double")
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(stratum) == value, F.lit(r)).otherwise(rate)
-    return df.filter(hash_frac(F.col(key)) < rate)
+    # 'mix|' salt: an independent hash stream from hash_bucket / the
+    # stratified sampler, which shares the raw md5(id) prefix — composing
+    # the two unsalted would make the downstream rate conditional on this
+    # stage's survivors (the correlated-sampler bug)
+    return df.filter(hash_frac(F.col(key), salt="mix|") < rate)

@@ -302,9 +302,17 @@ def dedupe_paragraphs(text: Column) -> Column:
     aggregate): this is a pure per-row column expression — no shuffle, no
     state, fuses into whatever scan already reads the text.  Spark's
     array_distinct keeps first-occurrence order, which is exactly the
-    keep-first contract.  NULL text stays NULL."""
+    keep-first contract.  NULL text stays NULL.
+
+    Blank line = optional \r\n line endings with only spaces/tabs between
+    (CRLF documents split too), and paragraphs are trimmed of ALL edge
+    whitespace (regexp, not F.trim — which strips 0x20 only and would let
+    a tab-padded repeat of an earlier paragraph escape the dedup)."""
     paras = F.filter(
-        F.transform(F.split(text, r"\n[ \t]*\n+"), lambda p: F.trim(p)),
+        F.transform(
+            F.split(text, r"\r?\n(?:[ \t]*\r?\n)+"),
+            lambda p: F.regexp_replace(p, r"^\s+|\s+$", ""),
+        ),
         lambda p: p != "",
     )
     return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(

@@ -2283,7 +2283,8 @@ def q62(spark, sf_dir):
     hf AS (
       SELECT doc_id, source,
              CAST(list_sum([CAST(strpos('0123456789abcdef',
-                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                      substr(md5('mix|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                      AS BIGINT)
                     << (4 * (15 - i)) for i in range(1, 16)]) AS DOUBLE)
                / 1152921504606846976.0 AS f
       FROM documents)
@@ -2376,8 +2377,10 @@ def q64(spark, sf_dir):
     "q65_paragraph_dedup",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS toks
-      FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
     par AS (
       SELECT doc_id,
              [array_to_string(toks[i*8+1:i*8+8], ' ')
@@ -2414,7 +2417,10 @@ def q65(spark, sf_dir):
     min-index grouping, comparing paragraph counts and the md5 of the
     reassembled text."""
     d = T(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # drop empty tokens: a doc with edge/double spaces would otherwise
+    # yield whitespace-only chunks that the operator trims away but the
+    # oracle would count — the construction must be whitespace-closed
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n = F.size(toks)
     paras = F.transform(
         F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),

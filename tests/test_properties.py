@@ -133,8 +133,8 @@ def test_paragraph_dedup_idempotent_and_duplicate_free(paras):
     def model(text):
         seen, out = set(), []
         import re
-        for p in re.split(r"\n[ \t]*\n+", text):
-            p = p.strip()
+        for p in re.split(r"\r?\n(?:[ \t]*\r?\n)+", text):
+            p = re.sub(r"^\s+|\s+$", "", p)
             if p and p not in seen:
                 seen.add(p)
                 out.append(p)
@@ -162,8 +162,8 @@ def test_paragraph_dedup_spark_matches_python_model(spark):
         if text is None:
             return None
         seen, out = set(), []
-        for p in re.split(r"\n[ \t]*\n+", text):
-            p = p.strip()
+        for p in re.split(r"\r?\n(?:[ \t]*\r?\n)+", text):
+            p = re.sub(r"^\s+|\s+$", "", p)
             if p and p not in seen:
                 seen.add(p)
                 out.append(p)
@@ -179,6 +179,9 @@ def test_paragraph_dedup_spark_matches_python_model(spark):
         "\n\nhead",
         "one only",
         None,
+        "a\t\n\na",                  # tab-edged repeat must still dedup
+        "crlf\r\n\r\ncrlf\r\n\r\nz",  # CRLF blank lines split too
+        "m\r\n \r\nm",
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, text string"

@@ -736,3 +736,33 @@ def test_dedupe_paragraphs_scan_side(spark, sf_dir):
     out = docs.select(dedupe_paragraphs(F.col("text")).alias("c"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_mixture_sample_independent_of_stratified_sampler(spark):
+    """The mixture's salted hash stream is independent of hash_bucket's:
+    applying a 50% bucket cut AFTER a 50% mixture keeps ~25% overall, not
+    ~50% (the correlated-sampler bug: bucket is the top 8 bits of the
+    UNSALTED md5 fraction, so unsalted mixture survivors would all sit
+    below any bucket threshold above their rate).  Zero caller-supplied
+    counts raise the designed ValueError, not ZeroDivisionError."""
+    from tegallega_spark.operators.sampling import hash_sample, mixture_sample
+
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("ref").alias("source"),
+    )
+    # web: 4000 rows at weight 0.2, ref: 4000 at 0.8 -> N = 5000,
+    # rate_web = 0.25 (downsampled), rate_ref = 1.0 (binding)
+    mixed = mixture_sample(df, key="doc_id", stratum="source",
+                           targets={"web": 0.2, "ref": 0.8})
+    web = mixed.filter(F.col("source") == "web")
+    n_web = web.count()
+    assert abs(n_web - 1000) < 150
+    after_cut = hash_sample(web, key="doc_id", threshold="80").count()
+    assert abs(after_cut - n_web / 2) < 120, (
+        f"bucket cut kept {after_cut}/{n_web} — correlated hash streams"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(df, key="doc_id", stratum="source",
+                       targets={"web": 0.5, "ghost": 0.5},
+                       counts={"web": 4000, "ghost": 0})
