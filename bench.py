@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+compact (<1,800-char — the driver keeps a 2,000-char stdout tail) JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "spread": {...}, "runs_per_query": 3, "sf": ...,
-     "secondary": {"sf": "0.1x4", "value": N, "queries": {...}, "spread": {...}}}
+     "runs_per_query": 3, "sf": ..., "secondary_sf": "0.1x4",
+     "secondary_value": N}
+Per-query spreads (max-min over the runs) and the secondary scale point's
+full per-query map are printed to stderr as `#` comment lines.
 
 value = total wall-clock seconds over the headline set (excluding Spark
 session startup), which is the number compared against BASELINE.  Each
@@ -55,6 +57,8 @@ HEADLINE = [
     "q38_ann_topk",           # similarity search
     "q51_duplicated_spans",   # ExactSubstr span dedup (r5: driver-tracked)
     "q56_lm_perplexity",      # bigram-LM train + score (r5)
+    "q58_image_resize_features",  # codec chain: decode→resize→encode→features (r6)
+    "q69_ivfpq_full_rerank",  # IVF-PQ ANN: train + codes-only ADC scan (r6)
 ]
 
 
@@ -167,18 +171,29 @@ def main() -> None:
         print(f"# secondary scale point failed: {e}", file=sys.stderr)
         secondary = None
 
+    # The driver keeps only a 2,000-char stdout TAIL, so the single JSON
+    # line must be compact and LAST on stdout (r5's ~2,600-char line was
+    # head-truncated and recorded as parsed:null).  Full per-query spreads
+    # and the secondary scale point's per-query map go to stderr; the JSON
+    # keeps the headline map plus scalar secondary summaries.
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spreads,
         "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    print(f"# spread (max-min over {n_runs} runs): "
+          + json.dumps(spreads, separators=(",", ":")), file=sys.stderr)
     if secondary is not None:
-        result["secondary"] = secondary
-    print(json.dumps(result))
+        result["secondary_sf"] = secondary["sf"]
+        result["secondary_value"] = secondary["value"]
+        print("# secondary " + json.dumps(secondary, separators=(",", ":")),
+              file=sys.stderr)
+    line = json.dumps(result, separators=(",", ":"))
+    assert len(line) < 1800, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
     spark.stop()
 
 

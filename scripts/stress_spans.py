@@ -151,23 +151,40 @@ def main() -> None:
 
     spark.range(256).repartition(32).select(_warm("id")).collect()
 
+    import statistics
+
     results = []
     for n in sizes:
         path = os.path.join(OUT, f"docs_{n}.parquet")
         write_parquet(build_corpus(n), path)
-        ts, spark_spans = run_spark(spark, path)
-        td, duck_spans = run_duckdb(path)
+        # median-of-N on BOTH engines (r5 verdict: DuckDB's side jitters
+        # 2-3× across sessions on this VM, so a single sample per engine
+        # makes the ratio column noise).  Multi-minute runs self-average,
+        # so very large N defaults to 1 run; override with SPANS_RUNS.
+        runs = int(os.environ.get("SPANS_RUNS", "3" if n <= 320_000 else "1"))
+        ts_samples, td_samples = [], []
+        spark_spans = duck_spans = None
+        for _ in range(runs):
+            ts, spark_spans = run_spark(spark, path)
+            td, duck_spans = run_duckdb(path)
+            ts_samples.append(ts)
+            td_samples.append(td)
         assert spark_spans == duck_spans, (
             f"N={n}: span sets differ "
             f"(spark {len(spark_spans)}, duckdb {len(duck_spans)})"
         )
+        ts_m = statistics.median(ts_samples)
+        td_m = statistics.median(td_samples)
         results.append(
             {
                 "n_docs": n,
                 "spans": len(spark_spans),
-                "spark_s": round(ts, 2),
-                "duckdb_s": round(td, 2),
-                "ratio": round(td / ts, 2),
+                "spark_s": round(ts_m, 2),
+                "duckdb_s": round(td_m, 2),
+                "ratio": round(td_m / ts_m, 2),
+                "runs": runs,
+                "spark_spread": round(max(ts_samples) - min(ts_samples), 2),
+                "duckdb_spread": round(max(td_samples) - min(td_samples), 2),
             }
         )
         print(json.dumps(results[-1]), file=sys.stderr)

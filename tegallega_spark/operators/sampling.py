@@ -111,8 +111,17 @@ def mixture_sample(
         raise ValueError(f"strata with target weight but no rows: {missing}")
     n_out = min(counts[s] / w for s, w in targets.items())
     rates = {s: w * n_out / counts[s] for s, w in targets.items()}
+    # The binding stratum's rate is exactly 1.0 in exact arithmetic, but
+    # w * (n/w) / n can land an ulp below 1.0 for non-dyadic weights
+    # (0.3 * (1200/0.3) / 1200 == 0.9999999999999998) — at which point a
+    # row whose hash_frac sits in that 2e-16 sliver would be dropped and
+    # the keep-all contract silently broken.  Snap near-1 rates up.
+    rates = {s: 1.0 if r > 1.0 - 1e-12 else r for s, r in rates.items()}
     rate: Column = F.lit(None).cast("double")
-    for value, r in sorted(rates.items()):
+    # sort by (type name, repr) not the raw value: stratum values come from
+    # a caller-supplied counts/targets dict and may be heterogeneous (ints
+    # mixed with strings) — any stable deterministic order works here
+    for value, r in sorted(rates.items(), key=lambda kv: (type(kv[0]).__name__, repr(kv[0]))):
         rate = F.when(F.col(stratum) == value, F.lit(r)).otherwise(rate)
     # 'mix|' salt: an independent hash stream from hash_bucket / the
     # stratified sampler, which shares the raw md5(id) prefix — composing

@@ -185,7 +185,7 @@ def rolling_hash_fingerprints(
 
     hasher: 'xxhash64' (default, fastest — one JVM hash per shingle) or
     'md5' (first 60 bits of md5 as a non-negative bigint — bit-identical
-    reproducible in any engine with an md5 function, which is what the q63
+    reproducible in any engine with an md5 function, which is what the q62
     DuckDB oracle does; use it when the sketch must be auditable outside
     Spark)."""
     if hasher == "xxhash64":

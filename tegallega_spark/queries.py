@@ -2278,7 +2278,12 @@ def q62(spark, sf_dir):
         AS t(source, wt)),
     nout AS (SELECT MIN(n / wt) AS n_out FROM cnt JOIN w USING (source)),
     rates AS (
-      SELECT source, wt * (SELECT n_out FROM nout) / n AS rate
+      -- mirror mixture_sample's ulp snap: the binding stratum's rate is
+      -- exactly 1 in exact arithmetic but w*(n/w)/n can land an ulp below
+      SELECT source,
+             CASE WHEN wt * (SELECT n_out FROM nout) / n > 1 - 1e-12
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE wt * (SELECT n_out FROM nout) / n END AS rate
       FROM cnt JOIN w USING (source)),
     hf AS (
       SELECT doc_id, source,

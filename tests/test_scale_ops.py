@@ -34,6 +34,65 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert got == {(1, "a", "x"), (2, "b", None)}
 
 
+def test_salted_join_balances_planted_hot_key(spark):
+    """A 100×-hot key (VERDICT r5 item 9): plain join funnels every hot-key
+    row into one shuffle partition; salted_join spreads them ~salt-fold.
+    Measured directly via spark_partition_id() row counts on the join
+    output, with AQE off so the raw exchange layout is what's observed
+    (in production AQE's skew split ALSO helps; the salt is for the a
+    priori known hot keys where we don't want a straggler even transiently)."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # enough shuffle partitions that salt cells rarely collide (the
+        # test session defaults to one per core, where 8 cells → 8
+        # partitions stack 3-deep and hide the balancing effect)
+        conf.set("spark.sql.shuffle.partitions", "64")
+        salt = 8
+        # hot key 0: 20k rows; 50 cold keys: 200 rows each → hot share ≈ 2/3
+        big = spark.range(30_000).select(
+            F.when(F.col("id") < 20_000, F.lit(0))
+            .otherwise(F.col("id") % 50 + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(51).select(F.col("id").alias("k"),
+                                       (F.col("id") * 10).alias("w"))
+
+        def partition_counts(df):
+            return (
+                df.withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid").count().collect()
+            )
+
+        plain_max = max(r["count"] for r in partition_counts(big.join(small, "k")))
+        salted = salted_join(big, small, "k", salt=salt)
+        salted_max = max(r["count"] for r in partition_counts(salted))
+        assert plain_max >= 20_000  # the hot key really is a straggler
+        # the straggler partition shrinks several-fold (exact factor is
+        # limited by salt-cell → shuffle-partition hash collisions: 8 cells
+        # into 32 partitions can stack 2-3 cells on one partition)
+        assert salted_max <= plain_max / 3
+        # and the hot key's rows genuinely scatter across partitions
+        hot_pids = (
+            salted.filter(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("__pid"))
+            .distinct().count()
+        )
+        assert hot_pids >= salt / 2
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_bucketed_join_skips_shuffle(spark):
     # uses the session's default warehouse dir (spark-warehouse/, gitignored)
     orders = load_table(spark, SF_SMOKE, "orders")
