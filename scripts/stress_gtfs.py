@@ -186,7 +186,7 @@ def main() -> None:
     # the host VM shows ±60% run-to-run jitter at small scale; best-of-2
     # on BOTH engines (symmetric) approximates steady state where each run
     # is cheap.  At n>8 a single run is minutes long and self-averages.
-    runs = 2 if n <= 8 else 1
+    runs = 3 if n <= 8 else 1
     ref_s, ref_rows = min(time_reference(root) for _ in range(runs))
     # steady session across the Spark runs (see time_spark docstring):
     # symmetric with the reference's repeat, which also reuses a warm OS

@@ -6,11 +6,13 @@ batch shape — is real and tested.  The codec layer dispatches on content:
 PNG payloads go through a REAL pure-stdlib decoder (zlib inflate + chunk
 parse + scanline un-filtering), JPEG payloads through a REAL baseline
 decoder (operators/jpeg.py: Huffman + dequant + IDCT + chroma upsample),
-RIFF/WAVE payloads through a REAL PCM parser (decode_wav), and RIFF/AVI
+RIFF/WAVE payloads through a REAL PCM parser (decode_wav), RIFF/AVI
 payloads through a REAL MJPEG demuxer (decode_avi, frames decoded by the
-baseline JPEG decoder) — no Pillow/soundfile/ffmpeg in this container,
-none needed for any of the four; unrecognized payloads fall back to a
-deterministic fake whose integration point is marked.  Corrupt
+baseline JPEG decoder), and YUV4MPEG2 payloads through a REAL y4m plane
+parser (decode_y4m: C444/C422/C420*/mono, BT.601) — no Pillow/soundfile/
+ffmpeg in this container, none needed for any of the five; only payloads
+no codec claims fall back to a deterministic fake whose integration point
+is marked.  Corrupt
 magic-matched payloads yield format='corrupt' marker rows instead of
 failing the task.
 
@@ -376,13 +378,147 @@ def _decode_avi_meta(payload: bytes) -> dict:
     }
 
 
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+# ITU-R BT.601 limited-range YUV <-> RGB (the yuv4mpeg2 convention)
+_Y4M_FWD = np.array(  # RGB -> YCbCr, offsets (16, 128, 128)
+    [[65.738, 129.057, 25.064],
+     [-37.945, -74.494, 112.439],
+     [112.439, -94.154, -18.285]]
+) / 256.0
+_Y4M_INV = np.array(  # YCbCr (offset-removed) -> RGB
+    [[298.082, 0.0, 408.583],
+     [298.082, -100.291, -208.120],
+     [298.082, 516.412, 0.0]]
+) / 256.0
+
+
+def encode_y4m(frames: "list[np.ndarray]", fps: int = 10,
+               colorspace: str = "C444") -> bytes:
+    """YUV4MPEG2 writer (the y4m format mplayer/ffmpeg exchange raw video
+    in): one ASCII stream header, then per frame an ASCII 'FRAME' line +
+    raw planar YCbCr.  C444 keeps full chroma (lossless up to the ±1 8-bit
+    rounding of the BT.601 matrix); C420 2×2-averages the chroma planes
+    (the common broadcast layout).  Pure stdlib+numpy, same role as
+    encode_png/encode_wav/encode_avi."""
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    if colorspace not in ("C444", "C420"):
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    h, w = np.asarray(frames[0]).shape[:2]
+    if colorspace == "C420" and (h % 2 or w % 2):
+        raise ValueError("C420 needs even dimensions")
+    out = [b"YUV4MPEG2 " + f"W{w} H{h} F{fps}:1 Ip A1:1 {colorspace}".encode() + b"\n"]
+    for f in frames:
+        rgb = np.asarray(f, dtype=np.float64)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, axis=-1)
+        ycc = rgb @ _Y4M_FWD.T + np.array([16.0, 128.0, 128.0])
+        ycc = np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if colorspace == "C420":
+            cb = np.rint(cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))).astype(np.uint8)
+            cr = np.rint(cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))).astype(np.uint8)
+        out.append(b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple["list[np.ndarray]", int]:
+    """Real YUV4MPEG2 parser: stream-header tag walk (W/H/F/C), per-frame
+    'FRAME' headers, planar plane math per colorspace (C444 / C422 / C420
+    incl. the jpeg/mpeg2/paldv siting variants / Cmono), nearest-neighbor
+    chroma upsample, BT.601 limited-range conversion to RGB.  Returns
+    (frames, fps).  Truncated planes or unknown colorspaces raise."""
+    if payload[: len(Y4M_MAGIC)] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m missing stream-header newline")
+    w = h = None
+    fps = 30
+    cs = "C420"  # the spec's default when no C tag is present
+    for tag in payload[len(Y4M_MAGIC): nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:].decode("ascii", "replace")
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(":")
+            fps = int(num) // max(int(den), 1)
+        elif key == b"C":
+            cs = "C" + val
+    if not w or not h:
+        raise ValueError("y4m missing W/H in stream header")
+    if cs.startswith("C420"):  # C420, C420jpeg, C420mpeg2, C420paldv
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif cs == "C422":
+        cw, ch = (w + 1) // 2, h
+    elif cs == "C444":
+        cw, ch = w, h
+    elif cs == "Cmono":
+        cw = ch = 0
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    ysz, csz = w * h, cw * ch
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos: pos + 5] != b"FRAME":
+            raise ValueError("y4m frame header missing FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("y4m frame header missing newline")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated y4m frame planes")
+        y = np.frombuffer(payload[pos: pos + ysz], np.uint8).reshape(h, w)
+        pos += ysz
+        if csz:
+            cb = np.frombuffer(payload[pos: pos + csz], np.uint8).reshape(ch, cw)
+            cr = np.frombuffer(payload[pos + csz: pos + 2 * csz], np.uint8).reshape(ch, cw)
+            pos += 2 * csz
+            cb = cb.repeat(-(-h // ch), 0)[:h].repeat(-(-w // cw), 1)[:, :w]
+            cr = cr.repeat(-(-h // ch), 0)[:h].repeat(-(-w // cw), 1)[:, :w]
+        else:  # mono: neutral chroma
+            cb = cr = np.full((h, w), 128, np.uint8)
+        ycc = np.stack([y, cb, cr], axis=-1).astype(np.float64)
+        ycc -= np.array([16.0, 128.0, 128.0])
+        rgb = ycc @ _Y4M_INV.T
+        frames.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    if not frames:
+        raise ValueError("y4m stream has no frames")
+    return frames, fps
+
+
+def _decode_y4m_meta(payload: bytes) -> dict:
+    frames, fps = decode_y4m(payload)
+    h, w = frames[0].shape[:2]
+    acc = 0
+    for f in frames:
+        acc = zlib.crc32(f.tobytes(), acc)
+    return {
+        "byte_len": len(payload),
+        "format": "y4m",
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        # same contract as the other codecs: fingerprint over DECODED
+        # pixels of every frame (+dims)
+        "feature_hash": (acc << 24) ^ (w << 12) ^ h,
+    }
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for payloads no codec claims (raw/unknown
     formats — e.g. the text-derived payloads q50 feeds through).
 
-    PNG, JPEG, WAV, and AVI/MJPEG all take real paths
+    PNG, JPEG, WAV, AVI/MJPEG, and y4m all take real paths
     (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta /
-    _decode_avi_meta).  Derives metadata from the bytes deterministically
+    _decode_avi_meta / _decode_y4m_meta).  Derives metadata from the
+    bytes deterministically
     — keeps schema, batching, and tests real.
     """
     n = len(payload)
@@ -451,6 +587,8 @@ def decode_batches(df: DataFrame) -> DataFrame:
                 return _decode_wav_meta(p)
             if p[:4] == RIFF_MAGIC and p[8:12] == b"AVI ":
                 return _decode_avi_meta(p)
+            if p[: len(Y4M_MAGIC)] == Y4M_MAGIC:
+                return _decode_y4m_meta(p)
         except (ValueError, IndexError, struct.error, zlib.error):
             return {
                 "byte_len": len(p),

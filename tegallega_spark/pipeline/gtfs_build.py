@@ -379,14 +379,29 @@ def build_gtfs(
         on_shapes(shapes)
     shaped_rels = shapes.select("relation_id", "shape_id").distinct()
 
-    train_trips, train_times = _train_trips_and_times(catalog, schedule, shaped_rels)
-    bus_trips, bus_times = _bus_trips_and_times(catalog, stops_raw, shapes)
+    # The remaining table plans are independent of one another — construct
+    # them in threads.  Plan construction is driver-side py4j round-trips
+    # (each expression is a gateway call); py4j gives every thread its own
+    # gateway connection, so four independent builders overlap their
+    # socket latency (~0.5 s of the ~1.8 s single-threaded construction at
+    # 1×).  The resulting plans are identical — only the order in which
+    # the driver assembles them changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_train = ex.submit(_train_trips_and_times, catalog, schedule, shaped_rels)
+        f_bus = ex.submit(_bus_trips_and_times, catalog, stops_raw, shapes)
+        f_stops = ex.submit(build_stops_table, catalog, stops_raw)
+        f_agency = ex.submit(agencies_table, raw, cats)
+        routes = route_groups_table(raw, groups=grps)
+        train_trips, train_times = f_train.result()
+        bus_trips, bus_times = f_bus.result()
 
     return {
-        "agency": agencies_table(raw, cats=cats),
-        "routes": route_groups_table(raw, groups=grps),
+        "agency": f_agency.result(),
+        "routes": routes,
         "trips": train_trips.unionByName(bus_trips),
-        "stops": build_stops_table(catalog, stops_raw),
+        "stops": f_stops.result(),
         "stop_times": train_times.unionByName(bus_times),
         "shapes": shapes.drop("relation_id"),
         "calendar": calendar_table(spark),
