@@ -1,0 +1,649 @@
+#!/usr/bin/env python
+"""End-to-end corpus-pipeline race: pipeline/corpus.clean_corpus (Spark,
+the composed program: normalize → paragraph dedup → line dedup → span
+dedup → Gopher rules → quality/repetition gate → decontaminate →
+exact-Jaccard near-dup clustering → domain mixture → stratified sample →
+sequence packing) vs an INDEPENDENT single-node reference that chains the
+same stages — DuckDB SQL for the corpus-wide set logic (lifted from the
+per-stage driver oracles: q52 normalize, line-dedup parity SQL, the
+stress_spans window SQL, q57 Gopher, q40 quality, q23-style Jaccard with
+the DF-cut) and plain Python for per-doc string surgery, union-find, and
+the md5/xxh64 sampling arithmetic.
+
+Every per-stage operator already has its own oracle; what only this race
+sees is CROSS-STAGE interaction: each stage consumes the previous stage's
+REWRITTEN text, so a single byte drifting anywhere cascades into different
+spans, different shingles, different survivors — and the final
+fingerprints diverge.  The two implementations must produce IDENTICAL
+output rows (asserted via sorted-row md5).
+
+Usage: python scripts/stress_corpus.py [N]    (default 100000)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import re
+import struct
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# pipeline parameters (mirrored EXACTLY on both sides)
+LINE_MAX_DF = 5
+MIN_LINE_CHARS = 10        # remove_boilerplate_lines default
+SPAN_K = 8
+SPAN_MIN_COUNT = 2
+MIN_QUALITY = 0.5
+MAX_DUP_NGRAM = 0.5
+SHINGLE_N = 4
+JACCARD_T = 0.5
+MAX_SHINGLE_DF = 1000
+MIXTURE = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+SAMPLE_THRESHOLDS = {"en": "80", "id": "c0"}
+DEFAULT_THRESHOLD = "a0"
+PACK_BUDGET = 512
+N_SHARDS = 64
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+# ---------------------------------------------------------------------------
+# corpus builder (ASCII-only: the unicode-normalize edge cases have their
+# own per-stage oracle, q52; this race targets stage composition)
+# ---------------------------------------------------------------------------
+
+def build_corpus(n: int, seed: int = 61) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(3000)])
+    stop = np.array(GOPHER_STOPWORDS)
+    banners = [
+        " ".join(rng.choice(vocab, size=6)) + " banner"
+        for _ in range(25)
+    ]
+    boiler_spans = [
+        list(rng.choice(vocab, size=int(rng.integers(20, 41))))
+        for _ in range(40)
+    ]
+    langs = np.array(["en", "id", "fr"])
+    sources = np.array(["src0", "src1", "src2", "src3"])
+
+    def sentence() -> list[str]:
+        k = int(rng.integers(8, 26))
+        toks = list(rng.choice(vocab, size=k))
+        # ~15% stopword rate so most docs clear the Gopher stopword rule
+        for j in range(k):
+            if rng.random() < 0.15:
+                toks[j] = str(rng.choice(stop))
+        return toks
+
+    docs: list[tuple[int, str, str, str]] = []
+    for i in range(n):
+        lang = str(rng.choice(langs))
+        source = str(rng.choice(sources))
+        r = rng.random()
+        if r < 0.04 and docs:  # exact duplicate of an earlier doc
+            docs.append((i, docs[int(rng.integers(0, len(docs)))][1], lang, source))
+            continue
+        if r < 0.09 and docs:  # near-duplicate: ~5% token mutations
+            base = docs[int(rng.integers(0, len(docs)))][1]
+            toks = base.split(" ")
+            for j in range(len(toks)):
+                if rng.random() < 0.05:
+                    toks[j] = str(rng.choice(vocab))
+            docs.append((i, " ".join(toks), lang, source))
+            continue
+        if r < 0.12:  # junk: short and symbol-heavy → Gopher/quality drop
+            docs.append((i, " ".join(["!!!", "???", "..."] * int(rng.integers(2, 7))),
+                         lang, source))
+            continue
+        n_paras = int(rng.integers(1, 6))
+        paras = []
+        for _ in range(n_paras):
+            lines = []
+            for _ in range(int(rng.integers(1, 4))):
+                toks = sentence()
+                if rng.random() < 0.2:  # boilerplate span splice
+                    b = boiler_spans[int(rng.integers(0, len(boiler_spans)))]
+                    at = int(rng.integers(0, len(toks)))
+                    toks = toks[:at] + b + toks[at:]
+                line = " ".join(toks)
+                if rng.random() < 0.3:  # messy double spaces
+                    line = line.replace(" ", "  ", 1)
+                if rng.random() < 0.2:  # trailing whitespace
+                    line += "   "
+                lines.append(line)
+            if rng.random() < 0.3:  # boilerplate banner line
+                lines.insert(int(rng.integers(0, len(lines) + 1)),
+                             banners[int(rng.integers(0, len(banners)))])
+            paras.append("\n".join(lines))
+        if rng.random() < 0.15 and paras:  # intra-doc paragraph repeat
+            j = int(rng.integers(0, len(paras)))
+            paras.insert(j + 1, paras[j])
+        text = "\n\n".join(paras)
+        if rng.random() < 0.3:  # CRLF documents
+            text = text.replace("\n", "\r\n")
+        docs.append((i, text, lang, source))
+    return pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+
+
+def blocklist_texts(pdf: pd.DataFrame, n_block: int = 40) -> list[str]:
+    """Every (n // n_block)-th doc's raw text stands in for a benchmark
+    test set — decontamination must drop these docs and their near-dups."""
+    step = max(len(pdf) // n_block, 1)
+    return [t for t in pdf["text"].iloc[::step][:n_block]]
+
+
+# ---------------------------------------------------------------------------
+# pure-python xxh64 (verified bit-identical to Spark's xxhash64 for long
+# and string inputs, seed 42) — the packing shard uses it
+# ---------------------------------------------------------------------------
+
+_M = (1 << 64) - 1
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M, (seed + _P2) & _M
+        v3, v4 = seed, (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + struct.unpack_from("<Q", data, i)[0] * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + struct.unpack_from("<Q", data, i + 8)[0] * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + struct.unpack_from("<Q", data, i + 16)[0] * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + struct.unpack_from("<Q", data, i + 24)[0] * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= (_rotl((struct.unpack_from("<Q", data, i)[0] * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (struct.unpack_from("<I", data, i)[0] * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_long(v: int) -> int:
+    h = xxh64(struct.pack("<q", v))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (DuckDB SQL + Python), stage by stage
+# ---------------------------------------------------------------------------
+
+NORMALIZE_SQL = r"""
+SELECT doc_id, trim(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f​‌‍⁠﻿]',
+        '', 'g'),
+      '[ \t]+', ' ', 'g'),
+    '[ \t]+' || chr(10), chr(10), 'g')) AS text
+FROM cur
+"""
+
+LINE_DEDUP_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, pos, line, trim(line) AS t
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM cur)),
+blocked AS (
+  SELECT t FROM lines WHERE length(t) >= {MIN_LINE_CHARS}
+  GROUP BY t HAVING count(DISTINCT doc_id) > {LINE_MAX_DF}),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE length(t) < {MIN_LINE_CHARS} OR t NOT IN (SELECT t FROM blocked)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM cur d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos,
+         tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS raw_pos
+        FROM cur)
+  WHERE tok <> ''
+),
+grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list(tok) OVER w, ' ') AS gram,
+         count(*) OVER w AS glen
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {SPAN_K - 1} FOLLOWING)
+),
+kgrams AS (SELECT doc_id, pos, gram FROM grams WHERE glen = {SPAN_K}),
+dup AS (SELECT gram FROM kgrams GROUP BY gram HAVING count(*) >= {SPAN_MIN_COUNT}),
+hits AS (
+  SELECT doc_id, pos AS s, pos + {SPAN_K} AS e
+  FROM kgrams WHERE gram IN (SELECT gram FROM dup)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER prev IS NULL OR s > max(e) OVER prev
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+spans AS (
+  SELECT doc_id, s, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok
+FROM spans GROUP BY doc_id, span_id
+"""
+
+GOPHER_SQL = r"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM cur),
+feat AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) AS n_words,
+    length(regexp_replace(t, '\s+', '', 'g')) AS word_chars,
+    length(t) - length(replace(t, '#', '')) AS n_hash,
+    (length(t) - length(replace(t, '...', ''))) / 3.0 AS n_ellipsis,
+    len(string_split(t, chr(10))) AS n_lines,
+    len(list_filter(string_split(t, chr(10)),
+                    l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+    len(list_filter(string_split(t, chr(10)),
+                    l -> regexp_matches(l, '\.\.\.\s*$'))) AS ellipsis_lines,
+    len(list_filter(list_filter(string_split_regex(t, '\s+'), w -> w <> ''),
+                    w -> regexp_matches(w, '\p{L}'))) AS alpha_words,
+    list_filter(string_split_regex(lower(t), '\s+'), w -> w <> '') AS lt
+  FROM base)
+SELECT doc_id FROM feat
+WHERE n_words >= 50 AND n_words <= 100000
+  AND word_chars / greatest(n_words, 1) >= 3.0
+  AND word_chars / greatest(n_words, 1) <= 10.0
+  AND (n_hash + n_ellipsis) / greatest(n_words, 1) < 0.1
+  AND bullet_lines / greatest(n_lines, 1) < 0.9
+  AND ellipsis_lines / greatest(n_lines, 1) < 0.3
+  AND alpha_words / greatest(n_words, 1) > 0.8
+  AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END) >= 2
+"""
+
+QUALITY_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         greatest(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}'']+'),
+                                  t -> t <> '')), 1) AS n_tokens,
+         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM cur)
+SELECT doc_id,
+       floor((0.3 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (n_alpha / greatest(n_chars, 1))
+           + 0.2 * (CASE WHEN n_chars / n_tokens >= 3 AND n_chars / n_tokens <= 12
+                         THEN 1.0 ELSE 0.4 END)
+           + 0.2 * (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1
+                         THEN 1.0 ELSE 0.5 END)) * 10000.0 + 0.5) / 10000.0 AS quality
+FROM m
+"""
+
+REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM cur),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE [list_aggregate(toks[i:i+1], 'string_agg', ' ')
+                    for i in range(1, len(toks))] END AS grams
+  FROM tok),
+cnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g FROM gr) GROUP BY doc_id, g)
+SELECT doc_id,
+       floor((1.0 - count(*) * 1.0 / sum(c)) * 10000.0 + 0.5) / 10000.0 AS dup_ngram_frac
+FROM cnt GROUP BY doc_id
+"""
+
+SHINGLE_FRAG = r"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM {src}),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                ELSE [list_aggregate(toks[i:i+{n1}], 'string_agg', ' ')
+                      for i in range(1, len(toks) - {n} + 1)] END)) AS g
+  FROM tok)
+"""
+
+
+def _shingle_frag(src: str, n: int) -> str:
+    return SHINGLE_FRAG.format(src=src, n=n, n1=n - 1)
+
+
+DECONTAM_SQL = (
+    "WITH " + _shingle_frag("cur", SHINGLE_N) + r""",
+blk AS (
+  SELECT doc_id AS b_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM bl),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                ELSE [list_aggregate(toks[i:i+{n1}], 'string_agg', ' ')
+                      for i in range(1, len(toks) - {n} + 1)] END)) AS g
+  FROM blk)
+SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (g)
+""".format(n=SHINGLE_N, n1=SHINGLE_N - 1)
+)
+
+JACCARD_SQL = (
+    "WITH " + _shingle_frag("cur", SHINGLE_N) + f""",
+keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= {MAX_SHINGLE_DF}),
+shk AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+card AS (SELECT doc_id, count(*) AS c FROM shk GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM pair JOIN card ca ON pair.id_a = ca.doc_id
+          JOIN card cb ON pair.id_b = cb.doc_id
+WHERE common * 1.0 / (ca.c + cb.c - common) >= {JACCARD_T}
+"""
+)
+
+_TOK_RE = re.compile(r"[^ \t\n\x0b\f\r]+")  # complement of Java \s
+_WS_RE = re.compile(r"\s+")
+
+
+def _cut_spans(t: str, spans: list[tuple[int, int]]) -> str:
+    """Independent re-implementation of the documented span-cut geometry
+    (remove_duplicate_spans contract): cut from the span's first char
+    through the separator before the NEXT token; a span reaching the end
+    consumes its PRECEDING separator instead."""
+    toks = [(m.start(), m.end()) for m in _TOK_RE.finditer(t)]
+    n = len(toks)
+    pieces, cur = [], 0
+    for st, en in sorted(spans):
+        cs = toks[st][0]
+        if en < n:
+            ce = toks[en][0]
+        else:
+            ce = toks[n - 1][1]
+            if st > 0:
+                cs = toks[st - 1][1]
+        pieces.append(t[cur:cs])
+        cur = max(cur, ce)
+    pieces.append(t[cur:])
+    return "".join(pieces)
+
+
+def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
+    import duckdb
+
+    t0 = time.perf_counter()
+    con = duckdb.connect()
+    cur = pdf[["doc_id", "text"]].copy()
+    con.register("cur", cur)
+
+    # 1. normalize (q52 chain)
+    cur = con.execute(NORMALIZE_SQL).df()
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 2. intra-doc paragraph dedup (post-normalize, blank-line runs are
+    # bare '\n\n+'; trim edges with the ASCII \s class, keep first)
+    def dedupe_paras(t: str) -> str:
+        seen, out = set(), []
+        for p in re.split(r"\n\n+", t):
+            p = re.sub(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "", p)
+            if p and p not in seen:
+                seen.add(p)
+                out.append(p)
+        return "\n\n".join(out)
+
+    cur["text"] = cur["text"].map(dedupe_paras)
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 3. cross-doc line dedup
+    cur = con.execute(LINE_DEDUP_SQL).df()
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 4. span dedup: DuckDB finds the merged duplicated spans, Python cuts
+    spans_df = con.execute(SPANS_SQL).df()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans_df.itertuples(index=False):
+        by_doc.setdefault(int(r.doc_id), []).append(
+            (int(r.start_tok), int(r.end_tok))
+        )
+    cur["text"] = [
+        _cut_spans(t, by_doc[d]) if d in by_doc else t
+        for d, t in zip(cur["doc_id"], cur["text"])
+    ]
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 5. Gopher rules
+    passing = set(con.execute(GOPHER_SQL).df()["doc_id"])
+    cur = cur[cur["doc_id"].isin(passing)].reset_index(drop=True)
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 6. quality + repetition gate
+    q = con.execute(QUALITY_SQL).df().set_index("doc_id")["quality"]
+    rep = con.execute(REPETITION_SQL).df().set_index("doc_id")["dup_ngram_frac"]
+    keep_ids = [
+        d for d in cur["doc_id"]
+        if q[d] >= MIN_QUALITY and rep[d] <= MAX_DUP_NGRAM
+    ]
+    cur = cur[cur["doc_id"].isin(set(keep_ids))].reset_index(drop=True)
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 7. decontaminate
+    con.register("bl", pd.DataFrame({"doc_id": range(len(bl)), "text": bl}))
+    contaminated = set(con.execute(DECONTAM_SQL).df()["doc_id"])
+    cur = cur[~cur["doc_id"].isin(contaminated)].reset_index(drop=True)
+    con.unregister("cur"); con.register("cur", cur)
+
+    # 8. exact-Jaccard pairs (DF-cut) → union-find min-label → canonical
+    pairs = con.execute(JACCARD_SQL).df()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples(index=False):
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    cluster = {int(d): find(int(d)) for d in cur["doc_id"]}
+    cur = cur[[cluster[int(d)] == int(d) for d in cur["doc_id"]]].reset_index(drop=True)
+
+    # 9. domain mixture (counts over survivors; ulp-snapped rates)
+    src = pdf.set_index("doc_id")["source"]
+    lang = pdf.set_index("doc_id")["lang"]
+    counts: dict[str, int] = {}
+    for d in cur["doc_id"]:
+        counts[src[d]] = counts.get(src[d], 0) + 1
+    n_out = min(counts[s] / w for s, w in MIXTURE.items())
+    rates = {s: w * n_out / counts[s] for s, w in MIXTURE.items()}
+    rates = {s: 1.0 if r > 1.0 - 1e-12 else r for s, r in rates.items()}
+
+    def hash_frac(key: int, salt: str) -> float:
+        h = hashlib.md5((salt + str(key)).encode()).hexdigest()[:15]
+        return float(int(h, 16)) / float(1 << 60)
+
+    cur = cur[[
+        src[d] in rates and hash_frac(int(d), "mix|") < rates[src[d]]
+        for d in cur["doc_id"]
+    ]].reset_index(drop=True)
+
+    # 10. stratified hash sample
+    def bucket(key: int) -> str:
+        return hashlib.md5(str(key).encode()).hexdigest()[:2]
+
+    rows = []
+    for d, t in zip(cur["doc_id"], cur["text"]):
+        d = int(d)
+        b = bucket(d)
+        thr = SAMPLE_THRESHOLDS.get(lang[d], DEFAULT_THRESHOLD)
+        if b < thr:
+            rows.append((d, t, b))
+
+    # 11. sequence packing
+    out: dict[int, dict] = {}
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for d, t, b in rows:
+        n_tok = len([w for w in _WS_RE.split(t) if w])
+        shard = spark_xxhash64_long(d) % N_SHARDS  # pmod: non-negative
+        shards.setdefault(shard, []).append((d, n_tok))
+        out[d] = {
+            "lang": lang[d], "bucket": b, "quality": float(q[d]),
+            "dup_ngram_frac": float(rep[d]), "cluster_id": d,
+            "n_tokens": n_tok, "shard": shard,
+        }
+    for shard, docs in shards.items():
+        acc = 0
+        for d, n_tok in sorted(docs):
+            out[d]["pack_id"] = acc // PACK_BUDGET
+            out[d]["pack_offset"] = acc % PACK_BUDGET
+            out[d]["spills_over"] = (acc % PACK_BUDGET) + n_tok > PACK_BUDGET
+            acc += n_tok
+    return out, time.perf_counter() - t0
+
+
+# ---------------------------------------------------------------------------
+# race driver
+# ---------------------------------------------------------------------------
+
+def _fingerprint(rows: list[tuple]) -> str:
+    lines = sorted("|".join(map(repr, r)) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def run(n: int, spark=None) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tegallega_spark.pipeline.corpus import clean_corpus
+    from tegallega_spark.session import get_spark, release_intermediates
+
+    pdf = build_corpus(n)
+    bl = blocklist_texts(pdf)
+
+    own = spark is None
+    if own:
+        spark = get_spark("corpus-stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1).count()
+
+    docs = spark.createDataFrame(pdf)
+    bl_df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(bl)), "text": bl}))
+
+    t0 = time.perf_counter()
+    cleaned = clean_corpus(
+        docs, blocklist=bl_df,
+        min_quality=MIN_QUALITY, max_dup_ngram_frac=MAX_DUP_NGRAM,
+        shingle_n=SHINGLE_N, jaccard_threshold=JACCARD_T,
+        sample_thresholds=SAMPLE_THRESHOLDS,
+        default_sample_threshold=DEFAULT_THRESHOLD,
+        pack_budget=PACK_BUDGET, n_shards=N_SHARDS,
+        dedup_strategy="exact", max_shingle_df=MAX_SHINGLE_DF,
+        normalize=True, line_dedup_max_df=LINE_MAX_DF,
+        span_dedup_k=SPAN_K, span_dedup_min_count=SPAN_MIN_COUNT,
+        gopher_rules=True, paragraph_dedup=True,
+        mixture_targets=MIXTURE, mixture_stratum="source",
+    )
+    spark_rows = [
+        (int(r["doc_id"]), r["lang"], r["bucket"], float(r["quality"]),
+         float(r["dup_ngram_frac"]), int(r["cluster_id"]), int(r["n_tokens"]),
+         int(r["shard"]), int(r["pack_id"]), int(r["pack_offset"]),
+         bool(r["spills_over"]))
+        for r in cleaned.collect()
+    ]
+    spark_s = time.perf_counter() - t0
+    release_intermediates(cleaned)
+
+    ref, ref_s = reference_clean(pdf, bl)
+    ref_rows = [
+        (d, v["lang"], v["bucket"], v["quality"], v["dup_ngram_frac"],
+         v["cluster_id"], v["n_tokens"], v["shard"], v["pack_id"],
+         v["pack_offset"], v["spills_over"])
+        for d, v in ref.items()
+    ]
+
+    fp_spark, fp_ref = _fingerprint(spark_rows), _fingerprint(ref_rows)
+    result = {
+        "n_docs": n,
+        "survivors": {"spark": len(spark_rows), "reference": len(ref_rows)},
+        "spark_s": round(spark_s, 2),
+        "reference_s": round(ref_s, 2),
+        "ratio": round(ref_s / spark_s, 2),
+        "fingerprint_match": fp_spark == fp_ref,
+    }
+    if fp_spark != fp_ref:
+        sset, rset = set(spark_rows), set(ref_rows)
+        result["only_spark"] = sorted(sset - rset)[:5]
+        result["only_reference"] = sorted(rset - sset)[:5]
+    if own:
+        spark.stop()
+    return result
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    result = run(n)
+    print(json.dumps(result))
+    assert result["fingerprint_match"], "e2e corpus outputs diverged"
+
+
+if __name__ == "__main__":
+    main()

@@ -2661,3 +2661,68 @@ def q69(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q70_y4m_decode",
+    oracle=r"""
+    SELECT doc_id,
+           length('YUV4MPEG2 W' || (8 + (doc_id % 5) * 2)
+                  || ' H' || (6 + (doc_id % 4) * 2)
+                  || ' F10:1 Ip A1:1 C444' || chr(10))
+             + (doc_id % 3 + 1)
+               * (6 + 3 * (8 + (doc_id % 5) * 2) * (6 + (doc_id % 4) * 2))
+             AS byte_len,
+           'y4m' AS format,
+           8 + (doc_id % 5) * 2 AS width,
+           6 + (doc_id % 4) * 2 AS height,
+           doc_id % 3 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def q70(spark, sf_dir):
+    """REAL raw-video parse on the driver record: each doc gets a genuine
+    YUV4MPEG2 stream (multimodal.encode_y4m, C444) with dims and frame
+    count derived from doc_id, and decode_batches routes it through the
+    real y4m plane parser (multimodal.decode_y4m).  y4m is UNCOMPRESSED,
+    so — unlike q54's entropy-coded AVI — byte_len is exact header+plane
+    arithmetic the oracle recomputes in SQL: stream-header string length
+    + frames x ('FRAME\n' + 3wh).  A parser that misread the W/H/C tags,
+    misplaced a plane boundary, or dropped a frame hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tegallega_spark.operators import multimodal as MM
+
+    # 5 x 4 x 3 deterministic payload variants, built once in the closure —
+    # the per-row work measured is the DECODE (same design as q54)
+    variants = {}
+    for wi in range(5):
+        for hi in range(4):
+            for ni in range(3):
+                w, h, nf = 8 + wi * 2, 6 + hi * 2, ni + 1
+                frames = [
+                    np.full((h, w, 3), (37 * (wi + hi + f)) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+                variants[(wi, hi, ni)] = MM.encode_y4m(frames, fps=10,
+                                                       colorspace="C444")
+
+    @pandas_udf("binary")
+    def to_y4m(ids):
+        return pd.Series(
+            [variants[(int(i) % 5, int(i) % 4, int(i) % 3)] for i in ids]
+        )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", to_y4m(F.col("doc_id")).alias("payload")
+    )
+    return MM.decode_batches(d).select(
+        "doc_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "format",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
