@@ -201,12 +201,20 @@ def clean_corpus(
         kept = kept.join(contaminated, id_col, "left_anti")
 
     # 3. near-dup clustering; keep the canonical (min-id) doc per cluster
+    #
+    # Persist the post-filter corpus REGARDLESS of strategy: at least three
+    # downstream actions traverse it — the pair generator's shingle pass,
+    # the connected-components edge checkpoint, and the final output (plus
+    # the auto-mode count and the mixture stage's stratum counts).  Without
+    # the persist each action re-executes the ENTIRE text-rewrite upstream
+    # (normalize → paragraph → line cut → span cut → gates), which the
+    # composed-pipeline race measured as ~2× the whole run's wall-clock
+    # when a strategy was passed explicitly (only 'auto'/'semantic'
+    # persisted before r6).
     strategy = dedup_strategy
-    corpus_handle = None
+    kept = corpus_handle = kept.persist()
     if strategy == "auto":
-        # stages 1-2 are scan-side, so this count is one fused pass; the
-        # persist keeps stage 3+ from re-running the quality/decontam scan
-        kept = corpus_handle = kept.persist()
+        # stages 1-2 are scan-side, so this count is one fused pass
         strategy = "exact" if kept.count() <= exact_dedup_limit else "minhash"
     if strategy == "exact":
         pairs = exact_shingle_jaccard_pairs(
@@ -226,12 +234,8 @@ def clean_corpus(
             )
         from tegallega_spark.operators.semdedup import semantic_pairs
 
-        # persist the post-filter corpus BEFORE semantic_pairs: its
-        # k_clusters=None auto-sizing calls df.count(), which on an
-        # unpersisted `kept` would re-execute the whole upstream
-        # (normalize, line/span dedup, scoring, filters) once for the
-        # count and again when KMeans scans it
-        kept = corpus_handle = kept.persist()
+        # kept is already persisted above — semantic_pairs' k_clusters=None
+        # auto-sizing count and the KMeans scan both hit the cache
         _sem = semantic_pairs(
             kept, id_col=id_col, vec_col=embedding_col, min_cosine=min_cosine
         )
