@@ -56,6 +56,15 @@ OPERATORS = {
         _docs(spark).withColumn("lang", F.lit("en")),
         min_quality=0.0, max_dup_ngram_frac=1.0,
     ),
+    # explicit strategy: r6 made the corpus persist unconditional (it was
+    # auto/semantic-only), so the release path must free it here too
+    "clean_corpus_exact": lambda spark: __import__(
+        "tegallega_spark.pipeline.corpus", fromlist=["x"]
+    ).clean_corpus(
+        _docs(spark).withColumn("lang", F.lit("en")),
+        min_quality=0.0, max_dup_ngram_frac=1.0,
+        dedup_strategy="exact",
+    ),
     "ngram_lm_score": lambda spark: __import__(
         "tegallega_spark.operators.ngram_lm", fromlist=["x"]
     ).perplexity_score(
