@@ -359,7 +359,7 @@ sh AS (
   SELECT doc_id, unnest(list_distinct(
            CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
                 ELSE [list_aggregate(toks[i:i+{n1}], 'string_agg', ' ')
-                      for i in range(1, len(toks) - {n} + 1)] END)) AS g
+                      for i in range(1, len(toks) - {n1} + 1)] END)) AS g
   FROM tok)
 """
 
@@ -378,7 +378,7 @@ bsh AS (
   SELECT DISTINCT unnest(list_distinct(
            CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
                 ELSE [list_aggregate(toks[i:i+{n1}], 'string_agg', ' ')
-                      for i in range(1, len(toks) - {n} + 1)] END)) AS g
+                      for i in range(1, len(toks) - {n1} + 1)] END)) AS g
   FROM blk)
 SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (g)
 """.format(n=SHINGLE_N, n1=SHINGLE_N - 1)
