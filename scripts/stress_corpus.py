@@ -570,7 +570,13 @@ def _fingerprint(rows: list[tuple]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def run(n: int, spark=None) -> dict:
+def run(n: int, spark=None, strategy: str = "exact") -> dict:
+    """strategy='exact' races deterministic semantics; strategy='minhash'
+    swaps in the banded-LSH + exact-verify pair generator on the SPARK
+    side only — the reference stays exact — so a fingerprint match ALSO
+    certifies the LSH path's recall inside the composed pipeline (same
+    claim the standalone stress_docs race makes, but over cleaned,
+    span-cut text)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from tegallega_spark.pipeline.corpus import clean_corpus
@@ -596,7 +602,7 @@ def run(n: int, spark=None) -> dict:
         sample_thresholds=SAMPLE_THRESHOLDS,
         default_sample_threshold=DEFAULT_THRESHOLD,
         pack_budget=PACK_BUDGET, n_shards=N_SHARDS,
-        dedup_strategy="exact", max_shingle_df=MAX_SHINGLE_DF,
+        dedup_strategy=strategy, max_shingle_df=MAX_SHINGLE_DF,
         normalize=True, line_dedup_max_df=LINE_MAX_DF,
         span_dedup_k=SPAN_K, span_dedup_min_count=SPAN_MIN_COUNT,
         gopher_rules=True, paragraph_dedup=True,
@@ -640,7 +646,8 @@ def run(n: int, spark=None) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    result = run(n)
+    strategy = sys.argv[2] if len(sys.argv) > 2 else "exact"
+    result = run(n, strategy=strategy)
     print(json.dumps(result))
     assert result["fingerprint_match"], "e2e corpus outputs diverged"
 

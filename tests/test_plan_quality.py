@@ -290,3 +290,29 @@ def test_mixture_sample_is_scan_filter(spark):
     plan = plan_of(SPARK_QUERIES["q63_mixture_sample"](spark, SF_SMOKE))
     assert "Exchange" not in plan
     assert "Scan parquet" in plan or "BatchScan" in plan
+
+
+def test_clean_corpus_output_reads_cached_corpus(spark):
+    """r6: the post-filter corpus persists for EVERY dedup strategy — the
+    final output plan must read it as an InMemoryTableScan instead of
+    re-executing the text-rewrite upstream (normalize → line/span cut →
+    gates), which the composed e2e race measured at ~2× the whole run's
+    wall-clock when a strategy was passed explicitly."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.pipeline.corpus import clean_corpus
+    from tegallega_spark.session import load_table, release_intermediates
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .limit(200)
+        .withColumn("lang", F.lit("en"))
+    )
+    out = clean_corpus(
+        docs, min_quality=0.0, max_dup_ngram_frac=1.0, dedup_strategy="exact"
+    )
+    try:
+        plan = plan_of(out, "simple")
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        release_intermediates(out)
