@@ -33,7 +33,13 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts EVERY executor's storage + shuffle + broadcast
+        # build in the one driver JVM — 8g starved the 400k-doc composed
+        # corpus race (persisted corpus + shingle postings + a broadcast
+        # build tripped the not-enough-memory-to-broadcast guard).  The
+        # box has 128 GiB; 24g is still conservative.  On a real cluster
+        # the driver only coordinates — set the env back down.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local test files are ~10 MB; the 128 MB default split puts a whole
         # table in 1-3 tasks and wastes 29 cores.  4 MB splits parallelize
