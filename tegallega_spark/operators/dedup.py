@@ -962,14 +962,25 @@ def contamination_report(
     The blocklist is broadcast — benchmark suites are tiny next to a 100 TB
     corpus, so the corpus never shuffles: one scan, one map-side join, one
     partial-aggregated count.  Returns (doc_id, n_shared_shingles).
+
+    r6: both sides shingle through the Arrow hash kernel
+    (make_shingle_hash_udf) instead of the pure-column word_shingles HOF —
+    the interpreted transform re-evaluates the tokenize subtree per
+    shingle (O(tokens²) regex per doc; 70 s at 100 k docs), and the join
+    only needs shingle IDENTITY, for which the kernel's 8-byte hashes are
+    exact up to 2⁻⁶⁴ collisions (the q25 oracle would hash-mismatch on
+    any corpus-visible one).  Counts are unchanged: both the kernel and
+    word_shingles emit per-doc DISTINCT shingles.
     """
+    sh_udf = make_shingle_hash_udf(shingle_n)
     bench = (
-        blocklist.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"))
+        parallelize_for_udf(blocklist)
+        .select(F.explode(sh_udf(F.col(text_col))).alias("__g"))
         .distinct()
     )
-    sh = corpus.select(
+    sh = parallelize_for_udf(corpus).select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"),
+        F.explode(sh_udf(F.col(text_col))).alias("__g"),
     )
     return (
         sh.join(F.broadcast(bench), "__g")

@@ -270,25 +270,80 @@ def repetition_stats(
 
     dup_ngram_frac = 1 - distinct/total grams (how much of the doc is
     repeated phrasing); top_ngram_frac = share of the single most frequent
-    gram (boilerplate detector).  explode → two partial-aggregated groupBys
-    keyed on (doc, gram) then (doc) — shuffles stay proportional to corpus
-    token count, and both aggs combine map-side.  Fractions use the
-    floor(x*1e4+0.5) rounding idiom for cross-engine bit identity.
+    gram (boilerplate detector).
+
+    r6: re-expressed as ONE Arrow pass.  The statistic is per-document, so
+    the old plan — explode string grams, groupBy (doc, gram), re-agg per
+    doc: two corpus-sized exchanges keyed on gram STRINGS — shuffled the
+    whole corpus to compute something each partition can finish locally
+    (measured 68 s at 100 k docs; the gram builder was also an interpreted
+    HOF re-evaluating the tokenize subtree per element).  The kernel is
+    the span/shingle family's shape: factorize the batch's tokens to int
+    codes, memoized blake2b per DISTINCT word, positional-polynomial gram
+    identities (collision odds ~2⁻⁶⁴ per in-doc gram pair — the same
+    accepted basis as the hashed-shingle Jaccard, and any corpus-visible
+    collision would hash-mismatch the q33 oracle), np.unique counts give
+    (total, distinct, top) per doc at C speed.  No shuffle anywhere.
+    Fractions keep the floor(x*1e4+0.5) idiom for cross-engine bit
+    identity.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
-    )
-    counts = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    stats = counts.groupBy(id_col).agg(
-        F.sum("__c").alias("__total"),
-        F.count("*").alias("__nd"),
-        F.max("__c").alias("__top"),
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from tegallega_spark.operators.dedup import _mix_constants, parallelize_for_udf
+
+    token_re = re.compile(r"[^a-z0-9]+")
+    coef = np.array(_mix_constants(n, stream=0x9311), dtype=np.uint64)
+
+    @pandas_udf("struct<total: long, nd: long, top: long>")
+    def rep_kernel(texts: pd.Series) -> pd.DataFrame:
+        per_doc = [
+            [w for w in token_re.split(("" if t is None else t).lower()) if w]
+            for t in texts
+        ]
+        flat = [w for ws in per_doc for w in ws]
+        if flat:
+            codes_all, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                    )
+                    for w in uniques
+                ),
+                dtype=np.uint64,
+                count=len(uniques),
+            )
+            hashed = uh[codes_all]
+        rows = []
+        off = 0
+        for ws in per_doc:
+            ln = len(ws)
+            if ln < n:
+                # the whole text as one gram (word_ngrams' short-doc rule)
+                rows.append((1, 1, 1))
+                off += ln
+                continue
+            gh = (
+                np.lib.stride_tricks.sliding_window_view(hashed[off : off + ln], n)
+                * coef
+            ).sum(axis=1, dtype=np.uint64)
+            off += ln
+            _, counts = np.unique(gh, return_counts=True)
+            rows.append((int(gh.size), int(counts.size), int(counts.max())))
+        return pd.DataFrame(rows, columns=["total", "nd", "top"])
+
+    stats = parallelize_for_udf(df).select(
+        F.col(id_col), rep_kernel(F.col(text_col)).alias("__s")
     )
     r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return stats.select(
         F.col(id_col),
-        r4(1.0 - F.col("__nd") / F.col("__total")).alias("dup_ngram_frac"),
-        r4(F.col("__top") / F.col("__total")).alias("top_ngram_frac"),
+        r4(1.0 - F.col("__s.nd") / F.col("__s.total")).alias("dup_ngram_frac"),
+        r4(F.col("__s.top") / F.col("__s.total")).alias("top_ngram_frac"),
     )
 
 
