@@ -915,22 +915,30 @@ def exact_shingle_jaccard_pairs(
         parallelize_for_udf(df)
         .select(F.col(id_col).alias("__id"), sh_udf(F.col(text_col)).alias("__sh"))
         .select("__id", F.explode("__sh").alias("__g"))
-        .persist()
     )
-    sh = sh_raw
     if max_df is not None:
-        # DF per shingle is map-side combinable; the keep-join shuffles on
-        # the same key as the pair join below, so no extra exchange shape.
-        keep = (
-            sh.groupBy("__g")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("__g")
+        # DF-cut as a window count over ONE shingle-keyed exchange (the
+        # span-dedup r5 pattern): the old agg → filter → join-back shape
+        # shuffled the postings twice and cached them twice (pre- and
+        # post-cut).  The exchange this window creates is ALSO the pair
+        # join's co-partitioning: the persisted cut postings come out
+        # hash-partitioned on __g, so the self-join below needs no further
+        # exchange on either side.
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            spark.sparkContext.defaultParallelism,
         )
-        sh = sh.join(keep, "__g").persist()
-        handles = [sh_raw, sh]
+        shp = sh_raw.repartition(n_parts, "__g")
+        counted = shp.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("__g"))
+        )
+        sh = counted.filter(F.col("__df") <= max_df).drop("__df").persist()
     else:
-        handles = [sh]
+        sh = sh_raw.persist()
+    handles = [sh]
     card = sh.groupBy("__id").agg(F.count("*").alias("__c"))
     common = (
         sh.select(F.col("__id").alias("id_a"), "__g")
