@@ -625,10 +625,20 @@ def ngram_jaccard_pairs(
     explode shingles → join on shingle → count common per pair →
     |A∩B| / (|A|+|B|-|A∩B|).  The join on shingle is the inverted index:
     pair candidates only materialize when they share ≥1 shingle.
+
+    r6: shingles come from the Arrow hash kernel (make_shingle_hash_udf)
+    instead of the word_shingles column HOF — the interpreted transform
+    re-evaluates the tokenize subtree per shingle (O(tokens²) regex per
+    doc, the same pathology fixed in repetition_stats/contamination this
+    round), and both the index join and the set cardinalities only need
+    shingle IDENTITY, which the kernel's 8-byte hashes carry exactly up
+    to 2⁻⁶⁴ collisions (the q34 oracle recomputes every Jaccard from
+    string sets and would hash-mismatch on any corpus-visible one).
     """
-    sh = df.select(
+    sh_udf = make_shingle_hash_udf(shingle_n)
+    sh = parallelize_for_udf(df).select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        sh_udf(F.col(text_col)).alias("__sh"),
     ).withColumn("__card", F.size("__sh"))
     exploded = sh.select("__id", "__card", F.explode("__sh").alias("shingle"))
     a = exploded.select(
