@@ -347,6 +347,78 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking — the pretraining prep step that
+    turns long documents into context-length pieces BEFORE packing
+    (pack_sequences then lays the chunks into fixed token budgets).
+    `stride` < `chunk_tokens` gives overlapping windows (RoBERTa-style
+    stride training); the default stride == chunk_tokens tiles the doc
+    without overlap.
+
+    Chunks start at every multiple of `stride` below the token count, so
+    the final window may be short; a 0-token / NULL doc emits no chunks.
+    Returns (id_col, chunk_idx, n_tokens, chunk_text).
+
+    Contract: tokens are ASCII-whitespace splits and `chunk_text` is the
+    token slice REJOINED with single spaces — deterministic and
+    SQL-checkable (the q71 oracle replays it with list slices in DuckDB).
+    Byte-exact re-slicing of the original string is the span-cut family's
+    job, not the chunker's.
+
+    Scale shape: ONE Arrow pass, rows expand in-place per input batch
+    (mapInPandas streams batches — constant memory regardless of
+    partition size), no shuffle anywhere; a pure-column HOF formulation
+    would re-evaluate the tokenize subtree per chunk (the O(tokens²)
+    pathology fixed across this family in r6).
+    """
+    import re
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, matching token_count
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_idx int, n_tokens int, chunk_text string"
+    )
+
+    def chunk(batches):
+        for pdf in batches:
+            ids, idxs, lens, texts = [], [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                toks = [w for w in ws_re.split(t) if w]
+                n = len(toks)
+                start, i = 0, 0
+                while start < n:
+                    piece = toks[start : start + chunk_tokens]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(piece))
+                    texts.append(" ".join(piece))
+                    start += stride
+                    i += 1
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "n_tokens": lens,
+                 "chunk_text": texts}
+            )
+
+    from tegallega_spark.operators.dedup import parallelize_for_udf
+
+    return parallelize_for_udf(df.select(id_col, text_col)).mapInPandas(
+        chunk, schema=schema
+    )
+
+
 def dedupe_paragraphs(text: Column) -> Column:
     """WITHIN-document exact paragraph dedup (RefinedWeb/CCNet intra-doc
     cleanup: scraped pages repeat nav blocks, cookie banners, and footers

@@ -2726,3 +2726,33 @@ def q70(spark, sf_dir):
         "height",
         F.col("n_frames").cast("long").alias("n_frames"),
     )
+
+
+@register(
+    "q71_chunk_documents",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest([{'idx': i, 'piece': toks[i*48+1 : i*48+64]}
+                     for i in range(0, CAST(ceil(len(toks) * 1.0 / 48) AS BIGINT))]) AS u
+      FROM tok WHERE len(toks) > 0)
+    SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx,
+           CAST(len(u.piece) AS INT) AS n_tokens,
+           array_to_string(u.piece, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q71(spark, sf_dir):
+    """Sliding-window document chunking (textual.chunk_documents — the
+    pretraining prep step turning long docs into context-length pieces
+    before packing; stride < chunk gives RoBERTa-style overlapping
+    windows).  64-token chunks at stride 48: every chunk's index, length,
+    and REJOINED TEXT are recomputed by the oracle with DuckDB list
+    slices, so an off-by-one in window starts, the final short window, or
+    the token rejoin hash-mismatches."""
+    d = T(spark, sf_dir, "documents")
+    return TXT.chunk_documents(d, chunk_tokens=64, stride=48)

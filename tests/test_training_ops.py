@@ -766,3 +766,55 @@ def test_mixture_sample_independent_of_stratified_sampler(spark):
         mixture_sample(df, key="doc_id", stratum="source",
                        targets={"web": 0.5, "ghost": 0.5},
                        counts={"web": 4000, "ghost": 0})
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (sliding-window chunking, r6)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from tegallega_spark.operators.textual import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, None), (4, "   "), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=4, stride=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in rows}
+    # doc 1: 7 tokens, starts 0/2/4/6 -> lengths 4,4,3,1
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "c d e f")
+    assert got[(1, 2)] == (3, "e f g")
+    assert got[(1, 3)] == (1, "g")
+    assert got[(2, 0)] == (1, "x")
+    # NULL / whitespace-only / empty docs emit no chunks
+    assert {k[0] for k in got} == {1, 2}
+
+
+def test_chunk_documents_nonoverlap_tiles_exactly(spark):
+    from tegallega_spark.operators.textual import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # default stride == chunk_tokens: 4+4+2, concatenation recovers the doc
+    assert [r.n_tokens for r in rows] == [4, 4, 2]
+    assert " ".join(r.chunk_text for r in rows) == text
+
+
+def test_chunk_documents_whitespace_class_matches_token_count(spark):
+    """Tabs/newlines/CR split exactly like token_count's Java \\s."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.textual import chunk_documents, token_count
+
+    df = spark.createDataFrame(
+        [(9, "a\tb\r\nc  d\x0be")], "doc_id long, text string"
+    )
+    total = df.select(token_count(F.col("text"))).first()[0]
+    rows = chunk_documents(df, chunk_tokens=100).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == total == 5
+    assert rows[0].chunk_text == "a b c d e"
