@@ -192,7 +192,20 @@ def main() -> None:
         print("# secondary " + json.dumps(secondary, separators=(",", ":")),
               file=sys.stderr)
     line = json.dumps(result, separators=(",", ":"))
-    assert len(line) < 1800, f"bench JSON line too long ({len(line)} chars)"
+    if len(line) >= 1800:
+        # Never discard a multi-minute run: drop lowest-value keys until the
+        # line fits the driver's parse window, warning on stderr.
+        print(f"# WARN bench line {len(line)} chars >= 1800; trimming",
+              file=sys.stderr)
+        for key in ("secondary_value", "secondary_sf", "runs_per_query"):
+            result.pop(key, None)
+            line = json.dumps(result, separators=(",", ":"))
+            if len(line) < 1800:
+                break
+        else:
+            # Last resort: round query timings coarser rather than drop them.
+            result["queries"] = {k: round(v, 2) for k, v in timings.items()}
+            line = json.dumps(result, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -349,7 +349,8 @@ def decode_avi(payload: bytes) -> tuple["list[np.ndarray]", int]:
                             f"unsupported AVI video codec {data[4:8]!r} (MJPG only)"
                         )
                     scale, rate = struct.unpack("<II", data[20:28])
-                    fps = rate // max(scale, 1)
+                    # round, not floor: NTSC-style 30000/1001 reads as 30
+                    fps = round(rate / max(scale, 1))
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
                 blobs.append(data)
             pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
@@ -447,7 +448,8 @@ def decode_y4m(payload: bytes) -> tuple["list[np.ndarray]", int]:
             h = int(val)
         elif key == b"F":
             num, den = val.split(":")
-            fps = int(num) // max(int(den), 1)
+            # round, not floor: F30000:1001 is 29.97 — report 30, not 29
+            fps = round(int(num) / max(int(den), 1))
         elif key == b"C":
             cs = "C" + val
     if not w or not h:

@@ -20,6 +20,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~1/4 of host RAM, clamped to [4g, 24g].
+
+    local-mode only heuristic: the single JVM holds all executor storage,
+    so it scales with the machine rather than assuming the 128 GiB bench
+    host.  Falls back to 8g if /proc/meminfo is unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemTotal:"):
+                    total_gib = int(ln.split()[1]) / (1024 * 1024)
+                    return f"{max(4, min(24, int(total_gib // 4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
@@ -36,10 +53,11 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         # local[N] puts EVERY executor's storage + shuffle + broadcast
         # build in the one driver JVM — 8g starved the 400k-doc composed
         # corpus race (persisted corpus + shingle postings + a broadcast
-        # build tripped the not-enough-memory-to-broadcast guard).  The
-        # box has 128 GiB; 24g is still conservative.  On a real cluster
-        # the driver only coordinates — set the env back down.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # build tripped the not-enough-memory-to-broadcast guard).  Size
+        # to the host instead of hard-coding this box: ~1/4 of RAM capped
+        # at 24g, floored at 4g.  On a real cluster the driver only
+        # coordinates — set SPARK_GRAFT_DRIVER_MEM down explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local test files are ~10 MB; the 128 MB default split puts a whole
         # table in 1-3 tasks and wastes 29 cores.  4 MB splits parallelize

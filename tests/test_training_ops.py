@@ -174,6 +174,32 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[2] == (0.0, round(1 / 5, 4))
 
 
+def test_repetition_stats_null_and_empty_doc_contract(spark):
+    """Pin the NULL/empty/short-doc contract (r6 ADVICE item).
+
+    The Arrow kernel maps a doc with < n tokens — including NULL text,
+    empty text, and punctuation-only text — to the whole-text-as-one-gram
+    rule (total=1, nd=1, top=1), i.e. dup_ngram_frac=0.0, top_ngram_frac
+    =1.0.  The documents tables never carry NULL text so no oracle covers
+    this; this test keeps the next rewrite from silently drifting it."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),                 # NULL text
+            (2, ""),                   # empty text
+            (3, "?!... --- ..."),      # tokenizes to zero words
+            (4, "solo"),               # one token < n=2
+            (5, "plain different words here"),  # control: normal doc
+        ],
+        ["doc_id", "text"],
+    )
+    from tegallega_spark.operators.textual import repetition_stats
+    got = {r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+           for r in repetition_stats(docs).collect()}
+    for d in (1, 2, 3, 4):
+        assert got[d] == (0.0, 1.0), f"short-doc contract broke for doc {d}"
+    assert got[5] == (0.0, round(1 / 3, 4))
+
+
 def test_minhash_hot_bucket_cap(spark):
     """A template-spam corpus (many identical docs) must not explode the
     band join when max_bucket is set; default (None) semantics unchanged."""
