@@ -59,6 +59,7 @@ HEADLINE = [
     "q56_lm_perplexity",      # bigram-LM train + score (r5)
     "q58_image_resize_features",  # codec chain: decode→resize→encode→features (r6)
     "q69_ivfpq_full_rerank",  # IVF-PQ ANN: train + codes-only ADC scan (r6)
+    "q72_mini_clean_corpus",  # COMPOSED normalize→para-dedup→gopher→mixture (r7)
 ]
 
 

@@ -36,6 +36,52 @@ from tegallega_spark.operators.sampling import mixture_sample, stratified_hash_s
 from tegallega_spark.session import attach_intermediates
 
 
+def mini_clean_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixture_targets: dict[str, float],
+    mixture_stratum: str = "source",
+) -> DataFrame:
+    """The composed normalize → paragraph-dedup → Gopher-gate → mixture
+    prefix of `clean_corpus`, exposed as an oracle-checkable unit.
+
+    Round 6's composed-pipeline race showed that cross-stage interactions
+    (persist lifecycle, text rewrites feeding later gates) harbor defects
+    no per-stage test sees; this function puts that regime on the driver's
+    CORRECTNESS/BENCH record (registry q72).  It is clean_corpus with the
+    optional middle stages (line/span cut, LM gate) and the tail stages
+    (near-dup clustering, stratified sample, packing) disabled — the
+    remaining four stages run in the identical order with the identical
+    composition idioms: in-place text_col rewrite, left-semi gate join,
+    persist before the mixture stage's per-stratum count action.
+
+    Composition sensitivity: the Gopher word count is computed on the
+    NORMALIZED, PARAGRAPH-DEDUPED text, and the mixture rates are solved
+    from the per-stratum counts of the GATED corpus — a stage that reads
+    stale text or pre-gate counts produces a different survivor set.
+
+    Returns the surviving rows with `text_col` rewritten; strata not in
+    `mixture_targets` are dropped (mixture_sample's contract).
+    """
+    nt = TXT.normalize_text_udf()
+    docs = docs.withColumn(text_col, nt(F.col(text_col)))
+    docs = docs.withColumn(text_col, TXT.dedupe_paragraphs(F.col(text_col)))
+    passing = TXT.gopher_quality_flags(docs, id_col, text_col).filter(
+        F.col("gopher_pass")
+    ).select(id_col)
+    docs = docs.join(passing, id_col, "left_semi")
+    # mixture_sample's per-stratum count is an action; persist the gated
+    # corpus so the final output doesn't re-run the Arrow normalize pass
+    # (same rationale as clean_corpus stage 3.5)
+    docs = docs.persist()
+    kept = mixture_sample(
+        docs, key=id_col, stratum=mixture_stratum, targets=mixture_targets
+    )
+    return attach_intermediates(kept, docs)
+
+
 def clean_corpus(
     docs: DataFrame,
     blocklist: DataFrame | None = None,

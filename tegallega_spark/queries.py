@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 69 entries (q01-q69): near-duplicate operator
+The registry holds 72 entries (q01-q72): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -19,7 +19,11 @@ winnowing fingerprints + domain-mixture sampling; q64 way stitching
 (closed-form chain oracle), q65 intra-doc paragraph dedup, q66
 turf.lineSlice path slicing, q67 the Z-order clustering key (bit-by-bit
 SQL reassembly), q68 the salted skew join against its plain-join
-oracle, q69 IVF-PQ at the full-rerank limit against the exact top-k.  All have oracles —
+oracle, q69 IVF-PQ at the full-rerank limit against the exact top-k,
+q70 the YUV4MPEG2 codec (byte-exact header+plane arithmetic), q71
+sliding-window chunking, q72 the COMPOSED mini clean_corpus
+(normalize → paragraph dedup → Gopher gate → mixture as one program,
+full CTE-chain oracle).  All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
@@ -2756,3 +2760,149 @@ def q71(spark, sf_dir):
     the token rejoin hash-mismatches."""
     d = T(spark, sf_dir, "documents")
     return TXT.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+@register(
+    "q72_mini_clean_corpus",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+      FROM documents),
+    par AS (
+      SELECT doc_id, source,
+             list_concat(['the data have to be of use and note that with care'],
+               [array_to_string(toks[i*8+1 : i*8+8], ' ')
+                for i in range(0, ((len(toks) - 1) // 8) + 1)]) AS paras
+      FROM tok WHERE len(toks) >= 1),
+    dup AS (
+      SELECT doc_id, source,
+             flatten([CASE WHEN (i - 1) % 3 = 0 THEN [paras[i], paras[i]]
+                           ELSE [paras[i]] END
+                      for i in range(1, len(paras) + 1)]) AS paras2
+      FROM par),
+    ex AS (SELECT doc_id, source, unnest(paras2) AS p,
+                  generate_subscripts(paras2, 1) AS idx FROM dup),
+    firsts AS (SELECT doc_id, source, p, MIN(idx) AS mi
+               FROM ex GROUP BY doc_id, source, p),
+    clean AS (SELECT doc_id, source,
+                     string_agg(p, chr(10) || chr(10) ORDER BY mi) AS t,
+                     COUNT(*) AS n_paras
+              FROM firsts GROUP BY doc_id, source),
+    feat AS (
+      SELECT doc_id, source, n_paras, t,
+        len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) AS n_words,
+        length(regexp_replace(t, '\s+', '', 'g')) AS word_chars,
+        length(t) - length(replace(t, '#', '')) AS n_hash,
+        (length(t) - length(replace(t, '...', ''))) / 3.0 AS n_ellipsis,
+        len(string_split(t, chr(10))) AS n_lines,
+        len(list_filter(string_split(t, chr(10)),
+                        l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+        len(list_filter(string_split(t, chr(10)),
+                        l -> regexp_matches(l, '\.\.\.\s*$'))) AS ellipsis_lines,
+        len(list_filter(list_filter(string_split_regex(t, '\s+'), w -> w <> ''),
+                        w -> regexp_matches(w, '\p{L}'))) AS alpha_words,
+        list_filter(string_split_regex(lower(t), '\s+'), w -> w <> '') AS lt
+      FROM clean),
+    gate AS (
+      SELECT doc_id, source, n_paras, n_words, length(t) AS norm_len FROM feat
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND word_chars / greatest(n_words, 1) >= 3.0
+        AND word_chars / greatest(n_words, 1) <= 10.0
+        AND (n_hash + n_ellipsis) / greatest(n_words, 1) < 0.1
+        AND bullet_lines / greatest(n_lines, 1) < 0.9
+        AND ellipsis_lines / greatest(n_lines, 1) < 0.3
+        AND alpha_words / greatest(n_words, 1) > 0.8
+        AND (CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END) >= 2),
+    cnt AS (SELECT source, COUNT(*) AS n FROM gate
+            WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+    w AS (SELECT * FROM (VALUES
+            ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+            ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+          AS t(source, wt)),
+    nout AS (SELECT MIN(n / wt) AS n_out FROM cnt JOIN w USING (source)),
+    rates AS (
+      SELECT source,
+             CASE WHEN wt * (SELECT n_out FROM nout) / n > 1 - 1e-12
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE wt * (SELECT n_out FROM nout) / n END AS rate
+      FROM cnt JOIN w USING (source)),
+    hf AS (
+      SELECT doc_id, source, n_paras, n_words, norm_len,
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                      substr(md5('mix|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                      AS BIGINT)
+                    << (4 * (15 - i)) for i in range(1, 16)]) AS DOUBLE)
+               / 1152921504606846976.0 AS f
+      FROM gate)
+    SELECT doc_id, source, CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_words AS BIGINT) AS n_words, CAST(norm_len AS BIGINT) AS norm_len
+    FROM hf JOIN rates USING (source) WHERE f < rate
+    """,
+)
+def q72(spark, sf_dir):
+    """COMPOSED mini corpus pipeline on the driver record
+    (pipeline/corpus.mini_clean_corpus): normalize → intra-doc paragraph
+    dedup → Gopher quality gate → domain-mixture rebalance, the opt-in
+    prefix of clean_corpus run as ONE program.  Round 6's composed race
+    showed cross-stage interactions (text rewrites feeding later gates,
+    persist lifecycle around count actions) hide defects no per-stage
+    test sees; this row tracks that regime round-over-round.
+
+    The corpus is flat word streams, so the query CONSTRUCTS structure
+    the stages must then undo: a stopword-rich lead paragraph (so the
+    Gopher stopword rule is satisfiable on this vocabulary), 8-word
+    paragraphs with every 3rd doubled (paragraph-dedup work), words
+    joined by DOUBLE spaces and paragraphs by ' \n\n' (normalize work).
+    The oracle does NOT replay the normalize regex chain — it constructs
+    the canonical single-spaced text directly (valid because the corpus
+    is pure [a-z0-9 ], verified, so normalization only affects the
+    injected noise) and re-derives paragraph dedup, all seven Gopher
+    rules ON THE CLEANED TEXT, and the mixture rates FROM THE GATED
+    per-stratum counts as a DuckDB CTE chain — a stage reading stale
+    text or pre-gate counts hash-mismatches, not just a wrong stage."""
+    from tegallega_spark.pipeline.corpus import mini_clean_corpus
+
+    d = T(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                    lambda t: t != "")
+    n = F.size(toks)
+    paras = F.concat(
+        F.array(F.lit("the data have to be of use and note that with care")),
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+            # double-space joiner: noise the normalize stage must collapse
+            lambda i: F.concat_ws("  ", F.slice(toks, i * 8 + 1, 8)),
+        ),
+    )
+    doubled = F.flatten(
+        F.transform(
+            paras,
+            lambda p, i: F.when(i % 3 == 0, F.array(p, p)).otherwise(F.array(p)),
+        )
+    )
+    built = d.filter(n >= 1).select(
+        "doc_id",
+        "source",
+        # ' \n\n' joiner: trailing space the normalize stage must strip
+        F.array_join(doubled, " \n\n").alias("text"),
+    )
+    out = mini_clean_corpus(
+        built,
+        mixture_targets={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    return out.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\n\n")).cast("long").alias("n_paras"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("norm_len"),
+    )
