@@ -36,10 +36,28 @@ def parallelize_for_udf(df: DataFrame) -> DataFrame:
     whose cost is CPU per row: the UDF then runs 1-2-way on a 32-core
     machine.  Repartitioning a few MB is free; at 100 TB the scan yields
     far more splits than cores and this is a no-op.
+
+    r7: the probe no longer touches df.rdd.  Materializing the Python RDD
+    runs the FULL Catalyst optimizer over the upstream plan just to read a
+    partition count — on the composed clean_corpus program the profiler
+    measured five such deep-prefix optimizations at ~43 s of the 5 k race's
+    65 s, each thrown away because the repartition returns a new plan that
+    re-optimizes from scratch.  Instead, read sizeInBytes off the ANALYZED
+    plan's stats (a plan-tree visitor walk — no optimization, no physical
+    planning): the scan's partition count is ~size/maxPartitionBytes, so
+    `size < cores × maxPartitionBytes` is exactly the "fewer splits than
+    cores" condition the old probe detected, at microsecond cost.  Inputs
+    estimated larger keep their (already >= cores) scan/shuffle
+    partitioning; the estimate only steers a perf heuristic, so an
+    over-estimate merely skips an optional repartition.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    max_split = int(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+    if size < target * max_split:
         return df.repartition(target)
     return df
 

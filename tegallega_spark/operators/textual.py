@@ -8,6 +8,8 @@ whole-stage codegen over the parquet scan with zero Python involvement.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 
 from pyspark.sql import Column, DataFrame, Window
@@ -347,6 +349,24 @@ def repetition_stats(
     )
 
 
+_WS_SPLIT_RE = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, matching token_count
+
+
+def _chunk_token_list(
+    toks: "list[str]", chunk_tokens: int, stride: int
+) -> "list[list[str]]":
+    """Per-doc core of chunk_documents, module-level so the hypothesis
+    property suite drives the EXACT code the Spark path runs: a window of
+    up to `chunk_tokens` tokens starts at every multiple of `stride`
+    below the token count (split artifacts — empty strings — dropped
+    first, matching token_count's Java-\\s splitting)."""
+    toks = [w for w in toks if w]
+    return [
+        toks[start : start + chunk_tokens]
+        for start in range(0, len(toks), stride)
+    ]
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -377,13 +397,10 @@ def chunk_documents(
     would re-evaluate the tokenize subtree per chunk (the O(tokens²)
     pathology fixed across this family in r6).
     """
-    import re
-
     if stride is None:
         stride = chunk_tokens
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, matching token_count
 
     id_type = dict(df.dtypes)[id_col]
     schema = (
@@ -396,17 +413,13 @@ def chunk_documents(
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
                     continue
-                toks = [w for w in ws_re.split(t) if w]
-                n = len(toks)
-                start, i = 0, 0
-                while start < n:
-                    piece = toks[start : start + chunk_tokens]
+                for i, piece in enumerate(
+                    _chunk_token_list(_WS_SPLIT_RE.split(t), chunk_tokens, stride)
+                ):
                     ids.append(doc_id)
                     idxs.append(i)
                     lens.append(len(piece))
                     texts.append(" ".join(piece))
-                    start += stride
-                    i += 1
             yield pd.DataFrame(
                 {id_col: ids, "chunk_idx": idxs, "n_tokens": lens,
                  "chunk_text": texts}

@@ -176,6 +176,7 @@ def clean_corpus(
     # text BEFORE anything scores or shingles it, so boilerplate lines
     # don't depress quality scores or glue unrelated docs into near-dup
     # pairs.  Opt-in (costs one extra pass over the corpus).
+    line_cut_handles = ()
     if normalize:
         # step -1: unicode NFC + control-strip + whitespace collapse, so
         # every downstream hash (line, span, shingle) sees canonical text
@@ -186,7 +187,20 @@ def clean_corpus(
         # footer repeats 40x would otherwise look like 40 duplicated lines
         # to the cross-doc cut and depress its own quality/repetition stats
         docs = docs.withColumn(text_col, TXT.dedupe_paragraphs(F.col(text_col)))
-    line_cut_handles = ()
+    if (normalize or paragraph_dedup) and line_dedup_max_df is not None:
+        # The line cut's doc-rebuild JOINS the corpus against its own
+        # exploded lines, and its broadcast-gate count is a separate
+        # action — without a persist here the Arrow normalize/paragraph
+        # pass executes once per plan OCCURRENCE (both join sides + the
+        # gate count + the main pipeline: 3-4 times; r7 profiling of the
+        # composed 5 k race).  MEMORY_AND_DISK: at scale this trades one
+        # shuffle-write's worth of local disk for N-1 recomputes of a
+        # corpus-wide Python stage — the same trade a shuffle itself
+        # makes.  Released via the result's intermediates handles.
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        line_cut_handles = (docs,)
     if line_dedup_max_df is not None:
         docs = TXT.remove_boilerplate_lines(
             docs, id_col, text_col, max_doc_frequency=line_dedup_max_df
@@ -194,7 +208,7 @@ def clean_corpus(
         # the blocked-hash set persists inside (size-gated broadcast);
         # later transforms return new DataFrames that drop the attribute,
         # so capture the handles here and ride them out on the result
-        line_cut_handles = tuple(getattr(docs, "_tegallega_persisted", ()))
+        line_cut_handles += tuple(getattr(docs, "_tegallega_persisted", ()))
     if span_dedup_k is not None:
         # persists nothing (single-exchange formulation) — no handle to ride
         docs = TXT.remove_duplicate_spans(
@@ -262,6 +276,25 @@ def clean_corpus(
     if strategy == "auto":
         # stages 1-2 are scan-side, so this count is one fused pass
         strategy = "exact" if kept.count() <= exact_dedup_limit else "minhash"
+    else:
+        # With an explicit strategy nothing forces the corpus until the
+        # cluster-assignment checkpoint — the executors sit IDLE while the
+        # driver spends seconds of py4j round trips building the pair/CC
+        # plans (r7 profiling: ~10 s of pure construction at 5 k docs with
+        # no job running).  Fire the cache fill on a background thread so
+        # materialization overlaps construction; Spark's per-partition
+        # cache locking makes the later consumers wait on (not recompute)
+        # in-flight partitions.  Best-effort: any error surfaces on the
+        # caller's own action, not here.
+        import threading
+
+        def _warm(df=kept):
+            try:
+                df.count()
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm, name="corpus-cache-warm", daemon=True).start()
     if strategy == "exact":
         pairs = exact_shingle_jaccard_pairs(
             kept, id_col, text_col, shingle_n, jaccard_threshold,
