@@ -188,6 +188,16 @@ def main() -> None:
     # is cheap.  At n>8 a single run is minutes long and self-averages.
     runs = 3 if n <= 8 else 1
     ref_s, ref_rows = min(time_reference(root) for _ in range(runs))
+    # COLD first-session number (r6 verdict: the steady-session 1.41×
+    # bundled a methodology change with the threaded-plans code change —
+    # publish BOTH so they decompose): a fresh session created inside
+    # time_spark, its one-time JVM/codegen/Arrow-worker warmup charged to
+    # the measurement.  Only at small n, where warmup is a visible share.
+    cold = None
+    if n <= 8:
+        cold_s, cold_rows = time_spark(root, spark=None)
+        assert cold_rows == ref_rows
+        cold = round(cold_s, 2)
     # steady session across the Spark runs (see time_spark docstring):
     # symmetric with the reference's repeat, which also reuses a warm OS
     # page cache; each run still rebuilds + re-executes the whole DAG
@@ -196,13 +206,17 @@ def main() -> None:
         time_spark(root, spark=spark_session) for _ in range(runs)
     )
     spark_session.stop()
-    print(json.dumps({
+    out = {
         "replication": n,
         "reference_script_sec": round(ref_s, 2),
         "spark_pipeline_sec": round(spark_s, 2),
         "speedup": round(ref_s / spark_s, 2),
         "stop_times_rows": {"reference": ref_rows, "spark": spark_rows},
-    }, indent=2))
+    }
+    if cold is not None:
+        out["spark_cold_first_session_sec"] = cold
+        out["speedup_cold"] = round(ref_s / cold, 2)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

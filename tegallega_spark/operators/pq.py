@@ -33,7 +33,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["train_pq_codebooks", "encode_pq", "pq_topk", "ivfpq_topk"]
+__all__ = [
+    "train_pq_codebooks", "encode_pq", "pq_topk", "ivfpq_topk",
+    "ivfpq_topk_batch",
+]
 
 
 def _kmeans(x: np.ndarray, k: int, iters: int) -> np.ndarray:
@@ -218,4 +221,105 @@ def ivfpq_topk(
         k=k,
         rerank=rerank,
         normalize=normalize,
+    )
+
+
+def ivfpq_topk_batch(
+    ivf_index,
+    codebooks: np.ndarray,
+    queries: "np.ndarray | list[list[float]]",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    normalize: bool = False,
+) -> DataFrame:
+    """Batched IVF-PQ top-k: answer a whole query set in ONE plan.
+
+    `ivfpq_topk` is the serving shape — one query, one small job.  For the
+    analytics regime (re-ranking a batch of queries against the corpus:
+    near-dup candidate generation, eval-set contamination probes) a
+    per-query driver loop pays Spark's fixed job latency per query; this
+    operator instead makes the query set data: a broadcast (qid, ivf_list)
+    probe table joins the inverted lists — on a corpus bucketed by
+    `ivf_list` that join is partition pruning — then one Arrow pass scores
+    ADC for every (query, row) pair via a (NQ, m, k) table tensor riding
+    the closure, a per-qid window keeps the top-`rerank` candidates, and
+    exact cosine re-ranks the ≤ NQ·rerank survivors.
+
+    The scanned row count is NQ · N · nprobe/k_lists; the window that cuts
+    it to candidates shuffles only (qid, id, dist) triples.  Queries are
+    driver-side by design — a query BATCH is metadata-sized (thousands),
+    never corpus-sized; for corpus×corpus problems use the dedup family.
+
+    Returns (qid, id_col, cos_sim) — per qid, the exact-cosine top-k of
+    the ADC candidate pool, matching `ivfpq_topk`'s contract query-wise.
+    """
+    from pyspark.sql import Window
+
+    from tegallega_spark.operators.similarity import cosine
+
+    q = np.asarray(queries, dtype=np.float64)
+    if normalize:
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    nq = len(q)
+    cb = codebooks.astype(np.float64)
+    m, kk, dsub = cb.shape
+
+    # (NQ, m, k) ADC tables — one driver-side einsum, kilobytes per query
+    tables = np.stack(
+        [
+            np.stack(
+                [((cb[i] - qv[i * dsub : (i + 1) * dsub]) ** 2).sum(axis=1)
+                 for i in range(m)]
+            )
+            for qv in q
+        ]
+    )
+
+    spark = ivf_index.assigned.sparkSession
+    probe = spark.createDataFrame(
+        [(qi, li) for qi in range(nq)
+         for li in ivf_index._nearest_lists(list(q[qi]), nprobe)],
+        "qid int, ivf_list int",
+    )
+    pruned = ivf_index.assigned.join(F.broadcast(probe), on="ivf_list")
+
+    @pandas_udf("double")
+    def adc_b(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        arr = np.stack(codes.to_numpy())  # (batch, m)
+        qi = qids.to_numpy()
+        return pd.Series(tables[qi[:, None], np.arange(m), arr].sum(axis=1))
+
+    scored = pruned.select(
+        "qid", id_col, adc_b(F.col("qid"), F.col(code_col)).alias("adc_dist")
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", F.col(id_col))
+    cands = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= rerank)
+        .select("qid", id_col)
+    )
+
+    # exact re-rank: raw vectors for the ≤ NQ·rerank survivors only
+    qarr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in qv]) for qv in np.asarray(queries, dtype=np.float64)
+    ])
+    pool = ivf_index.assigned.select(id_col, ivf_index.vec_col).join(
+        F.broadcast(cands), on=id_col
+    )
+    rescored = pool.select(
+        "qid",
+        id_col,
+        cosine(
+            F.col(ivf_index.vec_col).cast("array<double>"),
+            F.element_at(qarr, F.col("qid") + 1),
+        ).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        rescored.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -33,7 +33,7 @@ from tegallega_spark.operators.dedup import (
 )
 from tegallega_spark.operators.packing import pack_sequences
 from tegallega_spark.operators.sampling import mixture_sample, stratified_hash_sample
-from tegallega_spark.session import attach_intermediates
+from tegallega_spark.session import aqe_off_for_small_input, attach_intermediates
 
 
 def mini_clean_corpus(
@@ -65,6 +65,7 @@ def mini_clean_corpus(
     Returns the surviving rows with `text_col` rewritten; strata not in
     `mixture_targets` are dropped (mixture_sample's contract).
     """
+    source = docs
     nt = TXT.normalize_text_udf()
     docs = docs.withColumn(text_col, nt(F.col(text_col)))
     docs = docs.withColumn(text_col, TXT.dedupe_paragraphs(F.col(text_col)))
@@ -74,11 +75,14 @@ def mini_clean_corpus(
     docs = docs.join(passing, id_col, "left_semi")
     # mixture_sample's per-stratum count is an action; persist the gated
     # corpus so the final output doesn't re-run the Arrow normalize pass
-    # (same rationale as clean_corpus stage 3.5)
+    # (same rationale as clean_corpus stage 3.5).  The count's stage
+    # waves pay AQE scheduling latency on small inputs — same size gate
+    # as clean_corpus (no-op at scale).
     docs = docs.persist()
-    kept = mixture_sample(
-        docs, key=id_col, stratum=mixture_stratum, targets=mixture_targets
-    )
+    with aqe_off_for_small_input(source):
+        kept = mixture_sample(
+            docs, key=id_col, stratum=mixture_stratum, targets=mixture_targets
+        )
     return attach_intermediates(kept, docs)
 
 
@@ -172,6 +176,61 @@ def clean_corpus(
     packed shards carry the final mixture.  Strata not in the map are
     dropped.
     """
+    # The composed run triggers many interior actions (gate counts, the
+    # CC checkpoint's iteration jobs, mixture counts) — under AQE each of
+    # their shuffle stages is a separately scheduled job, which is pure
+    # latency when the input is small (r7 profiling: ~115 stage jobs
+    # ≈ 15 s at 5 k docs).  Size-gated: a no-op at real scale.
+    with aqe_off_for_small_input(docs):
+        return _clean_corpus_impl(
+            docs, blocklist,
+            id_col=id_col, text_col=text_col, stratum_col=stratum_col,
+            min_quality=min_quality, max_dup_ngram_frac=max_dup_ngram_frac,
+            shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+            sample_thresholds=sample_thresholds,
+            default_sample_threshold=default_sample_threshold,
+            pack_budget=pack_budget, n_shards=n_shards,
+            dedup_strategy=dedup_strategy, max_shingle_df=max_shingle_df,
+            exact_dedup_limit=exact_dedup_limit, normalize=normalize,
+            line_dedup_max_df=line_dedup_max_df, span_dedup_k=span_dedup_k,
+            span_dedup_min_count=span_dedup_min_count,
+            embedding_col=embedding_col, min_cosine=min_cosine,
+            gopher_rules=gopher_rules, max_perplexity=max_perplexity,
+            paragraph_dedup=paragraph_dedup, mixture_targets=mixture_targets,
+            mixture_stratum=mixture_stratum,
+        )
+
+
+def _clean_corpus_impl(
+    docs: DataFrame,
+    blocklist: DataFrame | None,
+    *,
+    id_col: str,
+    text_col: str,
+    stratum_col: str,
+    min_quality: float,
+    max_dup_ngram_frac: float,
+    shingle_n: int,
+    jaccard_threshold: float,
+    sample_thresholds: dict[str, str] | None,
+    default_sample_threshold: str,
+    pack_budget: int,
+    n_shards: int,
+    dedup_strategy: str,
+    max_shingle_df: int | None,
+    exact_dedup_limit: int,
+    normalize: bool,
+    line_dedup_max_df: int | None,
+    span_dedup_k: int | None,
+    span_dedup_min_count: int,
+    embedding_col: str,
+    min_cosine: float,
+    gopher_rules: bool,
+    max_perplexity: float | None,
+    paragraph_dedup: bool,
+    mixture_targets: dict[str, float] | None,
+    mixture_stratum: str,
+) -> DataFrame:
     # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
     # text BEFORE anything scores or shingles it, so boilerplate lines
     # don't depress quality scores or glue unrelated docs into near-dup

@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 72 entries (q01-q72): near-duplicate operator
+The registry holds 73 entries (q01-q73): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -23,7 +23,9 @@ oracle, q69 IVF-PQ at the full-rerank limit against the exact top-k,
 q70 the YUV4MPEG2 codec (byte-exact header+plane arithmetic), q71
 sliding-window chunking, q72 the COMPOSED mini clean_corpus
 (normalize → paragraph dedup → Gopher gate → mixture as one program,
-full CTE-chain oracle).  All have oracles —
+full CTE-chain oracle), q73 batched IVF-PQ (whole query set as one
+plan) at the full-rerank limit against a per-query window top-k.
+All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
 engine-specific sketch value.  The previously
@@ -2905,4 +2907,63 @@ def q72(spark, sf_dir):
         F.size(F.split(F.col("text"), r"\n\n")).cast("long").alias("n_paras"),
         F.size(words).cast("long").alias("n_words"),
         F.length("text").cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "q73_ivfpq_batch_full_rerank",
+    oracle=r"""
+    WITH q AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS qid,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 3
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def q73(spark, sf_dir):
+    """BATCHED IVF-PQ on the driver record (pq.ivfpq_topk_batch): the
+    whole query set as ONE plan — broadcast (qid, ivf_list) probe join,
+    one Arrow ADC pass indexed by a (NQ, m, k) table tensor, per-qid
+    window candidate cut, exact cosine re-rank.  Run at the full-probe /
+    full-rerank limit the composition must reproduce the exact per-query
+    top-10, so the oracle is q69's brute-force SQL lifted to a window
+    top-k per query — a defect in the probe fan-out, the batched table
+    indexing, either window's partitioning, or the element_at query
+    dispatch hash-mismatches.  (The per-query serving shape is q69; this
+    is the analytics shape — the per-query driver loop costs NQ Spark
+    jobs, the batch costs ~2.)"""
+    from pyspark.sql import Window
+
+    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.pq import ivfpq_topk_batch, train_pq_codebooks
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").select("embedding").limit(3).collect()
+    ]
+    n = emb.count()
+    cb = train_pq_codebooks(emb, m=8, k=16)
+    idx = train_ivf_index(emb, k=8).encode(cb)
+    full = ivfpq_topk_batch(idx, cb, queries, k=n, nprobe=8, rerank=n)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_r"), "vec_id")
+    return (
+        full.withColumn("cos_sim_r", F.round("cos_sim", 4))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select("qid", "vec_id", F.col("cos_sim_r").alias("cos_sim"))
     )

@@ -86,6 +86,57 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
     return builder.getOrCreate()
 
 
+def plan_size_bytes(df) -> int:
+    """Catalyst's sizeInBytes estimate read off the ANALYZED plan — a
+    pure plan-tree walk (no optimization, no physical planning, no job),
+    microseconds even on the composed pipeline's deep plans.  The
+    analyzer's estimate is conservative upward (filters it cannot see
+    through keep the parent's size), which is the right direction for
+    gating perf heuristics: a small input is never over-reported as
+    smaller than it is."""
+    return int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+
+
+class aqe_off_for_small_input:
+    """Context manager: disable adaptive query execution while a
+    multi-action pipeline runs over a SMALL input, restoring the prior
+    setting on exit.
+
+    AQE's unit of work is the query STAGE: every shuffle boundary becomes
+    a separately scheduled job so runtime statistics can re-plan what
+    follows.  On a skewed 100 TB shuffle that re-planning is worth
+    minutes; on a kB-MB input each stage's work is microseconds while its
+    scheduling + replanning latency is ~100 ms — the composed corpus race
+    measured ~115 stage jobs ≈ 15 s of pure wave latency at 5 k docs
+    (r7 profiling).  Below `threshold_bytes` (Catalyst's own analyzed
+    estimate of the input) the static plan is strictly better; at or
+    above it this is a no-op and AQE keeps its coalesce/skew wins.  On a
+    real cluster reading real data the gate never fires.
+
+    The flip is session-wide (Spark runtime conf), so only the actions
+    the `with` body itself triggers are covered — lazy DataFrames
+    returned OUT of the body plan under the caller's (restored) setting.
+    That is the intended split: the pipeline's interior stage-waves are
+    the measured cost; the caller's single final action keeps AQE."""
+
+    _KEY = "spark.sql.adaptive.enabled"
+
+    def __init__(self, df, threshold_bytes: int = 1 << 30) -> None:
+        self._spark = df.sparkSession
+        self._fires = plan_size_bytes(df) < threshold_bytes
+        self._prior: str | None = None
+
+    def __enter__(self) -> "aqe_off_for_small_input":
+        if self._fires:
+            self._prior = self._spark.conf.get(self._KEY, "true")
+            self._spark.conf.set(self._KEY, "false")
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prior is not None:
+            self._spark.conf.set(self._KEY, self._prior)
+
+
 def attach_intermediates(out, *sources):
     """Tag `out` with the persisted intermediates its plan reads.
 

@@ -9,6 +9,7 @@ tolerance here, exactly like the driver.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -54,10 +55,9 @@ def _canon(columns, rows):
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, name):
+def _assert_parity(spark, name: str, sf_dir: str) -> None:
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_SMOKE)
+    sdf = q(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
@@ -67,7 +67,7 @@ def test_query_matches_oracle(spark, name):
         assert len(spark_rows) >= 0
         return
 
-    con = _duck(SF_SMOKE)
+    con = _duck(sf_dir)
     rel = con.sql(sql)
     duck_cols, duck_rows = rel.columns, rel.fetchall()
 
@@ -82,3 +82,32 @@ def test_query_matches_oracle(spark, name):
         (i, a, b) for i, (a, b) in enumerate(zip(s_body, d_body)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    _assert_parity(spark, name, SF_SMOKE)
+
+
+def _headline_names() -> list[str]:
+    import bench
+
+    return sorted(bench.HEADLINE)
+
+
+@pytest.mark.nightly
+@pytest.mark.skipif(
+    not os.environ.get("TEGALLEGA_NIGHTLY"),
+    reason="sf0.1 parity is the nightly tier — set TEGALLEGA_NIGHTLY=1",
+)
+@pytest.mark.parametrize("name", _headline_names())
+def test_headline_parity_at_bench_scale(spark, name):
+    """The quick suite checks value-hash parity at sf0.001; the bench
+    publishes numbers at sf0.1.  This nightly tier runs the SAME gate on
+    the bench-headline queries at the published scale, so a result that
+    only diverges on bigger data (overflow, precision drift under
+    different partial-agg orders, sampling-threshold edges) can't hide
+    behind the small-sf green."""
+    _assert_parity(
+        spark, name, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )

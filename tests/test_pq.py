@@ -105,3 +105,36 @@ def test_ivfpq_composition(spark, emb, codebooks):
     }
     recall = len(set(exact) & pruned) / 10
     assert recall >= 0.5, f"IVF-PQ recall@10 = {recall}"
+
+
+def test_ivfpq_batch_matches_per_query(spark, emb, codebooks):
+    """ivfpq_topk_batch (whole query set as ONE plan) must reproduce the
+    per-query ivfpq_topk results EXACTLY for the same (nprobe, rerank) —
+    both full-probe/full-rerank (≡ brute force) and the pruned
+    production shape; tie-breaks are (dist, id) on both paths, so the
+    match is deterministic equality, not set overlap."""
+    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.pq import ivfpq_topk, ivfpq_topk_batch
+
+    idx = train_ivf_index(emb, k=8).encode(codebooks, normalize=True)
+    n = emb.count()
+    queries = [list(r.embedding) for r in emb.orderBy("vec_id").limit(3).collect()]
+
+    for nprobe, rerank in ((8, n), (4, 50)):
+        batch = ivfpq_topk_batch(
+            idx, codebooks, queries, k=10, nprobe=nprobe, rerank=rerank,
+            normalize=True,
+        ).collect()
+        got: dict[int, list] = {}
+        for r in batch:
+            got.setdefault(r.qid, []).append((r.vec_id, r.cos_sim))
+        assert set(got) == {0, 1, 2}
+        for qi, q in enumerate(queries):
+            solo = ivfpq_topk(
+                idx, codebooks, q, k=10, nprobe=nprobe, rerank=rerank,
+                normalize=True,
+            ).collect()
+            b = sorted(got[qi], key=lambda t: (-t[1], t[0]))
+            assert [v for v, _ in b] == [r.vec_id for r in solo]
+            for (_, cs), r in zip(b, solo):
+                assert abs(cs - r.cos_sim) < 1e-12
