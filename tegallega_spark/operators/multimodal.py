@@ -513,14 +513,252 @@ def _decode_y4m_meta(payload: bytes) -> dict:
     }
 
 
+MOV_BRAND = b"qt  "
+_MOV_CONTAINERS = frozenset(
+    [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"]
+)
+_MOV_JPEG_FORMATS = (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"mjpg")
+
+
+def encode_mov(frames: "list[np.ndarray]", fps: int = 10,
+               quality: int = 85) -> bytes:
+    """Minimal QuickTime/MOV writer with photo-JPEG ('jpeg') video: the
+    common `ftyp` + `mdat` + trailing `moov` layout, one video track, the
+    full sample-table quartet (stsd/stts/stsc/stsz/stco) pointing at
+    JPEG blobs encoded by the from-scratch baseline encoder
+    (operators/jpeg.py).  Same container role encode_avi plays for RIFF —
+    MOV is the QuickTime atom tree instead of RIFF chunks: 32-bit
+    BIG-endian size + type, containers nest by concatenation."""
+    from tegallega_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("encode_mov needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    blobs = [encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality)
+             for f in frames]
+
+    def atom(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(data)) + typ + data
+
+    ftyp = atom(b"ftyp", MOV_BRAND + struct.pack(">I", 0x200) + MOV_BRAND)
+    # mdat directly after ftyp: sample offsets are absolute file offsets
+    mdat_payload = b"".join(blobs)
+    mdat = atom(b"mdat", mdat_payload)
+    first_off = len(ftyp) + 8  # ftyp + mdat header
+    offs = []
+    pos = first_off
+    for b in blobs:
+        offs.append(pos)
+        pos += len(b)
+
+    n = len(blobs)
+    # timescale == fps, one unit per frame: exact integer timing
+    mdhd = atom(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, fps, n, 0, 0))
+    hdlr = atom(b"hdlr", b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd_entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">IH", 0, 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = atom(b"stsd", struct.pack(">II", 0, 1) + stsd_entry)
+    stts = atom(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = atom(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+    stsz = atom(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(b)) for b in blobs),
+    )
+    stco = atom(
+        b"stco",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stbl = atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = atom(b"vmhd", struct.pack(">I4H", 1, 0, 0, 0, 0))
+    dref = atom(b"dref", struct.pack(">II", 0, 1)
+                + atom(b"alis", struct.pack(">I", 1)))
+    minf = atom(b"minf", vmhd + atom(b"dinf", dref) + stbl)
+    mdia = atom(b"mdia", mdhd + hdlr + minf)
+    tkhd = atom(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0x0F, 0, 0, 1, 0) + b"\x00" * 12
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mvhd = atom(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, fps, n)
+        + struct.pack(">IH10x", 0x10000, 0x100)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2),
+    )
+    moov = atom(b"moov", mvhd + atom(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _mov_atoms(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the atoms in buf[start:end].
+    Handles the 64-bit extended size (size==1) and size==0 (to end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos: pos + 4])
+        typ = buf[pos + 4: pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MOV extended-size atom")
+            (size,) = struct.unpack(">Q", buf[pos + 8: pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("truncated MOV atom")
+        yield typ, body, pos + size
+        pos += size
+
+
+def decode_mov(payload: bytes) -> tuple["list[np.ndarray]", int]:
+    """Real QuickTime/MOV MJPEG demux, pure stdlib + the from-scratch JPEG
+    decoder: walk the atom tree to the video track's sample table, rebuild
+    every sample's absolute file offset from stsc (sample→chunk runs) ×
+    stco/co64 (chunk offsets) × stsz (sample sizes), read fps from mdhd's
+    timescale over stts's sample deltas, and decode each sample as
+    baseline JPEG.  Photo-JPEG family only ('jpeg'/'mjpa'/'MJPG');
+    compressed codecs (avc1/hvc1) raise — H.264 entropy decode is out of
+    scope, the CONTAINER is the operator."""
+    from tegallega_spark.operators.jpeg import decode_jpeg
+
+    if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"moov", b"mdat",
+                                                 b"wide", b"skip", b"free"):
+        raise ValueError("not a QuickTime/MOV stream")
+
+    tables: dict = {}
+
+    def walk(start: int, end: int, in_trak: bool) -> None:
+        for typ, b0, b1 in _mov_atoms(payload, start, end):
+            if typ in _MOV_CONTAINERS:
+                walk(b0, b1, in_trak or typ == b"trak")
+            elif typ == b"mdhd" and in_trak:
+                ver = payload[b0]
+                off = b0 + (20 if ver == 1 else 12)
+                tables.setdefault("timescale", struct.unpack(
+                    ">I", payload[off: off + 4])[0])
+            elif typ == b"stsd":
+                (cnt,) = struct.unpack(">I", payload[b0 + 4: b0 + 8])
+                if cnt < 1:
+                    continue
+                fmt = payload[b0 + 12: b0 + 16]
+                wh = struct.unpack(">HH", payload[b0 + 40: b0 + 44])
+                if fmt in _MOV_JPEG_FORMATS:
+                    tables["fmt"], tables["wh"] = fmt, wh
+                elif "fmt" not in tables:
+                    tables["bad_fmt"] = fmt
+            elif typ == b"stts":
+                (cnt,) = struct.unpack(">I", payload[b0 + 4: b0 + 8])
+                tables["stts"] = [
+                    struct.unpack(">II", payload[b0 + 8 + 8 * i: b0 + 16 + 8 * i])
+                    for i in range(cnt)
+                ]
+            elif typ == b"stsc":
+                (cnt,) = struct.unpack(">I", payload[b0 + 4: b0 + 8])
+                tables["stsc"] = [
+                    struct.unpack(">III", payload[b0 + 8 + 12 * i: b0 + 20 + 12 * i])
+                    for i in range(cnt)
+                ]
+            elif typ == b"stsz":
+                uniform, cnt = struct.unpack(">II", payload[b0 + 4: b0 + 12])
+                tables["stsz"] = (
+                    [uniform] * cnt if uniform
+                    else [struct.unpack(">I", payload[b0 + 12 + 4 * i:
+                                                      b0 + 16 + 4 * i])[0]
+                          for i in range(cnt)]
+                )
+            elif typ in (b"stco", b"co64"):
+                (cnt,) = struct.unpack(">I", payload[b0 + 4: b0 + 8])
+                wsize, wfmt = (8, ">Q") if typ == b"co64" else (4, ">I")
+                tables["stco"] = [
+                    struct.unpack(wfmt, payload[b0 + 8 + wsize * i:
+                                                b0 + 8 + wsize * (i + 1)])[0]
+                    for i in range(cnt)
+                ]
+
+    walk(0, len(payload), False)
+    if "fmt" not in tables:
+        if "bad_fmt" in tables:
+            raise ValueError(
+                f"unsupported MOV video codec {tables['bad_fmt']!r} "
+                "(photo-JPEG family only)"
+            )
+        raise ValueError("MOV missing a video sample description (stsd)")
+    sizes, chunks = tables.get("stsz"), tables.get("stco")
+    stsc = tables.get("stsc")
+    if not sizes or not chunks or not stsc:
+        raise ValueError("MOV missing sample tables (stsz/stco/stsc)")
+
+    # expand stsc runs: entry (first_chunk, samples_per_chunk, _) applies
+    # up to the next entry's first_chunk
+    per_chunk: list[int] = []
+    for i, (first, spc, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        per_chunk.extend([spc] * (last - first + 1))
+    offsets: list[int] = []
+    si = 0
+    for ci, off in enumerate(chunks):
+        pos = off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if si < len(sizes):
+        raise ValueError("MOV sample-to-chunk mapping covers too few samples")
+
+    timescale = tables.get("timescale", 600)
+    stts = tables.get("stts") or [(len(sizes), timescale)]
+    total = sum(c * d for c, d in stts)
+    ncount = sum(c for c, _ in stts)
+    fps = round(timescale * ncount / total) if total else 0
+
+    frames = []
+    for off, size in zip(offsets, sizes):
+        blob = payload[off: off + size]
+        if len(blob) != size:
+            raise ValueError("truncated MOV sample data")
+        frames.append(decode_jpeg(blob))
+    if not frames:
+        raise ValueError("MOV stream has no video samples")
+    return frames, fps
+
+
+def _decode_mov_meta(payload: bytes) -> dict:
+    frames, fps = decode_mov(payload)
+    h, w = frames[0].shape[:2]
+    acc = 0
+    for f in frames:
+        acc = zlib.crc32(f.tobytes(), acc)
+    return {
+        "byte_len": len(payload),
+        "format": "mov",
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        # same contract as the other codecs: fingerprint over DECODED
+        # pixels of every frame (+dims)
+        "feature_hash": (acc << 24) ^ (w << 12) ^ h,
+    }
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for payloads no codec claims (raw/unknown
     formats — e.g. the text-derived payloads q50 feeds through).
 
-    PNG, JPEG, WAV, AVI/MJPEG, and y4m all take real paths
-    (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta /
-    _decode_avi_meta / _decode_y4m_meta).  Derives metadata from the
-    bytes deterministically
+    PNG, JPEG, WAV, AVI/MJPEG, QuickTime/MOV, and y4m all take real
+    paths (_decode_png_meta / _decode_jpeg_meta / _decode_wav_meta /
+    _decode_avi_meta / _decode_mov_meta / _decode_y4m_meta).  Derives
+    metadata from the bytes deterministically
     — keeps schema, batching, and tests real.
     """
     n = len(payload)
@@ -591,6 +829,9 @@ def decode_batches(df: DataFrame) -> DataFrame:
                 return _decode_avi_meta(p)
             if p[: len(Y4M_MAGIC)] == Y4M_MAGIC:
                 return _decode_y4m_meta(p)
+            if len(p) >= 12 and p[4:8] in (b"ftyp", b"moov", b"wide",
+                                           b"skip", b"free"):
+                return _decode_mov_meta(p)
         except (ValueError, IndexError, struct.error, zlib.error):
             return {
                 "byte_len": len(p),
@@ -724,9 +965,10 @@ def extract_features(df: DataFrame, hist_bins: int = 16) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: 1 row → N frame rows
-    via explode(sequence(...)).  For AVI/MJPEG payloads n_frames comes
-    from the REAL demuxer (decode_avi); other payloads use the
-    deterministic fallback metadata."""
+    via explode(sequence(...)).  For AVI/MJPEG, QuickTime/MOV, and y4m
+    payloads n_frames comes from the REAL demuxer (decode_avi /
+    decode_mov / decode_y4m); other payloads use the deterministic
+    fallback metadata."""
     decoded = decode_batches(df)
     return decoded.select(
         "doc_id",

@@ -5,7 +5,7 @@ a Spark DataFrame program plus (where SQL-expressible) the equivalent DuckDB
 SQL the driver runs side-by-side at sf0.01.  Column names are aliased
 identically on both sides (the driver sorts columns by name before hashing).
 
-The registry holds 73 entries (q01-q73): near-duplicate operator
+The registry holds 74 entries (q01-q74): near-duplicate operator
 demonstrations are merged into combined queries (set-ops,
 rollup/cube/grouping-sets, string / date / window-function families,
 argmin+argmax, IN+correlated subqueries, array+map functions) so that
@@ -24,7 +24,9 @@ q70 the YUV4MPEG2 codec (byte-exact header+plane arithmetic), q71
 sliding-window chunking, q72 the COMPOSED mini clean_corpus
 (normalize → paragraph dedup → Gopher gate → mixture as one program,
 full CTE-chain oracle), q73 batched IVF-PQ (whole query set as one
-plan) at the full-rerank limit against a per-query window top-k.
+plan) at the full-rerank limit against a per-query window top-k, q74
+the QuickTime/MOV MJPEG demux (atom tree + sample-table offset
+reconstruction, count/dims arithmetic oracle).
 All have oracles —
 even q42 (HLL sketch) emits the exact
 count plus a falsifiable |approx-exact| <= 10% invariant instead of the
@@ -2966,4 +2968,58 @@ def q73(spark, sf_dir):
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= 10)
         .select("qid", "vec_id", F.col("cos_sim_r").alias("cos_sim"))
+    )
+
+
+@register(
+    "q74_mov_demux",
+    oracle=r"""
+    SELECT doc_id,
+           'mov' AS format,
+           16 AS width,
+           8 AS height,
+           doc_id % 3 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def q74(spark, sf_dir):
+    """REAL QuickTime/MOV demux on the driver record: each doc gets a
+    genuine MOV payload (multimodal.encode_mov — ftyp + mdat + moov with
+    a full stsd/stts/stsc/stsz/stco sample table) holding doc_id%3+1
+    photo-JPEG frames, and decode_batches routes it through the real
+    demuxer (multimodal.decode_mov): atom-tree walk → sample-offset
+    reconstruction from the chunk tables → the from-scratch baseline
+    JPEG decoder per sample.  The oracle predicts format/dims/frame-count
+    arithmetic in SQL, mirroring q54's AVI row — a demuxer that misread
+    an atom size, misexpanded an stsc run, or misparsed stsd dims
+    hash-mismatches.  byte_len is excluded (JPEG entropy-coded size is
+    not SQL-predictable)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tegallega_spark.operators import multimodal as MM
+
+    base = np.tile(
+        (np.arange(16, dtype=np.uint8)[None, :, None] * 16), (8, 1, 3)
+    )
+    variants = [
+        MM.encode_mov([np.clip(base + 20 * i, 0, 255).astype(np.uint8)
+                       for i in range(n)], fps=10)
+        for n in (1, 2, 3)
+    ]
+
+    @pandas_udf("binary")
+    def to_mov(ids):
+        return pd.Series([variants[int(i) % 3] for i in ids])
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", to_mov(F.col("doc_id")).alias("payload")
+    )
+    return MM.decode_batches(d).select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
     )
