@@ -627,7 +627,12 @@ def decode_mov(payload: bytes) -> tuple["list[np.ndarray]", int]:
     timescale over stts's sample deltas, and decode each sample as
     baseline JPEG.  Photo-JPEG family only ('jpeg'/'mjpa'/'MJPG');
     compressed codecs (avc1/hvc1) raise — H.264 entropy decode is out of
-    scope, the CONTAINER is the operator."""
+    scope, the CONTAINER is the operator.
+
+    The sniff and walk are brand-agnostic, so MP4-brand ISO-BMFF files
+    (ftyp isom/mp42 — same atom grammar) decode through the same path;
+    pinned by test_mp4_brand_iso_bmff_routes_through_mov_demuxer along
+    with the 64-bit extended-size (size==1) form large files use."""
     from tegallega_spark.operators.jpeg import decode_jpeg
 
     if len(payload) < 12 or payload[4:8] not in (b"ftyp", b"moov", b"mdat",

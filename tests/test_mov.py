@@ -78,6 +78,59 @@ def test_mov_multi_sample_chunks_and_ntsc_fps():
     assert len(back) == n and back[0].shape == (8, 8, 3)
 
 
+def test_mp4_brand_iso_bmff_routes_through_mov_demuxer():
+    """MP4 is the same ISO-BMFF atom tree with a different ftyp brand:
+    rewriting the brand triple to isom/mp42 (same 12-byte body, so the
+    absolute stco offsets stay valid) must decode identically — the
+    demuxer keys on structure, not the QuickTime brand."""
+    frames = _frames(3, h=8, w=16)
+    payload = MM.encode_mov(frames, fps=10)
+    qt_body = MM.MOV_BRAND + struct.pack(">I", 0x200) + MM.MOV_BRAND
+    mp4_body = b"isom" + struct.pack(">I", 0x200) + b"mp42"
+    assert payload[8: 8 + len(qt_body)] == qt_body
+    mp4 = _atom(b"ftyp", mp4_body) + payload[8 + len(qt_body):]
+    assert len(mp4) == len(payload)  # offsets preserved
+    back, fps = MM.decode_mov(mp4)
+    assert fps == 10 and len(back) == 3 and back[0].shape == (8, 16, 3)
+    ref, _ = MM.decode_mov(payload)
+    for a, b in zip(back, ref):
+        assert np.array_equal(a, b)
+
+
+def test_mov_64bit_extended_size_mdat():
+    """Large real-world files use the size==1 + 64-bit length form for
+    mdat; the atom walker must honor it and the 16-byte header shift
+    must be reflected in the chunk offsets."""
+    from tegallega_spark.operators.jpeg import encode_jpeg
+
+    frames = _frames(2, h=8, w=8)
+    blobs = [encode_jpeg(f, quality=85) for f in frames]
+    n = len(blobs)
+    ftyp = _atom(b"ftyp", MM.MOV_BRAND + struct.pack(">I", 0x200) + MM.MOV_BRAND)
+    body = b"".join(blobs)
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(body)) + body
+    first_off = len(ftyp) + 16  # extended header is 16 bytes, not 8
+    mdhd = _atom(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, 10, n, 0, 0))
+    hdlr = _atom(b"hdlr", b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd_entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", 8, 8)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">IH", 0, 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _atom(b"stsd", struct.pack(">II", 0, 1) + stsd_entry)
+    stts = _atom(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = _atom(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = _atom(b"stsz", struct.pack(">III", 0, 0, n)
+                 + b"".join(struct.pack(">I", len(b)) for b in blobs))
+    stco = _atom(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", first_off))
+    stbl = _atom(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _atom(b"moov", _atom(b"trak", _atom(b"mdia", mdhd + hdlr
+                                               + _atom(b"minf", stbl))))
+    back, fps = MM.decode_mov(ftyp + mdat + moov)
+    assert fps == 10 and len(back) == n and back[0].shape == (8, 8, 3)
+
+
 def test_mov_rejects_truncated_unknown_and_compressed():
     frames = _frames(2)
     payload = MM.encode_mov(frames, fps=10)
