@@ -316,3 +316,38 @@ def test_clean_corpus_output_reads_cached_corpus(spark):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     finally:
         release_intermediates(out)
+
+
+def test_aqe_gate_fires_small_restores_and_ignores_large(spark):
+    """session.aqe_off_for_small_input: flips adaptive off only inside the
+    `with` body and only when Catalyst's analyzed-plan size estimate is
+    under the threshold; restores the prior setting on normal exit AND on
+    exception; is a no-op when the estimate clears the threshold (the
+    100 TB case — the gate must never fire on real inputs)."""
+    import pytest
+
+    from tegallega_spark.session import aqe_off_for_small_input, plan_size_bytes
+
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        small = spark.range(10).toDF("n")
+        assert 0 < plan_size_bytes(small) < 1 << 20
+
+        with aqe_off_for_small_input(small):
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+
+        # threshold below the estimate -> gate must not fire
+        with aqe_off_for_small_input(small, threshold_bytes=1):
+            assert spark.conf.get(key) == "true"
+
+        # restore must happen even when the body raises
+        with pytest.raises(RuntimeError, match="boom"):
+            with aqe_off_for_small_input(small):
+                assert spark.conf.get(key) == "false"
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, prior)
