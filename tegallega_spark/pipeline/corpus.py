@@ -345,15 +345,29 @@ def _clean_corpus_impl(
         # cache locking makes the later consumers wait on (not recompute)
         # in-flight partitions.  Best-effort: any error surfaces on the
         # caller's own action, not here.
-        import threading
+        #
+        # ONLY while AQE is off (the small-input window this optimization
+        # was built for).  Under AQE, `kept`'s plan nests upstream
+        # persisted frames, and two threads concurrently materializing
+        # overlapping cached plans take the CachedRDDBuilder monitors in
+        # opposite orders inside TableCacheQueryStageExec — a true JVM
+        # deadlock (jstack-confirmed at 3.2 M docs, where the input size
+        # crossed the AQE-off gate's threshold for the first time).  With
+        # AQE on, the first consumer materializes the cache lazily on one
+        # thread — the pre-r7 behavior, and at that scale the executors
+        # are saturated anyway, so the overlap saves nothing.
+        if kept.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false":
+            import threading
 
-        def _warm(df=kept):
-            try:
-                df.count()
-            except Exception:
-                pass
+            def _warm(df=kept):
+                try:
+                    df.count()
+                except Exception:
+                    pass
 
-        threading.Thread(target=_warm, name="corpus-cache-warm", daemon=True).start()
+            threading.Thread(
+                target=_warm, name="corpus-cache-warm", daemon=True
+            ).start()
     if strategy == "exact":
         pairs = exact_shingle_jaccard_pairs(
             kept, id_col, text_col, shingle_n, jaccard_threshold,
