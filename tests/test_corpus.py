@@ -318,3 +318,59 @@ def test_clean_corpus_mixture_and_paragraph_stages(spark):
     out.unpersist()
     release_intermediates(out)
     assert cached_ids() <= before_cached
+
+
+def test_cache_warm_thread_gated_to_aqe_off_window(spark, monkeypatch):
+    """The explicit-strategy background cache-warm must spawn ONLY while
+    the AQE-off small-input window is active.  Under AQE the corpus
+    cache's plan nests upstream persisted frames, and a second thread
+    materializing it concurrently with the main thread's next action
+    deadlocks the JVM on the CachedRDDBuilder monitors inside
+    TableCacheQueryStageExec (jstack-confirmed at 3.2 M docs — the first
+    composed-race size past the gate's threshold).  Pin both regimes:
+    small input spawns the warm; AQE-on (simulated big input by patching
+    the gate's size probe) must not, and the run still completes with
+    identical survivors via lazy single-thread materialization."""
+    import threading
+
+    from tegallega_spark import session as S
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .limit(60)
+    )
+
+    spawned: list[str | None] = []
+    real_thread = threading.Thread
+
+    class Recording(real_thread):
+        def __init__(self, *a, **k):
+            spawned.append(k.get("name"))
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(threading, "Thread", Recording)
+
+    def run():
+        out = clean_corpus(
+            docs, min_quality=0.0, max_dup_ngram_frac=1.0,
+            dedup_strategy="exact",
+        )
+        rows = sorted(r.doc_id for r in out.collect())
+        from tegallega_spark.session import release_intermediates
+
+        release_intermediates(out)
+        return rows
+
+    # small input: the gate fires, AQE is off inside, warm spawns
+    small_rows = run()
+    assert "corpus-cache-warm" in spawned
+
+    # big-input regime: the size probe reports over-threshold, the gate
+    # no-ops, AQE stays on -> the warm must NOT spawn
+    spawned.clear()
+    monkeypatch.setattr(S, "plan_size_bytes", lambda df: 2 << 30)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    big_rows = run()
+    assert "corpus-cache-warm" not in spawned
+    assert big_rows == small_rows
