@@ -115,7 +115,16 @@ def run_duckdb(path: str) -> tuple[float, set]:
     import duckdb
 
     t0 = time.perf_counter()
-    rows = duckdb.connect().execute(DUCK_SQL.format(path=path)).fetchall()
+    con = duckdb.connect()
+    # At 2.56 M docs the window CTEs exceed DuckDB's default in-memory
+    # budget (80% of RAM: the in-process python was OOM-killed at 107 GB
+    # anon RSS on this 128 GiB host).  Cap the budget below the kernel's
+    # kill line and give it a spill directory so the reference engine
+    # gets its fair disk-backed path instead of a SIGKILL.
+    con.execute("SET memory_limit='60GB'")
+    os.makedirs(os.path.join(OUT, "duckspill"), exist_ok=True)
+    con.execute(f"SET temp_directory='{os.path.join(OUT, 'duckspill')}'")
+    rows = con.execute(DUCK_SQL.format(path=path)).fetchall()
     return time.perf_counter() - t0, {tuple(r) for r in rows}
 
 
