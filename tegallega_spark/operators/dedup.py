@@ -50,13 +50,36 @@ def parallelize_for_udf(df: DataFrame) -> DataFrame:
     estimated larger keep their (already >= cores) scan/shuffle
     partitioning; the estimate only steers a perf heuristic, so an
     over-estimate merely skips an optional repartition.
+
+    r8: the size-vs-split formula only holds for SCAN-rooted lineage —
+    analyzed-plan stats multiply child sizes through joins and ignore
+    filters, so a genuinely tiny post-join/post-aggregate frame could be
+    estimated over threshold and skip the repartition, running the UDF
+    1-2-way (the exact pathology this function prevents).  A plan that
+    already contains a shuffle-origin node (join / aggregate / window /
+    repartition / sort / dedup) is partitioned by
+    spark.sql.shuffle.partitions, not by file splits — for those, compare
+    THAT width against cluster parallelism instead (matching what the
+    pre-r7 df.rdd probe reported for such plans, at plan-string cost).
     """
+    import re
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    analyzed = df._jdf.queryExecution().analyzed()
+    tree = analyzed.toString()
+    if re.search(
+        r"\b(Join|Aggregate|Window|Deduplicate|Repartition|Sort|Intersect|Except)\b",
+        tree,
+    ):
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if shuffle_parts < target:
+            return df.repartition(target)
+        return df
     max_split = int(
         spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
     )
-    size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+    size = int(str(analyzed.stats().sizeInBytes()))
     if size < target * max_split:
         return df.repartition(target)
     return df

@@ -554,7 +554,10 @@ def encode_mov(frames: "list[np.ndarray]", fps: int = 10,
     n = len(blobs)
     # timescale == fps, one unit per frame: exact integer timing
     mdhd = atom(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, fps, n, 0, 0))
-    hdlr = atom(b"hdlr", b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
+    # full-atom layout: 4-byte version/flags FIRST, then component type
+    # 'mhlr' + subtype 'vide' — omitting the version field shifts 'mhlr'
+    # into the version slot and real players see no video handler
+    hdlr = atom(b"hdlr", b"\x00" * 4 + b"mhlr" + b"vide" + b"\x00" * 12 + b"\x00")
     stsd_entry = (
         struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
         + b"\x00" * 16 + struct.pack(">HH", w, h)
@@ -580,9 +583,13 @@ def encode_mov(frames: "list[np.ndarray]", fps: int = 10,
                 + atom(b"alis", struct.pack(">I", 1)))
     minf = atom(b"minf", vmhd + atom(b"dinf", dref) + stbl)
     mdia = atom(b"mdia", mdhd + hdlr + minf)
+    # version=0 in the FIRST byte, track flags (enabled|in-movie|
+    # in-preview|in-poster = 0x00000F) in the remaining three — packing
+    # 0x0F into the version byte makes real QuickTime parsers reject the
+    # track as an unknown tkhd version
     tkhd = atom(
         b"tkhd",
-        struct.pack(">B3xIIII", 0x0F, 0, 0, 1, 0) + b"\x00" * 12
+        struct.pack(">IIII", 0x0F, 0, 0, 1) + struct.pack(">I", 0) + b"\x00" * 12
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", w << 16, h << 16),

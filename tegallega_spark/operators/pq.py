@@ -302,19 +302,25 @@ def ivfpq_topk_batch(
         .select("qid", id_col)
     )
 
-    # exact re-rank: raw vectors for the ≤ NQ·rerank survivors only
-    qarr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in qv]) for qv in np.asarray(queries, dtype=np.float64)
-    ])
+    # exact re-rank: raw vectors for the ≤ NQ·rerank survivors only.  The
+    # query set joins in as DATA (a broadcast (qid, vec) frame), not as a
+    # literal array-of-arrays expression — NQ×dim literal nodes would blow
+    # up Catalyst analysis/codegen long before the data does at the
+    # thousands-of-queries batch sizes this operator exists for.
+    qdf = spark.createDataFrame(
+        [(qi, [float(x) for x in qv])
+         for qi, qv in enumerate(np.asarray(queries, dtype=np.float64))],
+        "qid int, __qvec array<double>",
+    )
     pool = ivf_index.assigned.select(id_col, ivf_index.vec_col).join(
         F.broadcast(cands), on=id_col
     )
-    rescored = pool.select(
+    rescored = pool.join(F.broadcast(qdf), on="qid").select(
         "qid",
         id_col,
         cosine(
             F.col(ivf_index.vec_col).cast("array<double>"),
-            F.element_at(qarr, F.col("qid") + 1),
+            F.col("__qvec"),
         ).alias("cos_sim"),
     )
     wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col(id_col))

@@ -331,6 +331,7 @@ def _clean_corpus_impl(
     # when a strategy was passed explicitly (only 'auto'/'semantic'
     # persisted before r6).
     strategy = dedup_strategy
+    warm_thread = None
     kept = corpus_handle = kept.persist()
     if strategy == "auto":
         # stages 1-2 are scan-side, so this count is one fused pass
@@ -361,13 +362,26 @@ def _clean_corpus_impl(
 
             def _warm(df=kept):
                 try:
-                    df.count()
+                    # Re-check at execution time, not just spawn time: the
+                    # daemon plans/executes asynchronously, and if the
+                    # caller's aqe_off window were already restored the
+                    # warm count would overlap an AQE-on action on the
+                    # same nested cached plans — the b03b0fa deadlock as a
+                    # timing race.  Belt to the join()-before-return
+                    # suspenders below, which guarantees the count runs
+                    # entirely inside the still-open window.
+                    if (
+                        df.sparkSession.conf.get("spark.sql.adaptive.enabled")
+                        == "false"
+                    ):
+                        df.count()
                 except Exception:
                     pass
 
-            threading.Thread(
+            warm_thread = threading.Thread(
                 target=_warm, name="corpus-cache-warm", daemon=True
-            ).start()
+            )
+            warm_thread.start()
     if strategy == "exact":
         pairs = exact_shingle_jaccard_pairs(
             kept, id_col, text_col, shingle_n, jaccard_threshold,
@@ -433,6 +447,16 @@ def _clean_corpus_impl(
         kept, token_col="n_tokens", order_col=id_col, shard_col="shard",
         budget=pack_budget,
     )
+    # The cache-warm daemon must not outlive this frame: clean_corpus's
+    # aqe_off window closes when this impl returns, and a warm count
+    # still materializing cached partitions under the caller's restored
+    # AQE-on setting races the caller's first action into the b03b0fa
+    # CachedRDDBuilder deadlock.  Joining HERE keeps the stated win — the
+    # count overlapped all of the pair/CC/packing plan construction above
+    # — while guaranteeing it finishes inside the window.
+    if warm_thread is not None:
+        warm_thread.join()
+
     # pairs' persisted LSH/postings intermediates, the cluster-assignment
     # checkpoint, and the auto/semantic-mode corpus persist all ride out
     # on the result for release_intermediates(out)

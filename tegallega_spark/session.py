@@ -16,6 +16,7 @@ sense on a 1000-executor cluster reading 100 TB:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -117,24 +118,51 @@ class aqe_off_for_small_input:
     the `with` body itself triggers are covered — lazy DataFrames
     returned OUT of the body plan under the caller's (restored) setting.
     That is the intended split: the pipeline's interior stage-waves are
-    the measured cost; the caller's single final action keeps AQE."""
+    the measured cost; the caller's single final action keeps AQE.
+
+    Reentrancy: the gate keeps a module-level depth counter (guarded by a
+    lock) recording the OUTERMOST firing instance's prior value; only the
+    exit that brings the depth back to 0 restores it.  Per-instance
+    save/restore would mis-restore under interleaved (non-nested)
+    lifetimes — A-enter(prior=true), B-enter(prior=false),
+    A-exit(restore true), B-exit(restore false) leaves AQE permanently
+    off session-wide.  The counter makes any interleaving converge to the
+    outermost prior.  The gate must still only be ENTERED from the single
+    driver thread that owns the pipeline (it flips a session-wide conf;
+    unrelated concurrent queries planned inside the window would lose
+    AQE) — background threads may only READ the conf, as the corpus
+    cache-warm does."""
 
     _KEY = "spark.sql.adaptive.enabled"
+    _lock = threading.Lock()
+    _depth = 0
+    _outermost_prior: str | None = None
 
     def __init__(self, df, threshold_bytes: int = 1 << 30) -> None:
         self._spark = df.sparkSession
         self._fires = plan_size_bytes(df) < threshold_bytes
-        self._prior: str | None = None
+        self._entered = False
 
     def __enter__(self) -> "aqe_off_for_small_input":
         if self._fires:
-            self._prior = self._spark.conf.get(self._KEY, "true")
-            self._spark.conf.set(self._KEY, "false")
+            cls = aqe_off_for_small_input
+            with cls._lock:
+                if cls._depth == 0:
+                    cls._outermost_prior = self._spark.conf.get(self._KEY, "true")
+                    self._spark.conf.set(self._KEY, "false")
+                cls._depth += 1
+            self._entered = True
         return self
 
     def __exit__(self, *exc) -> None:
-        if self._prior is not None:
-            self._spark.conf.set(self._KEY, self._prior)
+        if self._entered:
+            cls = aqe_off_for_small_input
+            with cls._lock:
+                cls._depth -= 1
+                if cls._depth == 0:
+                    self._spark.conf.set(self._KEY, cls._outermost_prior)
+                    cls._outermost_prior = None
+            self._entered = False
 
 
 def attach_intermediates(out, *sources):

@@ -374,3 +374,41 @@ def test_cache_warm_thread_gated_to_aqe_off_window(spark, monkeypatch):
     big_rows = run()
     assert "corpus-cache-warm" not in spawned
     assert big_rows == small_rows
+
+
+def test_cache_warm_thread_joined_before_clean_corpus_returns(spark, monkeypatch):
+    """r8 advice fix: the warm daemon must not outlive _clean_corpus_impl —
+    the aqe_off window closes when clean_corpus returns, and a still-running
+    warm count overlapping the caller's AQE-on action on the same nested
+    cached plans is the b03b0fa deadlock as a timing race.  Pin: every
+    spawned corpus-cache-warm thread is dead by the time clean_corpus
+    returns (i.e. it was join()ed inside the window)."""
+    import threading
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .limit(60)
+    )
+
+    spawned: list[threading.Thread] = []
+    real_thread = threading.Thread
+
+    class Recording(real_thread):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            if k.get("name") == "corpus-cache-warm":
+                spawned.append(self)
+
+    monkeypatch.setattr(threading, "Thread", Recording)
+    out = clean_corpus(
+        docs, min_quality=0.0, max_dup_ngram_frac=1.0, dedup_strategy="exact",
+    )
+    assert spawned, "small input under AQE-off gate should spawn the warm"
+    assert all(not t.is_alive() for t in spawned), (
+        "warm thread must be joined before clean_corpus returns"
+    )
+    out.collect()
+    from tegallega_spark.session import release_intermediates
+
+    release_intermediates(out)

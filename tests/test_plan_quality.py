@@ -351,3 +351,86 @@ def test_aqe_gate_fires_small_restores_and_ignores_large(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, prior)
+
+
+def test_aqe_gate_interleaved_instances_restore_outermost_prior(spark):
+    """r8 advice fix: per-instance save/restore mis-restores under
+    interleaved (non-nested) lifetimes — A-enter(prior=true),
+    B-enter(prior=false), A-exit, B-exit used to leave AQE permanently
+    off session-wide.  The module-level depth counter must restore the
+    OUTERMOST prior when the last instance exits, for both the
+    interleaved and the properly nested orders."""
+    from tegallega_spark.session import aqe_off_for_small_input
+
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        small = spark.range(10).toDF("n")
+
+        # interleaved: A enter, B enter, A exit, B exit
+        a = aqe_off_for_small_input(small)
+        b = aqe_off_for_small_input(small)
+        a.__enter__()
+        assert spark.conf.get(key) == "false"
+        b.__enter__()
+        a.__exit__(None, None, None)
+        assert spark.conf.get(key) == "false"  # B still open
+        b.__exit__(None, None, None)
+        assert spark.conf.get(key) == "true"   # outermost prior restored
+
+        # nested: same invariant
+        with aqe_off_for_small_input(small):
+            with aqe_off_for_small_input(small):
+                assert spark.conf.get(key) == "false"
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+
+        # a non-firing instance interleaved with a firing one is inert
+        c = aqe_off_for_small_input(small, threshold_bytes=1)  # won't fire
+        d = aqe_off_for_small_input(small)
+        c.__enter__()
+        d.__enter__()
+        c.__exit__(None, None, None)
+        assert spark.conf.get(key) == "false"
+        d.__exit__(None, None, None)
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_parallelize_for_udf_scan_vs_shuffle_rooted_plans(spark):
+    """r8 advice fix: the size/maxPartitionBytes formula only models SCAN
+    partitioning; analyzed-plan stats multiply child sizes through joins,
+    so a tiny post-join frame could be estimated over threshold and skip
+    the repartition (UDF then runs as wide as the join's shuffle, however
+    narrow that is).  Shuffle-rooted plans must instead compare
+    spark.sql.shuffle.partitions against cluster parallelism."""
+    from tegallega_spark.operators.dedup import parallelize_for_udf
+
+    target = spark.sparkContext.defaultParallelism
+
+    # scan-rooted tiny input: repartitioned up to cluster parallelism
+    small = spark.range(100).toDF("n")
+    assert parallelize_for_udf(small).rdd.getNumPartitions() == target
+
+    # shuffle-rooted (join) with adequate shuffle width: left alone —
+    # no redundant exchange on top of the join's own partitioning
+    a = spark.range(50).toDF("k")
+    b = spark.range(50).toDF("k")
+    joined = a.join(b, "k")
+    assert "Repartition" not in str(
+        parallelize_for_udf(joined)._jdf.queryExecution().analyzed()
+    )
+
+    # shuffle-rooted with a NARROW shuffle width (the pathology): must
+    # repartition to cluster parallelism regardless of the size estimate
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        out = parallelize_for_udf(a.join(b, "k"))
+        assert "Repartition" in str(out._jdf.queryExecution().analyzed())
+        assert out.rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set(key, prior)
