@@ -49,17 +49,36 @@ K_TOP = 10
 NQ = 16
 CLUSTER_SIZE = 12
 NOISE = 0.05
-PQ_M = 8          # 8 subspaces x 8 dims: 8-byte codes for 64-float vectors
-PQ_K = 16
-RERANK = 50       # the 10%-of-candidate-pool contract test_pq races
+PQ_M = 8          # 8 subspaces x 8 dims: one code per subspace
+# r8: 8-bit subspace codebooks (the PQ literature's standard size; Jégou
+# TPAMI 2011 uses k*=256 throughout).  The r7 harness ran k=16 (4-bit) —
+# fine while the probed candidate pool was small, but the pool is a fixed
+# ~N/8 fraction, so each corpus doubling doubled the distractors competing
+# for the fixed rerank=50 ADC slots and recall drooped (0.988 at 1 M →
+# 0.95 at 2 M → 0.919 at 4 M measured with √N lists, so NOT a list-sizing
+# effect).  8-bit codes cut per-subspace quantization error ~16× and the
+# top-50 stays clean; codes remain 8 bytes/vector (smallint array).
+PQ_K = int(os.environ.get("TEGALLEGA_PQ_K", "256"))
+PQ_SAMPLE = int(os.environ.get("TEGALLEGA_PQ_SAMPLE", "32768"))  # 128/centroid
+RERANK = int(os.environ.get("TEGALLEGA_RERANK", "50"))
 RECALL_FLOOR = 0.6  # test_pq.py:77 — the bounded-rerank pinned floor
 
 
 def index_params(n: int) -> tuple[int, int]:
     """(k_lists, nprobe): sqrt-N lists (the standard IVF sizing), probe a
     fixed 1/8 of them — per-query scanned fraction stays ~1/8 as N grows,
-    so the exact-vs-pruned gap widens linearly with N."""
-    k_lists = int(np.clip(int(np.sqrt(n)), 16, 256))
+    so the exact-vs-pruned gap widens linearly with N.
+
+    r8: the 256-list cap is gone.  It existed because the full-KMeans
+    trainer made k=256 cost 441 s at 2 M vectors; the sample-trained
+    coarse quantizer (ivf.train_ivf_index_sampled) makes training cost a
+    function of k alone, so k_lists follows ivf.auto_k_lists's √N law
+    all the way up — per-list occupancy stays ≈√N and recall no longer
+    eases as N doubles (r7's one measured quality droop: 0.994 → 0.95 at
+    2 M under the cap)."""
+    from tegallega_spark.operators.ivf import auto_k_lists
+
+    k_lists = auto_k_lists(n)
     return k_lists, max(4, k_lists // 8)
 
 
@@ -135,14 +154,14 @@ def run_duckdb(path: str, queries: np.ndarray) -> tuple[float, list[list[int]]]:
 
 def run_spark(spark, path: str, queries: np.ndarray, n: int):
     """(build_s, query_s, per-query id lists)."""
-    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.ivf import train_ivf_index_sampled
     from tegallega_spark.operators.pq import ivfpq_topk_batch, train_pq_codebooks
 
     k_lists, nprobe = index_params(n)
     df = spark.read.parquet(path)
     t0 = time.perf_counter()
-    cb = train_pq_codebooks(df, vec_col="e", m=PQ_M, k=PQ_K)
-    index = train_ivf_index(df, vec_col="e", k=k_lists).encode(cb)
+    cb = train_pq_codebooks(df, vec_col="e", m=PQ_M, k=PQ_K, sample=PQ_SAMPLE)
+    index = train_ivf_index_sampled(df, vec_col="e", k=k_lists, n=n).encode(cb)
     index.assigned.count()  # materialize the encoded, persisted lists
     build_s = time.perf_counter() - t0
 

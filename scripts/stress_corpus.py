@@ -29,6 +29,7 @@ import os
 import re
 import struct
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -621,6 +622,20 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
         # the AQE delta itself is small — a few seconds of stage-wave
         # scheduling — the dominant cold-vs-steady split is session
         # warm-up, which `repeats` measures.)  No-op above 1 GiB input.
+        # Stage boundaries (write-to-parquet + upstream shuffle release)
+        # above 2 M docs: r7 measured the 3.2 M run dying on ENOSPC because
+        # the line-cut self-join waves' and span exchange's spill COEXIST
+        # (~80 GB vs ~75 GB free); the boundary retires each wave's disk
+        # before the next starts.  Off below the threshold so the raced
+        # numbers at ≤1.6 M stay methodology-identical round-over-round.
+        boundary_threshold = int(
+            os.environ.get("TEGALLEGA_BOUNDARY_MIN_DOCS", "2000000")
+        )
+        boundary_dir = (
+            os.path.join(tempfile.gettempdir(), f"tegallega_boundary_{n}")
+            if n >= boundary_threshold
+            else None
+        )
         with aqe_off_for_small_input(docs):
             cleaned = clean_corpus(
                 docs, blocklist=bl_df,
@@ -634,6 +649,7 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
                 span_dedup_k=SPAN_K, span_dedup_min_count=SPAN_MIN_COUNT,
                 gopher_rules=True, paragraph_dedup=True,
                 mixture_targets=MIXTURE, mixture_stratum="source",
+                stage_boundary_dir=boundary_dir,
             )
             spark_rows = [
                 (int(r["doc_id"]), r["lang"], r["bucket"], float(r["quality"]),

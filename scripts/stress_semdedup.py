@@ -15,7 +15,17 @@ self-join — so its cost grows O(N²) while the blocked Spark path grows
 per-cluster quadratic term stays constant and measured wall-clock should
 scale near-linearly.  That crossover is the point of the race.
 
+r8: past DUCKDB_CUTOFF the exact self-join is skipped — it needed
+3,915 s at 256 k and grows quadratically, so 512 k+ would be hours of
+re-deriving an answer the harness already KNOWS: the duplicates are
+planted, so the planted pair inventory IS the exact ground truth (random
+64-dim directions never reach cosine 0.99 — the sub-cutoff points prove
+it every run by matching DuckDB's exact answer to the same inventory).
+Above the cutoff the Spark pair set is asserted equal to the planted set
+directly and the row carries verified="planted".
+
 Usage: python scripts/stress_semdedup.py [N ...]   (default 2000 8000 32000)
+       TEGALLEGA_DUCKDB_CUTOFF=N  (default 262144) skip exact SQL above N
 """
 
 from __future__ import annotations
@@ -129,19 +139,19 @@ def main() -> None:
         assert spark_pairs == truth, (
             f"N={n}: spark found {len(spark_pairs)} pairs, planted {len(truth)}"
         )
-        td, duck_pairs = run_duckdb(path)
-        assert duck_pairs == truth, (
-            f"N={n}: duckdb found {len(duck_pairs)} pairs, planted {len(truth)}"
-        )
-        results.append(
-            {
-                "n": n,
-                "pairs": len(truth),
-                "spark_s": round(ts, 2),
-                "duckdb_s": round(td, 2),
-                "ratio": round(td / ts, 2),
-            }
-        )
+        cutoff = int(os.environ.get("TEGALLEGA_DUCKDB_CUTOFF", "262144"))
+        row = {"n": n, "pairs": len(truth), "spark_s": round(ts, 2)}
+        if n <= cutoff:
+            td, duck_pairs = run_duckdb(path)
+            assert duck_pairs == truth, (
+                f"N={n}: duckdb found {len(duck_pairs)} pairs, planted {len(truth)}"
+            )
+            row.update(
+                duckdb_s=round(td, 2), ratio=round(td / ts, 2), verified="exact+planted"
+            )
+        else:
+            row.update(duckdb_s=None, ratio=None, verified="planted")
+        results.append(row)
         print(json.dumps(results[-1]), file=sys.stderr)
 
     print(json.dumps(results))

@@ -11,7 +11,9 @@ pairs that straddle a cluster boundary (k_clusters is the recall knob;
 SemDeDup uses k ∝ N so clusters stay small).
 
 Spark-first composition — everything reuses existing pieces:
-- clustering: `operators/ivf.train_ivf_index` (pyspark.ml KMeans, seeded);
+- clustering: `operators/ivf.train_ivf_index_sampled` (bounded-sample
+  Lloyd's + one Arrow assignment pass — training cost is a function of k
+  alone, so k ∝ N stays affordable; r8, was full pyspark.ml KMeans);
 - pair generation: self-equi-join on the cluster id.  Unlike the
   multi-table LSH families each row lives in exactly ONE bucket, so the
   join carries the vectors directly — no bare-id dedup pass, no second
@@ -43,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tegallega_spark.operators.cc import dedup_cluster_assignments
-from tegallega_spark.operators.ivf import train_ivf_index
+from tegallega_spark.operators.ivf import train_ivf_index_sampled
 from tegallega_spark.operators.similarity import cosine
 from tegallega_spark.session import attach_intermediates
 
@@ -174,7 +176,16 @@ def semantic_pairs(
         cells = base.withColumn("__cell", F.lit(0)).persist()
         handle = cells
     else:
-        ivf = train_ivf_index(base, vec_col="__v", k=k_clusters, seed=seed)
+        # r8: the sample-trained coarse quantizer replaces full pyspark.ml
+        # KMeans — with k ∝ N (auto_k_clusters) the full trainer's
+        # per-iteration corpus rescans made the BLOCKING step superlinear
+        # (the same wall the ANN race hit at 2 M vectors), while blocking
+        # quality only needs approximate cells: multi-probe (below) covers
+        # boundary straddle, and the exactness contract comes from the
+        # verify-every-candidate cosine, not from centroid optimality.
+        # Training is deterministic (hash-ordered sample, first-k init) —
+        # `seed` is kept for signature stability but no longer consumed.
+        ivf = train_ivf_index_sampled(base, vec_col="__v", k=k_clusters)
         handle = ivf.assigned  # persisted by IVFIndex
         p = min(probes, k_clusters)
         if p <= 1:

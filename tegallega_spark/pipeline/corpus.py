@@ -36,6 +36,40 @@ from tegallega_spark.operators.sampling import mixture_sample, stratified_hash_s
 from tegallega_spark.session import aqe_off_for_small_input, attach_intermediates
 
 
+def _stage_boundary(df: DataFrame, path: str, handles=()) -> DataFrame:
+    """Materialize `df` to compressed parquet and re-read it — a HARD
+    stage boundary that truncates lineage so everything upstream can be
+    released from local disk before the next heavy wave starts.
+
+    Why not persist/localCheckpoint: both keep the upstream
+    ShuffleDependencies' files on disk (persist retains lineage for
+    recompute; checkpoint blocks release only when the JVM eventually
+    GCs the RDD references).  The r7 composed race died on ENOSPC at
+    3.2 M docs because the span hash exchange's and the line-cut
+    self-join waves' shuffle files COEXIST — ~80 GB of simultaneous
+    spill against ~75 GB of free disk — even though no stage needs both
+    at once.  Writing the stage output as zstd parquet (a fraction of
+    shuffle-spill size), dropping every upstream handle, and poking the
+    JVM GC lets ContextCleaner (blocking mode, the default) delete the
+    upstream shuffle files before the pair/CC waves stack their own
+    spill on top.  On a real cluster the same boundary is how long
+    pipelines bound per-executor scratch: each wave's shuffle dies with
+    the wave instead of accumulating across the job chain.
+
+    Costs one corpus write+read; callers gate it on input size
+    (`clean_corpus(stage_boundary_dir=...)` is opt-in and only sensible
+    where spill, not latency, is the binding constraint)."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    for h in handles:
+        h.unpersist()
+    # the upstream plan is now unreferenced on the Python side; a GC pass
+    # lets ContextCleaner remove its shuffle files + cached blocks NOW,
+    # not whenever the JVM next feels heap pressure
+    spark.sparkContext._jvm.System.gc()
+    return spark.read.parquet(path)
+
+
 def mini_clean_corpus(
     docs: DataFrame,
     *,
@@ -115,6 +149,7 @@ def clean_corpus(
     paragraph_dedup: bool = False,
     mixture_targets: dict[str, float] | None = None,
     mixture_stratum: str = "source",
+    stage_boundary_dir: str | None = None,
 ) -> DataFrame:
     """Clean, dedup, sample, and pack a document corpus.
 
@@ -198,6 +233,7 @@ def clean_corpus(
             gopher_rules=gopher_rules, max_perplexity=max_perplexity,
             paragraph_dedup=paragraph_dedup, mixture_targets=mixture_targets,
             mixture_stratum=mixture_stratum,
+            stage_boundary_dir=stage_boundary_dir,
         )
 
 
@@ -230,6 +266,7 @@ def _clean_corpus_impl(
     paragraph_dedup: bool,
     mixture_targets: dict[str, float] | None,
     mixture_stratum: str,
+    stage_boundary_dir: str | None = None,
 ) -> DataFrame:
     # 0. optional C4/CCNet-style cross-document line dedup — rewrite the
     # text BEFORE anything scores or shingles it, so boilerplate lines
@@ -268,12 +305,25 @@ def _clean_corpus_impl(
         # later transforms return new DataFrames that drop the attribute,
         # so capture the handles here and ride them out on the result
         line_cut_handles += tuple(getattr(docs, "_tegallega_persisted", ()))
+        if stage_boundary_dir is not None:
+            # boundary A: the line cut's self-join waves are done — spill
+            # them to rest (zstd parquet) and free their shuffle files +
+            # the pre-cut persist before the span exchange starts
+            docs = _stage_boundary(
+                docs, f"{stage_boundary_dir}/post_line_cut",
+                handles=line_cut_handles,
+            )
+            line_cut_handles = ()
     if span_dedup_k is not None:
         # persists nothing (single-exchange formulation) — no handle to ride
         docs = TXT.remove_duplicate_spans(
             docs, id_col, text_col, k=span_dedup_k,
             min_count=span_dedup_min_count,
         )
+        if stage_boundary_dir is not None:
+            # boundary B: the span hash exchange is done — release it
+            # before the pair/CC waves stack their own spill on top
+            docs = _stage_boundary(docs, f"{stage_boundary_dir}/post_span_cut")
 
     # 0.5 optional rule/model quality gates — both scan-shaped, both
     # BEFORE the near-dup stages so junk never pays for shingling:

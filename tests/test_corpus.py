@@ -412,3 +412,44 @@ def test_cache_warm_thread_joined_before_clean_corpus_returns(spark, monkeypatch
     from tegallega_spark.session import release_intermediates
 
     release_intermediates(out)
+
+
+def test_stage_boundary_output_identical_and_releases_upstream(spark, tmp_path):
+    """clean_corpus(stage_boundary_dir=...) — the r8 spill-ceiling fix —
+    must produce EXACTLY the rows of the default path (the boundary is an
+    execution-strategy choice, never a semantics one), write real parquet
+    at both boundaries (post line cut, post span cut), and unpersist the
+    pre-cut corpus handle so its blocks + upstream shuffle files can be
+    released before the pair/CC waves."""
+    import os
+
+    from tegallega_spark.session import release_intermediates
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .limit(120)
+    )
+    kwargs = dict(
+        min_quality=0.0, max_dup_ngram_frac=1.0, dedup_strategy="exact",
+        normalize=True, paragraph_dedup=True, line_dedup_max_df=5,
+        span_dedup_k=8, gopher_rules=True,
+    )
+    base = clean_corpus(docs, **kwargs)
+    base_rows = sorted(map(tuple, base.collect()))
+    n_base_handles = len(getattr(base, "_tegallega_persisted", ()))
+    release_intermediates(base)
+
+    bdir = str(tmp_path / "boundary")
+    out = clean_corpus(docs, stage_boundary_dir=bdir, **kwargs)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == base_rows
+    # both boundaries materialized as real parquet
+    for sub in ("post_line_cut", "post_span_cut"):
+        files = os.listdir(os.path.join(bdir, sub))
+        assert any(f.endswith(".parquet") for f in files), (sub, files)
+    # the boundary released the line-cut-era handles EAGERLY (that is its
+    # whole point), so fewer intermediates ride out on the result
+    n_boundary_handles = len(getattr(out, "_tegallega_persisted", ()))
+    assert n_boundary_handles < n_base_handles
+    release_intermediates(out)

@@ -138,3 +138,46 @@ def test_ivfpq_batch_matches_per_query(spark, emb, codebooks):
             assert [v for v, _ in b] == [r.vec_id for r in solo]
             for (_, cs), r in zip(b, solo):
                 assert abs(cs - r.cos_sim) < 1e-12
+
+
+def test_sampled_ivf_trainer_assignment_and_determinism(spark, emb):
+    """train_ivf_index_sampled (the √N scale path, r8): every vector's
+    ivf_list must be the true argmin over the trained centroids (the
+    Arrow GEMM assignment re-derived with plain numpy), training must be
+    deterministic, and the sampled index must plug into the existing
+    search/recall machinery unchanged."""
+    from tegallega_spark.operators.ivf import (
+        auto_k_lists,
+        train_ivf_index_sampled,
+    )
+
+    idx = train_ivf_index_sampled(emb, k=8)
+    rows = idx.assigned.select("vec_id", "embedding", "ivf_list").collect()
+    c = np.asarray(idx.centroids, dtype=np.float64)
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        assert r.ivf_list == int(((c - x[None, :]) ** 2).sum(axis=1).argmin())
+
+    again = train_ivf_index_sampled(emb, k=8)
+    assert idx.centroids == again.centroids
+    again.assigned.unpersist()
+
+    # full-probe search over the sampled index == brute force
+    query = emb.orderBy("vec_id").first().embedding
+    exact = [r.vec_id for r in brute_force_topk(emb, query, k=10).collect()]
+    got = [r.vec_id for r in idx.search(query, k=10, nprobe=8).collect()]
+    assert got == exact
+    idx.assigned.unpersist()
+
+    # the √N law and its clamps
+    assert auto_k_lists(100) == 16
+    assert auto_k_lists(1_000_000) == 1000
+    assert auto_k_lists(4_000_000) == 2000
+    assert auto_k_lists(10**9) == 4096
+
+
+def test_sampled_ivf_trainer_raises_when_sample_below_k(emb):
+    from tegallega_spark.operators.ivf import train_ivf_index_sampled
+
+    with pytest.raises(ValueError, match="rows < k"):
+        train_ivf_index_sampled(emb, k=64, sample=8)
