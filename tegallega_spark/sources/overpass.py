@@ -79,16 +79,12 @@ def fetch_relation_bundle(relation_id: str, fetch_fn: FetchFn = default_fetch) -
     return {"relation": relation, "ways": ways, "nodes": nodes}
 
 
-def bundle_to_dataframes(
-    spark: SparkSession, relation_id: str, bundle: dict
-) -> tuple[DataFrame, DataFrame]:
-    """Parse a fetched bundle into
-    way_vertices(relation_id, way_order, way_id, way_name, vertex_idx, lon, lat)
-    and stop_nodes(relation_id, member_order, stop_id, name, role, lon, lat).
-
-    Member order → explicit order columns; missing way/node details are
-    warn-and-dropped (js:97-99,179-181 — inner join semantics).
-    """
+def bundle_to_rows(relation_id: str, bundle: dict) -> tuple[list, list]:
+    """Row-building half of bundle_to_dataframes, exposed so a FLEET of
+    relations can be parsed into two lists and shipped to Spark as TWO
+    createDataFrame calls (one plan) instead of per-relation frames whose
+    union grows the plan linearly — the batched shape the extract scale
+    race (scripts/stress_extract.py) and any fleet-sized caller need."""
     rel = bundle["relation"]
     way_map = {w["id"]: w for w in bundle["ways"]}
     node_map = {n["id"]: n for n in bundle["nodes"]}
@@ -126,14 +122,30 @@ def bundle_to_dataframes(
         )
         order += 1
 
-    ways_df = spark.createDataFrame(
-        way_rows,
-        "relation_id string, way_order int, way_id string, way_name string, "
-        "vertex_idx int, lon double, lat double",
-    )
-    nodes_df = spark.createDataFrame(
-        node_rows,
-        "relation_id string, member_order int, stop_id string, name string, "
-        "role string, lon double, lat double",
-    )
+    return way_rows, node_rows
+
+
+WAY_VERTEX_SCHEMA = (
+    "relation_id string, way_order int, way_id string, way_name string, "
+    "vertex_idx int, lon double, lat double"
+)
+STOP_NODE_SCHEMA = (
+    "relation_id string, member_order int, stop_id string, name string, "
+    "role string, lon double, lat double"
+)
+
+
+def bundle_to_dataframes(
+    spark: SparkSession, relation_id: str, bundle: dict
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a fetched bundle into
+    way_vertices(relation_id, way_order, way_id, way_name, vertex_idx, lon, lat)
+    and stop_nodes(relation_id, member_order, stop_id, name, role, lon, lat).
+
+    Member order → explicit order columns; missing way/node details are
+    warn-and-dropped (js:97-99,179-181 — inner join semantics).
+    """
+    way_rows, node_rows = bundle_to_rows(relation_id, bundle)
+    ways_df = spark.createDataFrame(way_rows, WAY_VERTEX_SCHEMA)
+    nodes_df = spark.createDataFrame(node_rows, STOP_NODE_SCHEMA)
     return ways_df, nodes_df
