@@ -88,6 +88,7 @@ def train_ivf_index_sampled(
     n: int | None = None,
     sample: int | None = None,
     iters: int = 8,
+    sample_salt: int = 0,
 ) -> "IVFIndex":
     """Coarse quantizer trained on a bounded hash-ordered SAMPLE —
     the scale path `train_ivf_index` (full pyspark.ml KMeans) isn't.
@@ -108,6 +109,10 @@ def train_ivf_index_sampled(
 
     k=None applies the √N law (`auto_k_lists`); n=None counts the input
     (pass it when the caller already knows — saves an action).
+    `sample_salt` draws an INDEPENDENT training sample (and therefore an
+    independent centroid set / cell-boundary system) — callers that block
+    with two quantizers so boundary-miss events multiply (semdedup r8)
+    pass distinct salts; 0 keeps the original deterministic draw.
     """
     if k is None:
         if n is None:
@@ -115,8 +120,13 @@ def train_ivf_index_sampled(
         k = auto_k_lists(n)
     if sample is None:
         sample = max(32 * k, 8192)
+    h = (
+        F.xxhash64(vec_col)
+        if not sample_salt
+        else F.xxhash64(vec_col, F.lit(sample_salt))
+    )
     rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(vec_col).alias("h"))
+        df.select(F.col(vec_col).alias("v"), h.alias("h"))
         .orderBy("h")
         .limit(sample)
         .collect()

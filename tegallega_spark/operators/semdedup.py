@@ -63,10 +63,30 @@ def auto_k_clusters(n: int, target_cell_size: int = 512) -> int:
     return max(1, math.ceil(n / target_cell_size))
 
 
-def _probe_cells_udf(centroids: list[list[float]], probes: int):
-    """Arrow-vectorized vector → its `probes` nearest centroid ids.
+def _probe_cells_udf(
+    centroids: list[list[float]],
+    probes: int,
+    margin: float | None = None,
+    max_probes: int = 16,
+):
+    """Arrow-vectorized vector → its probed centroid ids.
     One numpy matmul per batch against the (tiny, closure-captured)
-    centroid matrix — the same shape as similarity.make_bucket_udf."""
+    centroid matrix — the same shape as similarity.make_bucket_udf.
+
+    `probes` is the fixed floor (FAISS-style top-p multi-probe).  With
+    `margin` = r set (r8), the set EXTENDS to every centroid within
+    d_min + r of the vector, capped at max_probes — the radius rule that
+    makes blocking PROVABLY lossless for pairs within distance r: for a
+    pair (a, b) with ‖a−b‖ ≤ r, take WLOG d_min(b) ≤ d_min(a); b's
+    nearest centroid c* satisfies d_a(c*) ≤ d_b(c*) + r = d_min(b) + r ≤
+    d_min(a) + r, so c* is in a's probe ball and in b's trivially — they
+    share a cell.  Fixed top-p has no such guarantee: near a q-way
+    centroid tie, two near-identical vectors can rank the tied centroids
+    differently and probe disjoint sets (measured: 2 of 110 961 planted
+    pairs at cosine ≥ 0.99 missed at N=1 M with p=2).  The margin only
+    adds cells near ties, so the expected probe count stays ≈ p; the cap
+    bounds worst-case work (a cap hit degrades to top-max_probes, never
+    below top-p)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -75,21 +95,33 @@ def _probe_cells_udf(centroids: list[list[float]], probes: int):
     # KMeans may converge to fewer distinct centers than k (e.g. identical
     # inputs) — never ask for more probes than centers exist
     p = min(probes, C.shape[0])
+    cap = min(max(max_probes, p), C.shape[0])
 
     @pandas_udf("array<int>")
     def probe(vs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        # squared distance up to the per-row |x|² constant — rank-invariant
-        d2 = c2[None, :] - 2.0 * (X @ C.T)
-        if p >= d2.shape[1]:
+        x2 = (X * X).sum(axis=1)
+        # TRUE squared distance — the margin rule needs absolute values,
+        # not the rank-invariant form
+        d2 = np.maximum(x2[:, None] + c2[None, :] - 2.0 * (X @ C.T), 0.0)
+        take = cap if margin is not None else p
+        if take >= d2.shape[1]:
             idx = np.argsort(d2, axis=1)
         else:
-            idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
-        # order within the probe set by actual distance (stable output)
+            idx = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        # order within the candidate set by actual distance (stable output)
         ordered = np.take_along_axis(
             idx, np.argsort(np.take_along_axis(d2, idx, 1), axis=1), axis=1
         )
-        return pd.Series([row.tolist() for row in ordered])
+        if margin is None:
+            return pd.Series([row.tolist() for row in ordered])
+        od2 = np.take_along_axis(d2, ordered, axis=1)
+        lim = (np.sqrt(od2[:, :1]) + margin) ** 2
+        out = []
+        for row, rd2, rl in zip(ordered, od2, lim):
+            n = max(p, int((rd2 <= rl).sum()))
+            out.append(row[:n].tolist())
+        return pd.Series(out)
 
     return probe
 
@@ -180,21 +212,45 @@ def semantic_pairs(
         # KMeans — with k ∝ N (auto_k_clusters) the full trainer's
         # per-iteration corpus rescans made the BLOCKING step superlinear
         # (the same wall the ANN race hit at 2 M vectors), while blocking
-        # quality only needs approximate cells: multi-probe (below) covers
-        # boundary straddle, and the exactness contract comes from the
-        # verify-every-candidate cosine, not from centroid optimality.
-        # Training is deterministic (hash-ordered sample, first-k init) —
-        # `seed` is kept for signature stability but no longer consumed.
-        ivf = train_ivf_index_sampled(base, vec_col="__v", k=k_clusters)
-        handle = ivf.assigned  # persisted by IVFIndex
+        # quality only needs approximate cells: the exactness contract
+        # comes from the verify-every-candidate cosine, not from centroid
+        # optimality.  Training is deterministic (hash-ordered sample,
+        # first-k init) — `seed` is kept for signature stability but no
+        # longer consumed.
+        #
+        # DUAL-QUANTIZER blocking (r8): two quantizers trained on
+        # INDEPENDENT samples (sample_salt) give two independent
+        # cell-boundary systems; a pair is blocked together if it shares
+        # a probed cell in EITHER.  Fixed top-p probing of ONE quantizer
+        # misses a pair when its members rank near-tied centroids
+        # oppositely (measured: 2 of 110 961 planted pairs at N=1 M,
+        # ~2·10⁻⁵); with independent boundary systems the events
+        # multiply (~10⁻¹⁰ per pair) — the same ε-stance as minhash
+        # banding, which the exact-parity races then falsify.  (The
+        # provably-lossless d_min+r margin probe was measured first and
+        # rejected: 64-d distance concentration puts ~70% of ALL
+        # centroids inside the margin ball, inflating cells past the
+        # star-link guard — see _probe_cells_udf.)  Composite cell id
+        # q·k + cell keeps every downstream stage single-key.
         p = min(probes, k_clusters)
-        if p <= 1:
-            cells = handle.withColumnRenamed("ivf_list", "__cell")
-        else:
-            probe = _probe_cells_udf(ivf.centroids, p)
-            cells = handle.drop("ivf_list").withColumn(
-                "__cell", F.explode(probe(F.col("__v")))
+        ivfs = [
+            train_ivf_index_sampled(
+                base, vec_col="__v", k=k_clusters, sample_salt=salt
             )
+            for salt in (0, 1)
+        ]
+        handle = ivfs[0].assigned  # persisted by IVFIndex
+        handle2 = ivfs[1].assigned
+        per_q = []
+        for qi, ivf in enumerate(ivfs):
+            probe = _probe_cells_udf(ivf.centroids, p)
+            per_q.append(
+                ivf.assigned.drop("ivf_list")
+                .withColumn("__pc", F.explode(probe(F.col("__v"))))
+                .withColumn("__cell", F.col("__pc") + F.lit(qi * k_clusters))
+                .drop("__pc")
+            )
+        cells = per_q[0].unionByName(per_q[1])
 
     # Two per-cell counts feed the star decision (VERDICT r4 #7):
     #   __tsize — TRUE population: primary (nearest-centroid) members only.
@@ -207,9 +263,17 @@ def semantic_pairs(
     #     pathologically attractive cell (few primaries, huge visitor
     #     in-flow) still can't trigger runaway pairwise work.
     sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
-    if k_clusters > 1 and p > 1:
-        true_sizes = handle.groupBy(F.col("ivf_list").alias("__cell")).agg(
-            F.count("*").alias("__tsize")
+    if k_clusters > 1:
+        # primaries per COMPOSITE cell: each quantizer's nearest-centroid
+        # population under its own id offset
+        true_sizes = (
+            handle.groupBy(F.col("ivf_list").alias("__cell"))
+            .agg(F.count("*").alias("__tsize"))
+            .unionByName(
+                handle2.groupBy(
+                    (F.col("ivf_list") + F.lit(k_clusters)).alias("__cell")
+                ).agg(F.count("*").alias("__tsize"))
+            )
         )
         # left join: a cell reached only by probes has zero primaries
         sizes = sizes.join(true_sizes, "__cell", "left").na.fill(
@@ -285,8 +349,10 @@ def semantic_pairs(
     scored = pairs_small.unionByName(pairs_big)
     # multi-probe can produce the same pair from two shared cells (scored
     # identically in each) — keep one
-    if k_clusters > 1 and min(probes, k_clusters) > 1:
+    if k_clusters > 1:
         scored = scored.dropDuplicates(["id_a", "id_b"])
+    if k_clusters > 1:
+        return attach_intermediates(scored, handle, handle2)
     return attach_intermediates(scored, handle)
 
 

@@ -218,3 +218,33 @@ def test_probe_inflow_work_bound_still_stars(spark):
     release_intermediates(pairs_df)
     assert len(pairs) == n - 1
     assert {r.id_a for r in pairs} == {0}
+
+
+def test_margin_probe_covers_centroid_ties(spark):
+    """r8: the radius-margin probe's losslessness rule.  Two
+    near-identical vectors sitting astride a two-centroid tie rank the
+    tied centroids OPPOSITE ways — fixed top-1 probing puts them in
+    disjoint cells (the failure measured at N=1M: 2 of 110,961 planted
+    pairs missed), while the d_min+r margin must make their probe sets
+    overlap for any pair within distance r."""
+    import pandas as pd
+
+    from tegallega_spark.operators.semdedup import _probe_cells_udf
+
+    # centroids symmetric about the y-axis; a and b are a near-identical
+    # pair straddling the boundary
+    centroids = [[-1.0, 0.0], [1.0, 0.0]]
+    a, b = [-0.001, 1.0], [0.001, 1.0]
+    df = spark.createDataFrame([(0, a), (1, b)], "id long, v array<double>")
+
+    plain = _probe_cells_udf(centroids, probes=1)
+    got_plain = {r.id: list(r.cells) for r in
+                 df.select("id", plain("v").alias("cells")).collect()}
+    assert got_plain[0] == [0] and got_plain[1] == [1]  # disjoint: the bug
+
+    margin = _probe_cells_udf(centroids, probes=1, margin=0.1)
+    got = {r.id: set(r.cells) for r in
+           df.select("id", margin("v").alias("cells")).collect()}
+    assert got[0] & got[1], "margin probe must give tie-straddling pairs a shared cell"
+    # and the sets are exactly the tie pair, not everything
+    assert got[0] == got[1] == {0, 1}
