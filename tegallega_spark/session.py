@@ -18,6 +18,10 @@ from __future__ import annotations
 import os
 import threading
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# get_type_hints against module globals (PEP 563 strings under
+# `from __future__ import annotations`)
+
 from pyspark.sql import SparkSession
 
 
@@ -84,7 +88,41 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         )
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prefork_python_workers(spark, cpus)
+    return spark
+
+
+def _prefork_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Arrow Python worker pool at session start (once).
+
+    The first Arrow-UDF stage of a fresh session forks one Python worker
+    per core and initializes each worker's Arrow serializer — ~3 s on 32
+    cores that otherwise lands inside whatever the first real pipeline
+    is (the composed-race cold number measured it).  A real cluster's
+    executors amortize this over a long-lived daemon pool
+    (spark.python.worker.reuse=true, the default); doing the fork at
+    session creation gives local mode the same treatment.  One trivial
+    identity UDF over `cpus` partitions touches every worker slot.
+    Disable with SPARK_GRAFT_PREFORK=0 (e.g. for pure-JVM jobs that
+    never run Python stages)."""
+    if getattr(spark, "_tegallega_preforked", False):
+        return
+    spark._tegallega_preforked = True
+    if os.environ.get("SPARK_GRAFT_PREFORK", "1") == "0":
+        return
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _identity(s: pd.Series) -> pd.Series:
+        return s
+
+    try:
+        spark.range(cpus * 8).repartition(cpus).select(_identity("id")).collect()
+    except Exception:
+        # best-effort warm-up: a failure here surfaces on the caller's
+        # own first action with a better error anyway
+        pass
 
 
 def plan_size_bytes(df) -> int:
@@ -99,9 +137,10 @@ def plan_size_bytes(df) -> int:
 
 
 class aqe_off_for_small_input:
-    """Context manager: disable adaptive query execution while a
+    """Context manager: the SMALL-INPUT execution profile — disable
+    adaptive query execution and narrow the shuffle width while a
     multi-action pipeline runs over a SMALL input, restoring the prior
-    setting on exit.
+    settings on exit.
 
     AQE's unit of work is the query STAGE: every shuffle boundary becomes
     a separately scheduled job so runtime statistics can re-plan what
@@ -113,6 +152,18 @@ class aqe_off_for_small_input:
     estimate of the input) the static plan is strictly better; at or
     above it this is a no-op and AQE keeps its coalesce/skew wins.  On a
     real cluster reading real data the gate never fires.
+
+    The window also narrows spark.sql.shuffle.partitions to
+    NARROW_SHUFFLE (8, r8): a composed small-input program runs ~115
+    stages, and 32 tasks × microseconds of work each is pure dispatch
+    overhead — measured −5 s on the 5 k composed race cold run.
+    Wide-by-design stages are unaffected: CPU-bound Arrow stages go
+    through parallelize_for_udf, which repartitions to
+    defaultParallelism explicitly (its shuffle-rooted branch sees the
+    narrowed conf below cluster parallelism and widens the UDF input
+    back — exactly its job).  This is what AQE's coalescing would do at
+    runtime, done statically for the regime where AQE itself is the
+    overhead.
 
     The flip is session-wide (Spark runtime conf), so only the actions
     the `with` body itself triggers are covered — lazy DataFrames
@@ -134,9 +185,11 @@ class aqe_off_for_small_input:
     cache-warm does."""
 
     _KEY = "spark.sql.adaptive.enabled"
+    _SHUF = "spark.sql.shuffle.partitions"
+    NARROW_SHUFFLE = 8
     _lock = threading.Lock()
     _depth = 0
-    _outermost_prior: str | None = None
+    _outermost_priors: dict | None = None
 
     def __init__(self, df, threshold_bytes: int = 1 << 30) -> None:
         self._spark = df.sparkSession
@@ -148,8 +201,16 @@ class aqe_off_for_small_input:
             cls = aqe_off_for_small_input
             with cls._lock:
                 if cls._depth == 0:
-                    cls._outermost_prior = self._spark.conf.get(self._KEY, "true")
-                    self._spark.conf.set(self._KEY, "false")
+                    conf = self._spark.conf
+                    cls._outermost_priors = {
+                        self._KEY: conf.get(self._KEY, "true"),
+                        self._SHUF: conf.get(self._SHUF, "200"),
+                    }
+                    conf.set(self._KEY, "false")
+                    # never WIDEN: a caller who already set it narrower
+                    # knows better
+                    if int(cls._outermost_priors[self._SHUF]) > cls.NARROW_SHUFFLE:
+                        conf.set(self._SHUF, str(cls.NARROW_SHUFFLE))
                 cls._depth += 1
             self._entered = True
         return self
@@ -160,8 +221,9 @@ class aqe_off_for_small_input:
             with cls._lock:
                 cls._depth -= 1
                 if cls._depth == 0:
-                    self._spark.conf.set(self._KEY, cls._outermost_prior)
-                    cls._outermost_prior = None
+                    for k, v in cls._outermost_priors.items():
+                        self._spark.conf.set(k, v)
+                    cls._outermost_priors = None
             self._entered = False
 
 

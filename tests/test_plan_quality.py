@@ -434,3 +434,37 @@ def test_parallelize_for_udf_scan_vs_shuffle_rooted_plans(spark):
         assert out.rdd.getNumPartitions() == target
     finally:
         spark.conf.set(key, prior)
+
+
+def test_prefork_runs_once_per_session(spark):
+    """get_spark pre-forks the Arrow worker pool exactly once — a second
+    get_spark on the same session must be a no-op (the flag rides the
+    session object)."""
+    from tegallega_spark.session import get_spark
+
+    again = get_spark()
+    assert again is spark or getattr(again, "_tegallega_preforked", False)
+
+
+def test_aqe_gate_narrows_shuffle_and_restores(spark):
+    """r8: the small-input window also narrows shuffle width (stage-wave
+    dispatch is the measured overhead at toy scale) and must restore the
+    prior width on exit; a prior narrower than NARROW_SHUFFLE is never
+    widened."""
+    from tegallega_spark.session import aqe_off_for_small_input as gate
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    small = spark.range(10).toDF("n")
+    try:
+        spark.conf.set(key, "32")
+        with gate(small):
+            assert spark.conf.get(key) == str(gate.NARROW_SHUFFLE)
+        assert spark.conf.get(key) == "32"
+
+        spark.conf.set(key, "4")  # caller already narrower: keep it
+        with gate(small):
+            assert spark.conf.get(key) == "4"
+        assert spark.conf.get(key) == "4"
+    finally:
+        spark.conf.set(key, prior)
