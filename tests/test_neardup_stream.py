@@ -140,3 +140,40 @@ def test_stream_verified_pairs_match_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).distinct().collect()
     }
     assert got == want
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.nightly
+@pytest.mark.skipif(
+    not os.environ.get("TEGALLEGA_NIGHTLY"),
+    reason="raced-size streaming replay is the nightly tier — set TEGALLEGA_NIGHTLY=1",
+)
+def test_stream_race_replay_at_scale(spark):
+    """Replay of scripts/stress_stream.py's raced regime (sf0.1 docs
+    replicated 8x = 40k docs, 32 hash-shuffled microbatch files, one
+    trigger per file) inside the test harness: streamed candidates and
+    exact-verified pairs must equal the batch operator's — the same
+    asserts the race makes, kept on the nightly record so a state or
+    trigger regression can't hide between race runs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_stream",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "stress_stream.py"),
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+
+    os.makedirs(ss.OUT, exist_ok=True)
+    feed, total = ss.build_feed(spark, 8)
+    assert total == 40_000
+    _, stream_cands, metrics = ss.run_stream(spark, feed)
+    _, batch_cands, batch_verified = ss.batch_answers(spark, feed)
+    assert stream_cands == batch_cands
+    assert ss.verify_stream_pairs(spark, feed, stream_cands) == batch_verified
+    assert metrics["triggers"] > 10  # genuinely incremental, not one batch
