@@ -432,6 +432,15 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
 
     t0 = time.perf_counter()
     con = duckdb.connect()
+    # same treatment the spans race gives the reference engine at the
+    # sizes where its window CTEs outgrow RAM: a budget below the kernel
+    # kill line + a spill directory, so it gets a disk-backed path (or a
+    # clean engine-level OOM error) instead of a SIGKILL that takes the
+    # whole race process with it.
+    con.execute("SET memory_limit='40GB'")
+    _spill = os.path.join(tempfile.gettempdir(), "tegallega_ref_spill")
+    os.makedirs(_spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{_spill}'")
     cur = pdf[["doc_id", "text"]].copy()
     con.register("cur", cur)
 
@@ -595,8 +604,17 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
         release_intermediates,
     )
 
-    pdf = build_corpus(n)
+    # deterministic corpus cache: generation is ~10 min of single-core
+    # python at 3.2 M docs — cache the (n, seed=61) corpus as parquet so
+    # instrumented re-runs don't re-pay it
+    cache = os.path.join(tempfile.gettempdir(), f"tegallega_corpus_{n}.parquet")
+    if os.path.exists(cache):
+        pdf = pd.read_parquet(cache)
+    else:
+        pdf = build_corpus(n)
+        pdf.to_parquet(cache)
     bl = blocklist_texts(pdf)
+    print(f"# corpus ready n={n}", file=sys.stderr, flush=True)
 
     own = spark is None
     if own:
@@ -660,7 +678,14 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
             ]
         spark_times.append(time.perf_counter() - t0)
         release_intermediates(cleaned)
+        print(
+            f"# spark rep {rep + 1} done: {spark_times[-1]:.2f}s "
+            f"({len(spark_rows)} survivors)",
+            file=sys.stderr, flush=True,
+        )
     spark_s = spark_times[0]
+    fp_spark_early = _fingerprint(spark_rows)
+    print(f"# spark fingerprint {fp_spark_early}", file=sys.stderr, flush=True)
 
     ref, ref_s = reference_clean(pdf, bl)
     ref_rows = [
