@@ -278,6 +278,88 @@ SELECT doc_id, min(s) AS start_tok, max(e) AS end_tok
 FROM spans GROUP BY doc_id, span_id
 """
 
+# DuckDB half of the memory-bounded span derivation: tokenize +
+# dictionary-encode ONLY — GROUP BY / DISTINCT / join, all spillable
+# operators.  No window anywhere: SPANS_SQL's `list(tok) OVER` gram
+# materialization is what blows DuckDB's budget at 3.2 M docs (killed at
+# 103 GB with defaults and again at 108 GB with memory_limit=40GB + a
+# spill directory — the window operator does not honor the budget, the
+# same failure stress_spans measured standalone at 2.56 M).
+SPANS_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, raw_pos, tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '\s+')) AS tok,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS raw_pos
+        FROM cur)
+  WHERE tok <> ''
+),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS tid
+  FROM (SELECT DISTINCT tok FROM toks)
+)
+SELECT t.doc_id, v.tid
+FROM toks t JOIN vocab v USING (tok)
+ORDER BY t.doc_id, t.raw_pos
+"""
+
+
+def reference_spans(con) -> pd.DataFrame:
+    """Exact merged duplicated spans — IDENTICAL semantics to SPANS_SQL
+    (\\s+ tokens, k-gram occurring >= SPAN_MIN_COUNT corpus-wide,
+    per-doc interval merge) — with memory ∝ tokens: DuckDB
+    dictionary-encodes the token stream (SPANS_TOKENS_SQL, spillable),
+    numpy does the gram uniq + merge the SQL's window operators OOM on.
+    Gram identity is EXACT (fixed-width packed id records through
+    np.unique — dictionary ids are a bijection on token strings, no
+    hashing anywhere).  Cross-checked against SPANS_SQL itself at every
+    size the SQL can run (reference_clean asserts equality <= 150 k)."""
+    tbl = con.execute(SPANS_TOKENS_SQL).arrow()
+    doc = tbl.column("doc_id").to_numpy()
+    tid = tbl.column("tid").to_numpy()
+    del tbl
+    k = SPAN_K
+    if len(doc) < k:
+        return pd.DataFrame({"doc_id": [], "start_tok": [], "end_tok": []})
+    ids = tid.astype(np.uint16 if int(tid.max()) < 65536 else np.uint32)
+    del tid
+    starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+    uniq_doc = doc[starts]
+    lens = np.diff(np.concatenate((starts, [len(doc)])))
+    del doc
+    win = np.lib.stride_tricks.sliding_window_view(ids, k)
+    doc_of = np.repeat(np.arange(len(lens)), lens)[: win.shape[0]]
+    local = np.arange(win.shape[0]) - starts[doc_of]
+    valid = local <= (lens[doc_of] - k)
+    grams = (
+        np.ascontiguousarray(win[valid])
+        .view(f"|V{ids.dtype.itemsize * k}")
+        .ravel()
+    )
+    g_doc = doc_of[valid]
+    g_pos = local[valid]
+    del win, doc_of, local, valid, ids
+    _, inv, counts = np.unique(grams, return_inverse=True, return_counts=True)
+    dup = counts[inv] >= SPAN_MIN_COUNT
+    del grams, inv, counts
+    d, p = g_doc[dup], g_pos[dup]
+    del g_doc, g_pos, dup
+    if len(d) == 0:
+        return pd.DataFrame({"doc_id": [], "start_tok": [], "end_tok": []})
+    new_span = np.empty(len(d), dtype=bool)
+    new_span[0] = True
+    new_span[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + k)
+    bounds = np.flatnonzero(new_span)
+    ends = np.concatenate((bounds[1:], [len(d)])) - 1
+    return pd.DataFrame(
+        {
+            "doc_id": uniq_doc[d[bounds]],
+            "start_tok": p[bounds].astype(np.int64),
+            "end_tok": (p[ends] + k).astype(np.int64),
+        }
+    )
+
+
 GOPHER_SQL = r"""
 WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM cur),
 feat AS (
@@ -427,6 +509,10 @@ def _cut_spans(t: str, spans: list[tuple[int, int]]) -> str:
     return "".join(pieces)
 
 
+def _mark(msg: str) -> None:
+    print(f"# ref {msg} @{time.strftime('%H:%M:%S')}", file=sys.stderr, flush=True)
+
+
 def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     import duckdb
 
@@ -445,6 +531,7 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     con.register("cur", cur)
 
     # 1. normalize (q52 chain)
+    _mark("normalize")
     cur = con.execute(NORMALIZE_SQL).df()
     con.unregister("cur"); con.register("cur", cur)
 
@@ -459,15 +546,29 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
                 out.append(p)
         return "\n\n".join(out)
 
+    _mark("paragraph dedup")
     cur["text"] = cur["text"].map(dedupe_paras)
     con.unregister("cur"); con.register("cur", cur)
 
     # 3. cross-doc line dedup
+    _mark("line dedup")
     cur = con.execute(LINE_DEDUP_SQL).df()
     con.unregister("cur"); con.register("cur", cur)
 
-    # 4. span dedup: DuckDB finds the merged duplicated spans, Python cuts
-    spans_df = con.execute(SPANS_SQL).df()
+    # 4. span dedup: the memory-bounded exact derivation finds the merged
+    # duplicated spans (reference_spans; SPANS_SQL's window operators are
+    # the stage that OOM-killed the 3.2 M reference twice), Python cuts.
+    # Self-validating: at every size the SQL itself can run, both
+    # formulations are executed and asserted identical.
+    _mark("spans (numpy)")
+    spans_df = reference_spans(con)
+    if len(cur) <= 150_000:
+        _mark("spans (SQL cross-check)")
+        sql_spans = con.execute(SPANS_SQL).df()
+        assert (
+            sorted(map(tuple, spans_df.itertuples(index=False)))
+            == sorted(map(tuple, sql_spans.itertuples(index=False)))
+        ), "numpy span derivation diverged from SPANS_SQL"
     by_doc: dict[int, list[tuple[int, int]]] = {}
     for r in spans_df.itertuples(index=False):
         by_doc.setdefault(int(r.doc_id), []).append(
@@ -480,11 +581,13 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     con.unregister("cur"); con.register("cur", cur)
 
     # 5. Gopher rules
+    _mark("gopher")
     passing = set(con.execute(GOPHER_SQL).df()["doc_id"])
     cur = cur[cur["doc_id"].isin(passing)].reset_index(drop=True)
     con.unregister("cur"); con.register("cur", cur)
 
     # 6. quality + repetition gate
+    _mark("quality+repetition")
     q = con.execute(QUALITY_SQL).df().set_index("doc_id")["quality"]
     rep = con.execute(REPETITION_SQL).df().set_index("doc_id")["dup_ngram_frac"]
     keep_ids = [
@@ -495,12 +598,14 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     con.unregister("cur"); con.register("cur", cur)
 
     # 7. decontaminate
+    _mark("decontaminate")
     con.register("bl", pd.DataFrame({"doc_id": range(len(bl)), "text": bl}))
     contaminated = set(con.execute(DECONTAM_SQL).df()["doc_id"])
     cur = cur[~cur["doc_id"].isin(contaminated)].reset_index(drop=True)
     con.unregister("cur"); con.register("cur", cur)
 
     # 8. exact-Jaccard pairs (DF-cut) → union-find min-label → canonical
+    _mark("jaccard pairs")
     pairs = con.execute(JACCARD_SQL).df()
     parent: dict[int, int] = {}
 
@@ -518,6 +623,7 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     cluster = {int(d): find(int(d)) for d in cur["doc_id"]}
     cur = cur[[cluster[int(d)] == int(d) for d in cur["doc_id"]]].reset_index(drop=True)
 
+    _mark("mixture/sample/pack")
     # 9. domain mixture (counts over survivors; ulp-snapped rates)
     src = pdf.set_index("doc_id")["source"]
     lang = pdf.set_index("doc_id")["lang"]
