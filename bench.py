@@ -5,6 +5,8 @@ compact (<1,800-char — the driver keeps a 2,000-char stdout tail) JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "runs_per_query": 3, "sf": ..., "secondary_sf": "0.1x4",
      "secondary_value": N}
+(or, when the secondary point fails twice, a compact
+ "secondary_error": "<first line>" in place of the secondary fields)
 Per-query spreads (max-min over the runs) and the secondary scale point's
 full per-query map are printed to stderr as `#` comment lines.
 
@@ -30,8 +32,6 @@ import os
 import statistics
 import sys
 import time
-
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -78,16 +78,10 @@ def main() -> None:
               "nation", "region", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).limit(1).collect()
 
-    # warm the Python/Arrow UDF worker pool too — daemon fork + Arrow init
-    # is one-time session setup, and without this the first pandas_udf
-    # query in the set absorbs several seconds of worker spin-up
-    from pyspark.sql.functions import pandas_udf as _pudf
-
-    @_pudf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(256).repartition(32).select(_warm("id")).collect()
+    # Python/Arrow UDF worker-pool warm-up is the session factory's job
+    # since r8 (session._prefork_python_workers, run inside get_spark
+    # above) — no hand-rolled duplicate here, so the two paths can't
+    # drift (r8 verdict #8).
 
     # steady-state warmup: run every headline query once at the SMALLEST
     # scale factor (untimed) so whole-stage-codegen compilation, JIT, and
@@ -144,33 +138,46 @@ def main() -> None:
     timings, spreads = time_headline(sf_dir, "primary")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # second scale point (see module docstring)
+    # second scale point (see module docstring).  RETRY once on failure
+    # (r8 verdict #1: a transient JVM shuffle error dropped the round's
+    # whole scale-regression guard from the record — the identical path
+    # re-ran clean), and on final failure record a COMPACT first-line
+    # error in the JSON instead of flooding the 2,000-char stdout tail
+    # with a Py4J-stringified Java stack trace that buries the data.
     secondary = None
-    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR")
-    scale2 = os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "4").lower()
-    try:
-        if sf2_dir:
-            sf2_label = sf2_dir.rstrip("/").rsplit("sf", 1)[-1]
-        elif scale2 not in ("0", "off", ""):
-            n = int(scale2)
-            from tegallega_spark.scale_data import SHIFT_COLS, replicate_tables
+    secondary_error = None
+    for attempt in range(2):
+        try:
+            sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR")
+            scale2 = os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "4").lower()
+            if sf2_dir:
+                sf2_label = sf2_dir.rstrip("/").rsplit("sf", 1)[-1]
+            elif scale2 not in ("0", "off", ""):
+                n = int(scale2)
+                from tegallega_spark.scale_data import SHIFT_COLS, replicate_tables
 
-            sf2_dir = f"/tmp/tegallega_bench_sf{sf}_x{n}"
-            sf2_label = f"{sf}x{n}"
-            replicate_tables(spark, sf_dir, sf2_dir, n)
-            for t in SHIFT_COLS:  # warm the second point's file indexes
-                load_table(spark, sf2_dir, t).limit(1).collect()
-        if sf2_dir:
-            t2, s2 = time_headline(sf2_dir, "secondary")
-            secondary = {
-                "sf": sf2_label,
-                "value": round(sum(t2.values()), 3),
-                "queries": t2,
-                "spread": s2,
-            }
-    except Exception as e:  # the primary number must survive a broken 2nd point
-        print(f"# secondary scale point failed: {e}", file=sys.stderr)
-        secondary = None
+                sf2_dir = f"/tmp/tegallega_bench_sf{sf}_x{n}"
+                sf2_label = f"{sf}x{n}"
+                replicate_tables(spark, sf_dir, sf2_dir, n)
+                for t in SHIFT_COLS:  # warm the second point's file indexes
+                    load_table(spark, sf2_dir, t).limit(1).collect()
+            if sf2_dir:
+                t2, s2 = time_headline(sf2_dir, "secondary")
+                secondary = {
+                    "sf": sf2_label,
+                    "value": round(sum(t2.values()), 3),
+                    "queries": t2,
+                    "spread": s2,
+                }
+            break
+        except Exception as e:  # primary number must survive a broken 2nd point
+            first_line = str(e).strip().splitlines()[0][:200] if str(e).strip() else repr(e)[:200]
+            print(
+                f"# secondary scale point attempt {attempt + 1} failed: {first_line}",
+                file=sys.stderr,
+            )
+            secondary = None
+            secondary_error = first_line
 
     # The driver keeps only a 2,000-char stdout TAIL, so the single JSON
     # line must be compact and LAST on stdout (r5's ~2,600-char line was
@@ -192,13 +199,17 @@ def main() -> None:
         result["secondary_value"] = secondary["value"]
         print("# secondary " + json.dumps(secondary, separators=(",", ":")),
               file=sys.stderr)
+    elif secondary_error is not None:
+        # the record must show the guard FAILED, not silently omit it
+        result["secondary_error"] = secondary_error
     line = json.dumps(result, separators=(",", ":"))
     if len(line) >= 1800:
         # Never discard a multi-minute run: drop lowest-value keys until the
         # line fits the driver's parse window, warning on stderr.
         print(f"# WARN bench line {len(line)} chars >= 1800; trimming",
               file=sys.stderr)
-        for key in ("secondary_value", "secondary_sf", "runs_per_query"):
+        for key in ("secondary_error", "secondary_value", "secondary_sf",
+                    "runs_per_query"):
             result.pop(key, None)
             line = json.dumps(result, separators=(",", ":"))
             if len(line) < 1800:

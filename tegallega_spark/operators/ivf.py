@@ -46,19 +46,39 @@ def train_ivf_index(
     return IVFIndex(assigned, centroids, vec_col)
 
 
-def _kmeans_blas(x: np.ndarray, k: int, iters: int) -> np.ndarray:
-    """Lloyd's with matmul distances: the (n, k) distance matrix comes
-    from ||x||² - 2x·cᵀ + ||c||² — one BLAS GEMM per iteration — instead
-    of broadcasting an (n, k, d) tensor (pq._kmeans's shape, fine at
-    k=16 subspace codebooks, 32 GB at k≈1400 coarse quantizers).
-    Deterministic first-k init (callers pass a hash-ordered sample);
-    empty clusters re-seed from distinct farthest points."""
+def _kmeans_blas(
+    x: np.ndarray, k: int, iters: int, chunk: int = 65536
+) -> np.ndarray:
+    """Lloyd's with matmul distances: ||x||² - 2x·cᵀ + ||c||² as a BLAS
+    GEMM — instead of broadcasting an (n, k, d) tensor (pq._kmeans's
+    shape, fine at k=16 subspace codebooks, 32 GB at k≈1400 coarse
+    quantizers).  Deterministic first-k init (callers pass a hash-ordered
+    sample); empty clusters re-seed from distinct farthest points.
+
+    The assignment step runs in row blocks of `chunk` (ADVICE r8): a
+    monolithic (n, k) float64 distance matrix grows ~n·k·8 bytes — with
+    semdedup's unclamped k = N/512 and sample = N/16 that is N²/1024
+    bytes, ~4 GB per temporary at 2 M vectors and OOM shortly above — a
+    silent scale cliff in the component introduced to REMOVE the
+    superlinear-training wall.  Chunking caps peak memory at
+    O(chunk·k) (~0.5 GB per temporary at k=8192) while the GEMMs stay
+    BLAS-sized; only O(n) per-row state (assignments, min-distances)
+    persists across chunks."""
     x = np.ascontiguousarray(x, dtype=np.float64)
+    n = x.shape[0]
     centroids = x[:k].copy()
     x2 = (x * x).sum(axis=1)
+    assign = np.empty(n, dtype=np.int64)
+    mind2 = np.empty(n, dtype=np.float64)
     for _ in range(iters):
-        d2 = x2[:, None] - 2.0 * (x @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
+        c2 = (centroids * centroids).sum(axis=1)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d2 = x2[lo:hi, None] - 2.0 * (x[lo:hi] @ centroids.T) + c2[None, :]
+            assign[lo:hi] = d2.argmin(axis=1)
+            mind2[lo:hi] = np.take_along_axis(
+                d2, assign[lo:hi, None], axis=1
+            )[:, 0]
         counts = np.bincount(assign, minlength=k)
         sums = np.zeros((k, x.shape[1]))
         np.add.at(sums, assign, x)
@@ -66,7 +86,7 @@ def _kmeans_blas(x: np.ndarray, k: int, iters: int) -> np.ndarray:
         centroids[nonempty] = sums[nonempty] / counts[nonempty][:, None]
         empty = np.flatnonzero(~nonempty)
         if len(empty):
-            far = np.argsort(-d2.min(axis=1))
+            far = np.argsort(-mind2)
             for rank, j in enumerate(empty):
                 centroids[j] = x[far[rank % len(far)]]
     return centroids

@@ -178,6 +178,13 @@ def semantic_pairs(
     explicit k only to pin a specific configuration (k=1 degenerates
     to exact all-pairs — the oracle-parity configuration the tests pin).
 
+    `seed` is a NO-OP since r8: the sampled trainer
+    (train_ivf_index_sampled) is deterministic by construction
+    (hash-ordered sample, first-k init) and consumes no RNG, so varying
+    seed no longer varies the blocking.  The parameter is kept for
+    signature stability; passing a non-default value emits a one-time
+    warning so callers probing blocking sensitivity learn it's inert.
+
     `probes` is the boundary-recall knob: each vector blocks into its
     `probes` nearest centroids' cells (FAISS-style multi-probe), so two
     near-identical vectors that land on opposite sides of a k-means
@@ -199,6 +206,13 @@ def semantic_pairs(
     with auto-k the fraction is ~0; a high value means the blocking is
     too coarse (raise k / lower target_cell_size) or the corpus is
     template spam.  None disables the check."""
+    if seed != 42:
+        warnings.warn(
+            "semantic_pairs/semantic_dedup: `seed` has been a no-op since "
+            "the r8 sampled trainer (deterministic hash-ordered sample); "
+            "varying it does not vary the blocking",
+            stacklevel=2,
+        )
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if k_clusters is None:
         k_clusters = auto_k_clusters(df.count(), target_cell_size)

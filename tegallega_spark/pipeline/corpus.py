@@ -504,8 +504,24 @@ def _clean_corpus_impl(
     # CachedRDDBuilder deadlock.  Joining HERE keeps the stated win — the
     # count overlapped all of the pair/CC/packing plan construction above
     # — while guaranteeing it finishes inside the window.
+    # join with a timeout (ADVICE r8): if the warm count itself wedges
+    # (an executor stall, or the very deadlock family this code defends
+    # against), an unbounded join would hang the whole pipeline where the
+    # old fire-and-forget daemon let it finish.  300 s is a generous
+    # multiple of any measured warm time (sub-second to a few seconds);
+    # on timeout warn and proceed — the thread is a daemon and only READS
+    # conf, so the remaining risk is the pre-r8 race, now loudly flagged.
     if warm_thread is not None:
-        warm_thread.join()
+        warm_thread.join(timeout=300)
+        if warm_thread.is_alive():
+            import warnings
+
+            warnings.warn(
+                "corpus cache-warm thread did not finish within 300 s; "
+                "proceeding without it (it is a read-only daemon, but the "
+                "caller's first action may race its cache materialization)",
+                stacklevel=2,
+            )
 
     # pairs' persisted LSH/postings intermediates, the cluster-assignment
     # checkpoint, and the auto/semantic-mode corpus persist all ride out

@@ -189,7 +189,11 @@ class aqe_off_for_small_input:
     NARROW_SHUFFLE = 8
     _lock = threading.Lock()
     _depth = 0
-    _outermost_priors: dict | None = None
+    # (owning SparkSession, saved priors): restore targets the session the
+    # priors were READ from, not whichever instance exits last — with two
+    # sessions interleaving, per-exit `self._spark` would write session A's
+    # priors onto session B (ADVICE r8)
+    _outermost: tuple | None = None
 
     def __init__(self, df, threshold_bytes: int = 1 << 30) -> None:
         self._spark = df.sparkSession
@@ -202,14 +206,15 @@ class aqe_off_for_small_input:
             with cls._lock:
                 if cls._depth == 0:
                     conf = self._spark.conf
-                    cls._outermost_priors = {
+                    priors = {
                         self._KEY: conf.get(self._KEY, "true"),
                         self._SHUF: conf.get(self._SHUF, "200"),
                     }
+                    cls._outermost = (self._spark, priors)
                     conf.set(self._KEY, "false")
                     # never WIDEN: a caller who already set it narrower
                     # knows better
-                    if int(cls._outermost_priors[self._SHUF]) > cls.NARROW_SHUFFLE:
+                    if int(priors[self._SHUF]) > cls.NARROW_SHUFFLE:
                         conf.set(self._SHUF, str(cls.NARROW_SHUFFLE))
                 cls._depth += 1
             self._entered = True
@@ -221,9 +226,10 @@ class aqe_off_for_small_input:
             with cls._lock:
                 cls._depth -= 1
                 if cls._depth == 0:
-                    for k, v in cls._outermost_priors.items():
-                        self._spark.conf.set(k, v)
-                    cls._outermost_priors = None
+                    owner, priors = cls._outermost
+                    for k, v in priors.items():
+                        owner.conf.set(k, v)
+                    cls._outermost = None
             self._entered = False
 
 

@@ -399,6 +399,34 @@ def test_aqe_gate_interleaved_instances_restore_outermost_prior(spark):
         spark.conf.set(key, prior)
 
 
+def test_aqe_gate_restores_onto_owning_session(spark):
+    """ADVICE r9: with two sessions interleaving, the outermost priors
+    must be restored onto the session they were READ from — per-exit
+    self._spark wrote session A's priors onto session B (and leaked the
+    narrowed shuffle width into the wrong session)."""
+    from tegallega_spark.session import aqe_off_for_small_input
+
+    key = "spark.sql.adaptive.enabled"
+    other = spark.newSession()  # independent runtime conf, shared context
+    prior_a, prior_b = spark.conf.get(key), other.conf.get(key)
+    spark.conf.set(key, "true")
+    other.conf.set(key, "true")
+    try:
+        a = aqe_off_for_small_input(spark.range(10).toDF("n"))
+        b = aqe_off_for_small_input(other.range(10).toDF("n"))
+        a.__enter__()   # outermost: reads priors from session A
+        b.__enter__()   # inner (different session) — must not re-save
+        assert spark.conf.get(key) == "false"
+        a.__exit__(None, None, None)
+        # B exits last; the restore must target A's conf, not B's
+        b.__exit__(None, None, None)
+        assert spark.conf.get(key) == "true", "A's prior lost"
+        assert other.conf.get(key) == "true", "restore leaked into B"
+    finally:
+        spark.conf.set(key, prior_a)
+        other.conf.set(key, prior_b)
+
+
 def test_parallelize_for_udf_scan_vs_shuffle_rooted_plans(spark):
     """r8 advice fix: the size/maxPartitionBytes formula only models SCAN
     partitioning; analyzed-plan stats multiply child sizes through joins,
@@ -434,6 +462,33 @@ def test_parallelize_for_udf_scan_vs_shuffle_rooted_plans(spark):
         assert out.rdd.getNumPartitions() == target
     finally:
         spark.conf.set(key, prior)
+
+
+def test_parallelize_for_udf_ignores_shuffle_words_in_literals(spark):
+    """r9 advice fix: plan classification walks logical nodeName()s, not
+    the rendered plan STRING — a query literal or column name containing
+    'Sort'/'Window'/'Join' must not route a tiny scan-rooted frame down
+    the shuffle branch (where an adequate shuffle width would skip the
+    widening repartition, running the UDF 1-2-way)."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.dedup import (
+        _has_shuffle_origin_node,
+        parallelize_for_udf,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    trap = (
+        spark.range(100)
+        .withColumn("label", F.lit("Sort Window Join code"))
+        .filter(F.col("label") != "Aggregate")
+    )
+    assert not _has_shuffle_origin_node(trap._jdf.queryExecution().analyzed())
+    # scan-rooted and tiny → must still widen to cluster parallelism
+    assert parallelize_for_udf(trap).rdd.getNumPartitions() == target
+    # and a REAL shuffle node is still detected
+    agg = trap.groupBy("label").count()
+    assert _has_shuffle_origin_node(agg._jdf.queryExecution().analyzed())
 
 
 def test_prefork_runs_once_per_session(spark):

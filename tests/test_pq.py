@@ -181,3 +181,21 @@ def test_sampled_ivf_trainer_raises_when_sample_below_k(emb):
 
     with pytest.raises(ValueError, match="rows < k"):
         train_ivf_index_sampled(emb, k=64, sample=8)
+
+
+def test_kmeans_blas_chunked_assignment_matches_monolithic():
+    """ADVICE r9: the chunked assignment step (peak memory O(chunk·k)
+    instead of a monolithic (n, k) float64 matrix — the N²/1024-byte
+    driver-OOM cliff at semdedup's unclamped k ∝ N) must be bit-identical
+    to the monolithic path, including the empty-cluster farthest-point
+    re-seed that consumes the per-row min distances."""
+    from tegallega_spark.operators.ivf import _kmeans_blas
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 12))
+    # duplicate the first row many times so first-k init starts with
+    # coincident centroids → empty clusters → the re-seed path runs
+    x[:40] = x[0]
+    mono = _kmeans_blas(x, 16, 6, chunk=10**9)
+    chunked = _kmeans_blas(x, 16, 6, chunk=37)  # ragged, < n
+    assert np.array_equal(mono, chunked)

@@ -49,6 +49,21 @@ def test_single_cluster_matches_exact_all_pairs(spark, sf_dir):
     assert want, "threshold too strict — test would be vacuous"
 
 
+def test_non_default_seed_warns_inert(spark):
+    """ADVICE r9: `seed` has been a no-op since the r8 deterministic
+    sampled trainer — a caller varying it to probe blocking sensitivity
+    must get a warning, not silently identical results."""
+    import warnings
+
+    df = _planted(spark, n_groups=4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = semantic_pairs(df, min_cosine=0.999, k_clusters=2, seed=99)
+        pairs.collect()
+        release_intermediates(pairs)
+    assert any("no-op" in str(w.message) for w in caught)
+
+
 def _planted(spark, n_groups=30, copies=3, dim=16, noise=1e-3, seed=7):
     rng = np.random.default_rng(seed)
     rows = []
@@ -63,7 +78,7 @@ def _planted(spark, n_groups=30, copies=3, dim=16, noise=1e-3, seed=7):
 
 def test_planted_duplicates_all_found_and_one_keeper_per_group(spark):
     df = _planted(spark)
-    pairs_df = semantic_pairs(df, min_cosine=0.999, k_clusters=8, seed=1)
+    pairs_df = semantic_pairs(df, min_cosine=0.999, k_clusters=8)
     pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     release_intermediates(pairs_df)
     # near-identical copies always share a k-means cell → full recall
@@ -74,7 +89,7 @@ def test_planted_duplicates_all_found_and_one_keeper_per_group(spark):
     # no cross-group false positives at this threshold
     assert all(a // 3 == b // 3 for a, b in pairs)
 
-    kept = semantic_dedup(df, min_cosine=0.999, k_clusters=8, seed=1)
+    kept = semantic_dedup(df, min_cosine=0.999, k_clusters=8)
     ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
     assert ids == [g * 3 for g in range(30)]  # min id of each group
 
@@ -134,7 +149,7 @@ def test_default_k_full_recall_on_planted(spark):
     # no k_clusters argument at all: the auto default must still find
     # every planted pair (the VERDICT round-4 acceptance criterion)
     df = _planted(spark, n_groups=40, copies=3)
-    pairs_df = semantic_pairs(df, min_cosine=0.999, seed=1)
+    pairs_df = semantic_pairs(df, min_cosine=0.999)
     pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     release_intermediates(pairs_df)
     for g in range(40):
@@ -185,7 +200,7 @@ def test_probe_visitors_do_not_star_link_true_small_cells(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # star warning must NOT fire either
         pairs_df = semantic_pairs(
-            df, min_cosine=0.999, k_clusters=2, probes=2, max_cluster=80, seed=1
+            df, min_cosine=0.999, k_clusters=2, probes=2, max_cluster=80
         )
         pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     release_intermediates(pairs_df)
