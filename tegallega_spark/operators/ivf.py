@@ -101,6 +101,52 @@ def auto_k_lists(n: int) -> int:
     return int(np.clip(int(np.sqrt(max(n, 1))), 16, 4096))
 
 
+def _sample_vectors(
+    df: DataFrame, vec_col: str, sample: int, sample_salt: int
+) -> "np.ndarray":
+    """Bounded hash-ordered vector sample as a (sample, d) float64 array —
+    deterministic and corpus-size-independent (one pruned scan).
+    `sample_salt` draws an INDEPENDENT sample (and therefore an
+    independent centroid/boundary system for any quantizer trained on
+    it); 0 keeps the original draw."""
+    h = (
+        F.xxhash64(vec_col)
+        if not sample_salt
+        else F.xxhash64(vec_col, F.lit(sample_salt))
+    )
+    rows = (
+        df.select(F.col(vec_col).alias("v"), h.alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
+def train_centroids_sampled(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample: int | None = None,
+    iters: int = 8,
+    sample_salt: int = 0,
+) -> "np.ndarray":
+    """The training half of train_ivf_index_sampled, without the
+    assignment pass: a (k, d) centroid table from bounded-sample Lloyd's.
+    Callers that derive the assignment from a probe pass anyway (semdedup
+    blocks each vector into its top-p cells, of which cell 0 IS the
+    assignment) use this to avoid a redundant full-corpus GEMM pass."""
+    if sample is None:
+        sample = max(32 * k, 8192)
+    x = _sample_vectors(df, vec_col, sample, sample_salt)
+    if len(x) < k:
+        raise ValueError(
+            f"IVF training sample has {len(x)} rows < k={k} lists; "
+            "raise `sample` or lower k"
+        )
+    return _kmeans_blas(x, k, iters)
+
+
 def train_ivf_index_sampled(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -138,28 +184,145 @@ def train_ivf_index_sampled(
         if n is None:
             n = df.count()
         k = auto_k_lists(n)
-    if sample is None:
-        sample = max(32 * k, 8192)
-    h = (
-        F.xxhash64(vec_col)
-        if not sample_salt
-        else F.xxhash64(vec_col, F.lit(sample_salt))
+    centroids = train_centroids_sampled(
+        df, vec_col, k, sample=sample, iters=iters, sample_salt=sample_salt
     )
-    rows = (
-        df.select(F.col(vec_col).alias("v"), h.alias("h"))
-        .orderBy("h")
-        .limit(sample)
-        .collect()
-    )
-    x = np.array([r.v for r in rows], dtype=np.float64)
-    if len(x) < k:
-        raise ValueError(
-            f"IVF training sample has {len(x)} rows < k={k} lists; "
-            "raise `sample` or lower k"
-        )
-    centroids = _kmeans_blas(x, k, iters)
     assigned = assign_ivf_lists(df, centroids, vec_col)
     return IVFIndex(assigned, [c.tolist() for c in centroids], vec_col)
+
+
+# a never-probed empty sub-slot: distances to it are ~1e36, far beyond any
+# real squared distance, so it can't enter a top-p probe set
+_EMPTY_SLOT = 1e18
+
+
+class TreeQuantizer:
+    """Two-level (hierarchical) k-means coarse quantizer: k1 ≈ √k top
+    cells, each split into k2 ≈ k/k1 sub-cells; composite cell id =
+    top·k2 + sub.  Probing costs O((k1 + T·k2)·d) ≈ O(√k·d) per vector
+    instead of the flat quantizer's O(k·d) — with SemDeDup's k ∝ N rule
+    that's the difference between an O(N√N) and an O(N²) blocking pass
+    (the r8 semdedup race measured the flat path bending to N^1.7:
+    512 k → 149 s, 1 M → 511 s, 2 M → 1,704 s).  Standard vocabulary-tree
+    / hierarchical-k-means construction (Nistér & Stewénius CVPR 2006);
+    FAISS ships the same idea as IVF with an HNSW/tree coarse quantizer.
+
+    Centroid storage is (k1·k2)·d floats — identical to flat — and rides
+    the UDF closure (4 MB at k≈8k, d=64).  Past ~10⁵ cells ship it as a
+    broadcast instead of a closure (not needed at current scales).
+    Empty sub-slots (a top cell with fewer sample members than k2) hold
+    the _EMPTY_SLOT sentinel and are never probed."""
+
+    def __init__(self, c1: "np.ndarray", c2: "np.ndarray") -> None:
+        self.c1 = np.ascontiguousarray(c1, dtype=np.float64)  # (k1, d)
+        self.c2 = np.ascontiguousarray(c2, dtype=np.float64)  # (k1, k2, d)
+        self.k1, self.k2, _ = self.c2.shape
+
+    @property
+    def n_cells(self) -> int:
+        return self.k1 * self.k2
+
+    def probe_udf(self, probes: int, row_chunk: int = 1024):
+        """Arrow-vectorized vector → its `probes` nearest composite cells,
+        ordered by true distance to the sub-centroid.  Candidates are the
+        sub-cells of the T = max(probes, 2) nearest TOP cells, so a pair
+        straddling a sub-boundary (same top cell, near-tied sub-centroids
+        ranked oppositely) and a pair straddling a top-boundary both keep
+        the flat top-p probe's shared-cell property; the residual miss
+        (true p-th nearest sub-centroid living in the T+1-th top cell) is
+        the same ε-class the dual-quantizer blocking multiplies away.
+        Row-chunked so the (chunk, k2, d) gather stays tens of MB."""
+        C1, C2 = self.c1, self.c2
+        k1, k2 = self.k1, self.k2
+        T = min(max(probes, 2), k1)
+        p = min(probes, self.n_cells)
+        c1sq = (C1 * C1).sum(axis=1)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def probe(vs: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            out = []
+            for lo in range(0, len(X), row_chunk):
+                xs = X[lo : lo + row_chunk]
+                m = len(xs)
+                x2 = (xs * xs).sum(axis=1)
+                d1 = x2[:, None] - 2.0 * (xs @ C1.T) + c1sq[None, :]
+                if T >= k1:
+                    tops = np.argsort(d1, axis=1, kind="stable")[:, :T]
+                else:
+                    tops = np.argpartition(d1, T - 1, axis=1)[:, :T]
+                cand_d = np.empty((m, T * k2))
+                cand_id = np.empty((m, T * k2), dtype=np.int64)
+                for t in range(T):
+                    sel = C2[tops[:, t]]  # (m, k2, d) gather
+                    cand_d[:, t * k2 : (t + 1) * k2] = (
+                        (xs[:, None, :] - sel) ** 2
+                    ).sum(axis=2)
+                    cand_id[:, t * k2 : (t + 1) * k2] = (
+                        tops[:, t][:, None] * k2 + np.arange(k2)[None, :]
+                    )
+                pp = min(p, cand_d.shape[1])
+                idx = np.argpartition(cand_d, pp - 1, axis=1)[:, :pp]
+                ordered = np.take_along_axis(
+                    idx,
+                    np.argsort(
+                        np.take_along_axis(cand_d, idx, 1), axis=1, kind="stable"
+                    ),
+                    axis=1,
+                )
+                ids = np.take_along_axis(cand_id, ordered, axis=1)
+                out.extend(row.tolist() for row in ids)
+            return pd.Series(out)
+
+        return probe
+
+
+def train_tree_quantizer_sampled(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4096,
+    sample: int | None = None,
+    iters: int = 8,
+    sample_salt: int = 0,
+    chunk: int = 65536,
+) -> "TreeQuantizer":
+    """Train a TreeQuantizer on a bounded hash-ordered sample.  Training
+    cost is O(sample·√k·d) per Lloyd's iteration (level 1 over k1
+    centroids, then level 2 inside each top cell over its sample members)
+    versus the flat trainer's O(sample·k·d) — with semdedup's
+    sample = 32·k ∝ N that's the difference between O(N^1.5) and O(N²)
+    driver work, and the per-iteration temporaries shrink from (N/16,
+    N/512) to (N/16, √k)."""
+    import math
+
+    k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k)), ≥2
+    k2 = (k + k1 - 1) // k1
+    if sample is None:
+        sample = max(32 * k, 8192)
+    x = _sample_vectors(df, vec_col, sample, sample_salt)
+    if len(x) < k1:
+        raise ValueError(
+            f"tree-quantizer training sample has {len(x)} rows < k1={k1}; "
+            "raise `sample` or lower k"
+        )
+    c1 = _kmeans_blas(x, k1, iters, chunk=chunk)
+    # assign the sample to its top cell (chunked — same memory bound)
+    assign = np.empty(len(x), dtype=np.int64)
+    c1sq = (c1 * c1).sum(axis=1)
+    for lo in range(0, len(x), chunk):
+        hi = min(lo + chunk, len(x))
+        d2 = -2.0 * (x[lo:hi] @ c1.T) + c1sq[None, :]
+        assign[lo:hi] = d2.argmin(axis=1)
+    d = x.shape[1]
+    c2 = np.full((k1, k2, d), _EMPTY_SLOT)
+    for j in range(k1):
+        xj = x[assign == j]
+        if len(xj) == 0:
+            continue
+        kj = min(k2, len(xj))
+        c2[j, :kj] = _kmeans_blas(xj, kj, iters, chunk=chunk)
+    return TreeQuantizer(c1, c2)
 
 
 def assign_ivf_lists(

@@ -45,11 +45,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from tegallega_spark.operators.cc import dedup_cluster_assignments
-from tegallega_spark.operators.ivf import train_ivf_index_sampled
+from tegallega_spark.operators.ivf import (
+    train_centroids_sampled,
+    train_tree_quantizer_sampled,
+)
 from tegallega_spark.operators.similarity import cosine
 from tegallega_spark.session import attach_intermediates
 
 __all__ = ["semantic_pairs", "semantic_dedup", "auto_k_clusters"]
+
+# above this many cells the blocking switches from the flat quantizer to
+# the two-level TreeQuantizer: flat probing is O(k·d) per vector, so with
+# k ∝ N the blocking pass alone is O(N²/target_cell_size) — measured
+# bending the r8 race to N^1.7 (512 k → 149 s, 1 M → 511 s, 2 M →
+# 1,704 s).  The tree probes O(√k·d).  1024 keeps every sub-threshold
+# configuration byte-identical to the flat path the earlier races pinned.
+TREE_QUANTIZER_MIN_K = 1024
 
 
 def auto_k_clusters(n: int, target_cell_size: int = 512) -> int:
@@ -220,7 +231,7 @@ def semantic_pairs(
     if k_clusters == 1:
         # degenerate blocking (exact all-pairs); pyspark.ml KMeans needs k>=2
         cells = base.withColumn("__cell", F.lit(0)).persist()
-        handle = cells
+        handles = [cells]
     else:
         # r8: the sample-trained coarse quantizer replaces full pyspark.ml
         # KMeans — with k ∝ N (auto_k_clusters) the full trainer's
@@ -245,26 +256,47 @@ def semantic_pairs(
         # rejected: 64-d distance concentration puts ~70% of ALL
         # centroids inside the margin ball, inflating cells past the
         # star-link guard — see _probe_cells_udf.)  Composite cell id
-        # q·k + cell keeps every downstream stage single-key.
+        # q·width + cell keeps every downstream stage single-key.
+        #
+        # r9: ONE Arrow pass per quantizer.  The probe output is ordered
+        # by distance, so element 1 IS the nearest-cell assignment the
+        # star guard's true-population count needs — the separate
+        # assign_ivf_lists pass (a second full-corpus GEMM against the
+        # same centroid table) was redundant.  And above
+        # TREE_QUANTIZER_MIN_K cells the quantizer itself goes
+        # hierarchical (O(√k·d) per vector, O(sample·√k·d) training) —
+        # together these remove every O(N·k) = O(N²) term from the
+        # operator (the r8 verdict's N^1.7 curve item).
         p = min(probes, k_clusters)
-        ivfs = [
-            train_ivf_index_sampled(
-                base, vec_col="__v", k=k_clusters, sample_salt=salt
-            )
-            for salt in (0, 1)
-        ]
-        handle = ivfs[0].assigned  # persisted by IVFIndex
-        handle2 = ivfs[1].assigned
         per_q = []
-        for qi, ivf in enumerate(ivfs):
-            probe = _probe_cells_udf(ivf.centroids, p)
-            per_q.append(
-                ivf.assigned.drop("ivf_list")
-                .withColumn("__pc", F.explode(probe(F.col("__v"))))
-                .withColumn("__cell", F.col("__pc") + F.lit(qi * k_clusters))
-                .drop("__pc")
+        handles = []
+        for salt in (0, 1):
+            if k_clusters > TREE_QUANTIZER_MIN_K:
+                quant = train_tree_quantizer_sampled(
+                    base, vec_col="__v", k=k_clusters, sample_salt=salt
+                )
+                width = quant.n_cells
+                probe = quant.probe_udf(p)
+            else:
+                cents = train_centroids_sampled(
+                    base, vec_col="__v", k=k_clusters, sample_salt=salt
+                )
+                width = k_clusters
+                probe = _probe_cells_udf([c.tolist() for c in cents], p)
+            probed = base.withColumn("__cells", probe(F.col("__v"))).persist()
+            handles.append(probed)
+            per_q.append((probed, width))
+        cells = per_q[0][0].select(
+            "__id", "__v", F.explode("__cells").alias("__cell")
+        ).unionByName(
+            per_q[1][0]
+            .select("__id", "__v", F.explode("__cells").alias("__pc"))
+            .select(
+                "__id",
+                "__v",
+                (F.col("__pc") + F.lit(per_q[1][1])).alias("__cell"),
             )
-        cells = per_q[0].unionByName(per_q[1])
+        )
 
     # Two per-cell counts feed the star decision (VERDICT r4 #7):
     #   __tsize — TRUE population: primary (nearest-centroid) members only.
@@ -278,15 +310,21 @@ def semantic_pairs(
     #     in-flow) still can't trigger runaway pairwise work.
     sizes = cells.groupBy("__cell").agg(F.count("*").alias("__csize"))
     if k_clusters > 1:
-        # primaries per COMPOSITE cell: each quantizer's nearest-centroid
-        # population under its own id offset
+        # primaries per COMPOSITE cell: each quantizer's nearest-cell
+        # population (probe element 1 — the probe is distance-ordered)
+        # under its own id offset
         true_sizes = (
-            handle.groupBy(F.col("ivf_list").alias("__cell"))
+            per_q[0][0]
+            .groupBy(F.element_at("__cells", 1).alias("__cell"))
             .agg(F.count("*").alias("__tsize"))
             .unionByName(
-                handle2.groupBy(
-                    (F.col("ivf_list") + F.lit(k_clusters)).alias("__cell")
-                ).agg(F.count("*").alias("__tsize"))
+                per_q[1][0]
+                .groupBy(
+                    (F.element_at("__cells", 1) + F.lit(per_q[1][1])).alias(
+                        "__cell"
+                    )
+                )
+                .agg(F.count("*").alias("__tsize"))
             )
         )
         # left join: a cell reached only by probes has zero primaries
@@ -365,9 +403,7 @@ def semantic_pairs(
     # identically in each) — keep one
     if k_clusters > 1:
         scored = scored.dropDuplicates(["id_a", "id_b"])
-    if k_clusters > 1:
-        return attach_intermediates(scored, handle, handle2)
-    return attach_intermediates(scored, handle)
+    return attach_intermediates(scored, *handles)
 
 
 def semantic_dedup(

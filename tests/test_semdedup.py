@@ -235,6 +235,64 @@ def test_probe_inflow_work_bound_still_stars(spark):
     assert {r.id_a for r in pairs} == {0}
 
 
+def test_tree_quantizer_path_full_recall_on_planted(spark):
+    """r9: above TREE_QUANTIZER_MIN_K cells the blocking switches to the
+    two-level tree quantizer (O(√k·d) probe — the fix for the r8 race's
+    N^1.7 curve).  Forcing that path with an explicit large k on a
+    planted corpus must keep full pair recall, zero false positives at
+    this threshold, and the same one-keeper-per-group dedup."""
+    from tegallega_spark.operators.semdedup import TREE_QUANTIZER_MIN_K
+
+    k = TREE_QUANTIZER_MIN_K + 476  # well into the tree regime
+    df = _planted(spark, n_groups=120, copies=3)
+    pairs_df = semantic_pairs(df, min_cosine=0.999, k_clusters=k)
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    release_intermediates(pairs_df)
+    for g in range(120):
+        ids = [g * 3, g * 3 + 1, g * 3 + 2]
+        assert {(a, b) for a in ids for b in ids if a < b} <= pairs, (
+            f"group {g} pairs missing under tree blocking"
+        )
+    assert all(a // 3 == b // 3 for a, b in pairs)
+
+    kept = semantic_dedup(df, min_cosine=0.999, k_clusters=k)
+    ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    release_intermediates(kept)
+    assert ids == [g * 3 for g in range(120)]
+
+
+def test_tree_quantizer_probe_matches_bruteforce_cells():
+    """The tree probe's element 1 (the assignment) must be the argmin
+    over the REAL (non-sentinel) sub-centroids it considered, and all
+    probed ids must be valid composite cells — re-derived with plain
+    numpy against the quantizer's own centroid tables."""
+    import pandas as pd
+
+    from tegallega_spark.operators.ivf import _EMPTY_SLOT, TreeQuantizer
+
+    rng = np.random.default_rng(9)
+    c1 = rng.normal(size=(4, 8))
+    c2 = rng.normal(size=(4, 3, 8))
+    c2[2, 2] = _EMPTY_SLOT  # one empty sub-slot
+    q = TreeQuantizer(c1, c2)
+    probe = q.probe_udf(2, row_chunk=5)  # chunking exercised
+    X = rng.normal(size=(17, 8))
+    got = probe.func(pd.Series(list(X)))
+
+    for i, cells in enumerate(got):
+        assert len(cells) == 2 and cells[0] != cells[1]
+        # mirror the probe contract with plain numpy: candidates are the
+        # sub-cells of the 2 nearest TOP cells, ranked by true distance
+        d1 = ((X[i][None, :] - c1) ** 2).sum(axis=1)
+        tops = np.argsort(d1)[:2]
+        d = ((X[i][None, None, :] - c2[tops]) ** 2).sum(axis=2)  # (2, 3)
+        flat_ids = (tops[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
+        flat_d = d.reshape(-1)
+        want = [int(flat_ids[j]) for j in np.argsort(flat_d, kind="stable")[:2]]
+        assert list(cells) == want
+        assert all(flat_d[list(flat_ids).index(c)] < _EMPTY_SLOT for c in cells)
+
+
 def test_margin_probe_covers_centroid_ties(spark):
     """r8: the radius-margin probe's losslessness rule.  Two
     near-identical vectors sitting astride a two-centroid tie rank the
