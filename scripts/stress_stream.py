@@ -22,8 +22,14 @@ supplies it:
   (from the final StreamingQueryProgress), batch wall-clock for the same
   corpus — the throughput row the README publishes.
 
-Usage: python scripts/stress_stream.py [N ...]   (default 8 16 32)
-        N is the sf0.1 replication factor: N=8 → 40 k docs, 32 → 160 k.
+Usage: python scripts/stress_stream.py [N[:CAP] ...]   (default 8 16 32)
+        N is the sf0.1 replication factor: N=8 → 40 k docs, 32 → 160 k,
+        128 → 640 k.  N:CAP (e.g. 128:4) runs the SAME feed with
+        max_ids_per_bucket=CAP — the state-eviction row: state must stay
+        hard-bounded (≤ buckets × CAP) and the streamed candidates must
+        be a SUBSET of batch (the documented retention-horizon recall
+        trade), with the measured recall published instead of asserted
+        equality.
 """
 
 from __future__ import annotations
@@ -79,7 +85,7 @@ def build_feed(spark, n: int) -> tuple[str, int]:
     return feed, total
 
 
-def run_stream(spark, feed: str) -> tuple[float, set, dict]:
+def run_stream(spark, feed: str, max_ids: int | None = None) -> tuple[float, set, dict]:
     """(wall_s, distinct candidate pairs, progress metrics)."""
     from tegallega_spark.streaming.neardup_stream import neardup_candidates_stream
 
@@ -93,8 +99,9 @@ def run_stream(spark, feed: str) -> tuple[float, set, dict]:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{feed}/*.parquet")
     )
+    kw = {} if max_ids is None else {"max_ids_per_bucket": max_ids}
     cands = neardup_candidates_stream(
-        stream, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES, bands=BANDS
+        stream, shingle_n=SHINGLE_N, num_hashes=NUM_HASHES, bands=BANDS, **kw
     )
     t0 = time.perf_counter()
     q = (
@@ -172,7 +179,11 @@ def verify_stream_pairs(spark, feed: str, cands: set) -> set:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
+    specs = []
+    for a in sys.argv[1:]:
+        n, _, cap = a.partition(":")
+        specs.append((int(n), int(cap) if cap else None))
+    specs = specs or [(8, None), (16, None), (32, None)]
     os.makedirs(OUT, exist_ok=True)
 
     from tegallega_spark.session import get_spark
@@ -182,33 +193,48 @@ def main() -> None:
     spark.range(1).count()
 
     results = []
-    for n in sizes:
+    for n, cap in specs:
         feed, total = build_feed(spark, n)
-        stream_s, stream_cands, metrics = run_stream(spark, feed)
+        stream_s, stream_cands, metrics = run_stream(spark, feed, max_ids=cap)
         batch_s, batch_cands, batch_verified = batch_answers(spark, feed)
-        assert stream_cands == batch_cands, (
-            f"N={n}: candidate sets differ "
-            f"(stream {len(stream_cands)}, batch {len(batch_cands)})"
-        )
-        stream_verified = verify_stream_pairs(spark, feed, stream_cands)
-        assert stream_verified == batch_verified, (
-            f"N={n}: verified pair sets differ "
-            f"(stream {len(stream_verified)}, batch {len(batch_verified)})"
-        )
-        results.append(
-            {
-                "replication": n,
-                "docs": total,
-                "triggers": metrics["triggers"],
-                "candidates": len(stream_cands),
-                "verified_pairs": len(batch_verified),
-                "stream_s": round(stream_s, 2),
-                "docs_per_s": round(total / stream_s, 1),
-                "state_rows": metrics["state_rows"],
-                "batch_s": round(batch_s, 2),
-                "pair_sets": "identical",
-            }
-        )
+        row = {
+            "replication": n,
+            "docs": total,
+            "triggers": metrics["triggers"],
+            "candidates": len(stream_cands),
+            "verified_pairs": len(batch_verified),
+            "stream_s": round(stream_s, 2),
+            "docs_per_s": round(total / stream_s, 1),
+            "state_rows": metrics["state_rows"],
+            "batch_s": round(batch_s, 2),
+        }
+        if cap is None:
+            assert stream_cands == batch_cands, (
+                f"N={n}: candidate sets differ "
+                f"(stream {len(stream_cands)}, batch {len(batch_cands)})"
+            )
+            stream_verified = verify_stream_pairs(spark, feed, stream_cands)
+            assert stream_verified == batch_verified, (
+                f"N={n}: verified pair sets differ "
+                f"(stream {len(stream_verified)}, batch {len(batch_verified)})"
+            )
+            row["pair_sets"] = "identical"
+        else:
+            # eviction row: when the retention bound BINDS, candidates
+            # may only be LOST (a doc beyond the horizon), never invented
+            assert stream_cands <= batch_cands, (
+                f"N={n} cap={cap}: stream emitted pairs batch never had"
+            )
+            stream_verified = verify_stream_pairs(spark, feed, stream_cands)
+            assert stream_verified <= batch_verified
+            row["max_ids_per_bucket"] = cap
+            row["candidate_recall"] = round(
+                len(stream_cands) / len(batch_cands), 4
+            ) if batch_cands else 1.0
+            row["verified_recall"] = round(
+                len(stream_verified) / len(batch_verified), 4
+            ) if batch_verified else 1.0
+        results.append(row)
         print(json.dumps(results[-1]), file=sys.stderr)
 
     print(json.dumps(results))

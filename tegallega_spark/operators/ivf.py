@@ -225,16 +225,21 @@ class TreeQuantizer:
     def probe_udf(self, probes: int, row_chunk: int = 1024):
         """Arrow-vectorized vector → its `probes` nearest composite cells,
         ordered by true distance to the sub-centroid.  Candidates are the
-        sub-cells of the T = max(probes, 2) nearest TOP cells, so a pair
-        straddling a sub-boundary (same top cell, near-tied sub-centroids
-        ranked oppositely) and a pair straddling a top-boundary both keep
-        the flat top-p probe's shared-cell property; the residual miss
-        (true p-th nearest sub-centroid living in the T+1-th top cell) is
-        the same ε-class the dual-quantizer blocking multiplies away.
-        Row-chunked so the (chunk, k2, d) gather stays tens of MB."""
+        sub-cells of the T = probes+1 (≥3) nearest TOP cells.  T must
+        EXCEED probes: with T = probes, two near-identical vectors that
+        rank near-tied 2nd/3rd top cells oppositely get DIFFERENT
+        candidate sets, and the pair can probe disjoint composite cells —
+        measured at N=1 M / p=2 / T=2 as a ~0.7% per-quantizer miss rate
+        (5 of 110,961 planted pairs missed even through the dual
+        blocking), 350× the flat probe's.  With one spare top cell the
+        tied tops appear in BOTH candidate sets, so the top-p composite
+        pick can only tie on sub-centroid distances — the same ε-class as
+        the flat probe, which the dual-quantizer blocking multiplies
+        away.  Row-chunked so the (chunk, k2, d) gather stays tens of
+        MB."""
         C1, C2 = self.c1, self.c2
         k1, k2 = self.k1, self.k2
-        T = min(max(probes, 2), k1)
+        T = min(max(probes + 1, 3), k1)
         p = min(probes, self.n_cells)
         c1sq = (C1 * C1).sum(axis=1)
         from pyspark.sql.functions import pandas_udf

@@ -261,11 +261,13 @@ def test_tree_quantizer_path_full_recall_on_planted(spark):
     assert ids == [g * 3 for g in range(120)]
 
 
-def test_tree_quantizer_probe_matches_bruteforce_cells():
+def test_tree_quantizer_probe_matches_bruteforce_cells(spark):
     """The tree probe's element 1 (the assignment) must be the argmin
     over the REAL (non-sentinel) sub-centroids it considered, and all
     probed ids must be valid composite cells — re-derived with plain
-    numpy against the quantizer's own centroid tables."""
+    numpy against the quantizer's own centroid tables.  (The spark
+    fixture is required: pandas_udf return-type parsing needs an active
+    context even though the probe function is exercised directly.)"""
     import pandas as pd
 
     from tegallega_spark.operators.ivf import _EMPTY_SLOT, TreeQuantizer
@@ -282,10 +284,11 @@ def test_tree_quantizer_probe_matches_bruteforce_cells():
     for i, cells in enumerate(got):
         assert len(cells) == 2 and cells[0] != cells[1]
         # mirror the probe contract with plain numpy: candidates are the
-        # sub-cells of the 2 nearest TOP cells, ranked by true distance
+        # sub-cells of the T = probes+1 = 3 nearest TOP cells, ranked by
+        # true distance
         d1 = ((X[i][None, :] - c1) ** 2).sum(axis=1)
-        tops = np.argsort(d1)[:2]
-        d = ((X[i][None, None, :] - c2[tops]) ** 2).sum(axis=2)  # (2, 3)
+        tops = np.argsort(d1)[:3]
+        d = ((X[i][None, None, :] - c2[tops]) ** 2).sum(axis=2)  # (3, 3)
         flat_ids = (tops[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
         flat_d = d.reshape(-1)
         want = [int(flat_ids[j]) for j in np.argsort(flat_d, kind="stable")[:2]]
