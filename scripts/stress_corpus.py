@@ -483,6 +483,113 @@ WHERE common * 1.0 / (ca.c + cb.c - common) >= {JACCARD_T}
 """
 )
 
+# the two bounded halves of JACCARD_SQL: per-doc kept-shingle cardinality
+# (df-cut only — df=1 shingles DO count toward |A∪B|), and the
+# dictionary-encoded postings list restricted to pair-capable shingles
+# (2 <= df <= cut; df=1 can't produce a pair, df>cut is the same
+# hot-shingle cut the SQL applies).  Both are group-bys + one string hash
+# join — spillable, no quadratic intermediate.
+JACCARD_CARD_SQL = (
+    "WITH " + _shingle_frag("cur", SHINGLE_N) + f""",
+keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= {MAX_SHINGLE_DF})
+SELECT sh.doc_id, count(*) AS c FROM sh JOIN keep USING (g) GROUP BY doc_id
+"""
+)
+JACCARD_POSTINGS_SQL = (
+    "WITH " + _shingle_frag("cur", SHINGLE_N) + f""",
+keep AS (SELECT g FROM sh GROUP BY g
+         HAVING count(*) <= {MAX_SHINGLE_DF} AND count(*) >= 2),
+gdict AS (SELECT g, row_number() OVER () AS gid FROM keep)
+SELECT sh.doc_id, gdict.gid FROM sh JOIN gdict USING (g)
+"""
+)
+
+
+def reference_jaccard_pairs(con) -> set[tuple[int, int]]:
+    """Exact DF-cut Jaccard pairs — IDENTICAL semantics to JACCARD_SQL —
+    with the quadratic work in numpy instead of a SQL self-join: at 3.2 M
+    docs DuckDB's `shk JOIN shk ON g` materialized its join+group-by
+    spill past this box's ~67 GB free disk (ENOSPC, the same failure
+    class SPANS_SQL's window operators hit at this size, fixed the same
+    way — reference_spans).  DuckDB still does everything it is good at
+    (tokenize, shingle, DF-cut, dictionary-encode — all spillable
+    group-bys plus ONE string hash join); numpy expands each shingle's
+    posting list into doc pairs in bounded chunks, np.unique-counts the
+    packed pairs, and applies the |A∩B|/|A∪B| threshold with exact
+    integer arithmetic.  Gram identity is exact (dictionary ids are a
+    bijection on shingle strings — no hashing).  Cross-checked against
+    JACCARD_SQL itself at every size the SQL can run (reference_clean
+    asserts set equality <= 150 k docs)."""
+    cards_df = con.execute(JACCARD_CARD_SQL).df()
+    card = {}
+    for r in cards_df.itertuples(index=False):
+        card[int(r.doc_id)] = int(r.c)
+    del cards_df
+    tbl = con.execute(JACCARD_POSTINGS_SQL).arrow()
+    doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+    gid = tbl.column("gid").to_numpy().astype(np.int64)
+    del tbl
+    if len(doc) == 0:
+        return set()
+    order = np.lexsort((doc, gid))  # doc ascending within gid → a < b free
+    doc, gid = doc[order], gid[order]
+    del order
+    starts = np.flatnonzero(np.concatenate(([True], gid[1:] != gid[:-1])))
+    sizes = np.diff(np.concatenate((starts, [len(gid)])))
+    del gid
+    # chunk groups so each expansion's pair-instance count stays bounded
+    pair_per_group = sizes * (sizes - 1) // 2
+    budget = 32_000_000
+    chunk_uniq: list[np.ndarray] = []
+    chunk_cnts: list[np.ndarray] = []
+    g_lo = 0
+    cum = np.cumsum(pair_per_group)
+    while g_lo < len(sizes):
+        base = cum[g_lo - 1] if g_lo else 0
+        g_hi = int(np.searchsorted(cum, base + budget, side="left")) + 1
+        g_hi = max(g_hi, g_lo + 1)
+        s = sizes[g_lo:g_hi]
+        o = starts[g_lo:g_hi]
+        # vectorized i<j expansion: element at local index i pairs with
+        # the s-1-i elements after it
+        local = np.arange(int(s.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(s)[:-1])), s
+        )
+        counts_a = np.repeat(s, s) - 1 - local
+        elem_pos = np.repeat(o, s) + local
+        a_idx = np.repeat(elem_pos, counts_a)
+        block_start = np.concatenate(([0], np.cumsum(counts_a)[:-1]))
+        within = np.arange(int(counts_a.sum())) - np.repeat(
+            block_start, counts_a
+        )
+        b_idx = a_idx + 1 + within
+        del local, counts_a, elem_pos, block_start, within
+        if len(a_idx):
+            key = (doc[a_idx] << 32) | doc[b_idx]
+            del a_idx, b_idx
+            u, c = np.unique(key, return_counts=True)
+            del key
+            chunk_uniq.append(u)
+            chunk_cnts.append(c)
+        g_lo = g_hi
+    if not chunk_uniq:
+        return set()
+    allk = np.concatenate(chunk_uniq)
+    allc = np.concatenate(chunk_cnts)
+    del chunk_uniq, chunk_cnts
+    u, inv = np.unique(allk, return_inverse=True)
+    common = np.zeros(len(u), dtype=np.int64)
+    np.add.at(common, inv, allc)
+    del allk, allc, inv
+    a = (u >> 32).astype(np.int64)
+    b = (u & 0xFFFFFFFF).astype(np.int64)
+    out = set()
+    for i in range(len(u)):
+        ca, cb, cm = card[int(a[i])], card[int(b[i])], int(common[i])
+        if cm / (ca + cb - cm) >= JACCARD_T:
+            out.add((int(a[i]), int(b[i])))
+    return out
+
 _TOK_RE = re.compile(r"[^ \t\n\x0b\f\r]+")  # complement of Java \s
 _WS_RE = re.compile(r"\s+")
 
@@ -604,9 +711,21 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     cur = cur[~cur["doc_id"].isin(contaminated)].reset_index(drop=True)
     con.unregister("cur"); con.register("cur", cur)
 
-    # 8. exact-Jaccard pairs (DF-cut) → union-find min-label → canonical
-    _mark("jaccard pairs")
-    pairs = con.execute(JACCARD_SQL).df()
+    # 8. exact-Jaccard pairs (DF-cut) → union-find min-label → canonical.
+    # The memory-bounded derivation (reference_jaccard_pairs) replaces the
+    # SQL self-join, whose join+group-by spill ENOSPC-killed the 3.2 M
+    # reference on this box; self-validating at every size the SQL can run.
+    _mark("jaccard pairs (numpy)")
+    pair_set = reference_jaccard_pairs(con)
+    if len(cur) <= 150_000:
+        _mark("jaccard (SQL cross-check)")
+        sql_pairs = {
+            (int(r.id_a), int(r.id_b))
+            for r in con.execute(JACCARD_SQL).df().itertuples(index=False)
+        }
+        assert pair_set == sql_pairs, (
+            "numpy jaccard derivation diverged from JACCARD_SQL"
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -615,8 +734,8 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
             x = parent[x]
         return x
 
-    for r in pairs.itertuples(index=False):
-        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+    for id_a, id_b in sorted(pair_set):
+        ra, rb = find(id_a), find(id_b)
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
