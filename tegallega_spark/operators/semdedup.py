@@ -11,9 +11,13 @@ pairs that straddle a cluster boundary (k_clusters is the recall knob;
 SemDeDup uses k ∝ N so clusters stay small).
 
 Spark-first composition — everything reuses existing pieces:
-- clustering: `operators/ivf.train_ivf_index_sampled` (bounded-sample
-  Lloyd's + one Arrow assignment pass — training cost is a function of k
-  alone, so k ∝ N stays affordable; r8, was full pyspark.ml KMeans);
+- clustering: bounded-sample Lloyd's (`operators/ivf`) — flat
+  (`train_centroids_sampled`) up to TREE_QUANTIZER_MIN_K cells, the
+  two-level `TreeQuantizer` above it (r9: with k ∝ N, flat probing is
+  O(N·k) = O(N²); the tree probes O(√k·d) per vector and trains in
+  O(sample·√k·d), which flattened the measured race curve from N^1.7
+  to near-linear).  ONE Arrow pass per quantizer: the distance-ordered
+  probe's element 1 is the assignment;
 - pair generation: self-equi-join on the cluster id.  Unlike the
   multi-table LSH families each row lives in exactly ONE bucket, so the
   join carries the vectors directly — no bare-id dedup pass, no second

@@ -61,6 +61,29 @@ def test_id_grammar(spark):
     )
 
 
+def test_to_fixed_matches_ecmascript_not_java(spark):
+    """r9: the virtual-stop id grammar is JS toFixed(4), which rounds the
+    EXACT binary double — Java's %.4f rounds the shortest decimal repr
+    instead and disagrees on boundary values.  The first value below is
+    the real divergence the 3 200-relation extract race caught (exact
+    value 107.05904999999…, shortest repr "107.05905"): node says
+    107.0590, %.4f says 107.0591.  Expectations generated with node."""
+    from tegallega_spark.functions.ids import to_fixed
+
+    cases = [
+        (107.0590499999999991587174008600413799285888671875, "107.0590"),
+        (107.05905000000000768, "107.0591"),  # exact value above boundary
+        (3.15625, "3.1563"),    # representable exact tie → away from zero
+        (-3.15625, "-3.1563"),
+        (-0.00001, "-0.0000"),  # negative underflow keeps the sign, like JS
+        (0.0, "0.0000"),
+        (-6.91891, "-6.9189"),
+        (2.0, "2.0000"),
+    ]
+    for x, want in cases:
+        assert one(spark, to_fixed(F.lit(float(x)), 4)) == want, x
+
+
 def test_misc_string_functions(spark):
     assert one(spark, sanitize_filename(F.lit("K1: A→B/C"))) == "K1_ A_B_C"
     # '#rrggbb' → 'aabbggrr' (convert-geojson-kml.py:8-15)
