@@ -275,17 +275,34 @@ def run_spark(spark, world: dict) -> tuple[float, dict]:
         wr, nr = bundle_to_rows(rid, bundle)
         all_way_rows.extend(wr)
         all_node_rows.extend(nr)
-    ways_df = spark.createDataFrame(all_way_rows, WAY_VERTEX_SCHEMA)
-    nodes_df = spark.createDataFrame(all_node_rows, STOP_NODE_SCHEMA)
+    # Arrow on both boundaries (r9): list-of-tuples createDataFrame and
+    # row-iterator collect() both serialize row-at-a-time through py4j —
+    # profiled as the DOMINANT per-relation cost past ~10 k relations
+    # (~2 ms/relation against node's 0.77).  pandas→createDataFrame and
+    # toPandas() ride Arrow batches; the query plan is unchanged.
+    import pandas as pd
+
+    way_cols = ["relation_id", "way_order", "way_id", "way_name",
+                "vertex_idx", "lon", "lat"]
+    node_cols = ["relation_id", "member_order", "stop_id", "name",
+                 "role", "lon", "lat"]
+    ways_df = spark.createDataFrame(
+        pd.DataFrame(all_way_rows, columns=way_cols), WAY_VERTEX_SCHEMA
+    )
+    nodes_df = spark.createDataFrame(
+        pd.DataFrame(all_node_rows, columns=node_cols), STOP_NODE_SCHEMA
+    )
     stitched = stitch_ways(ways_df, key="relation_id").persist()
     stops = angkot_stops(nodes_df, stitched, ways_df)
 
     got: dict = {}
-    for r in stitched.orderBy("relation_id", "vertex_idx").collect():
+    spdf = stitched.orderBy("relation_id", "vertex_idx").toPandas()
+    for r in spdf.itertuples(index=False):
         got.setdefault(r.relation_id, ([], []))[0].append(
             (round(r.lon, 9), round(r.lat, 9))
         )
-    for r in stops.orderBy("relation_id", "frac_idx").collect():
+    stdf = stops.orderBy("relation_id", "frac_idx").toPandas()
+    for r in stdf.itertuples(index=False):
         got.setdefault(r.relation_id, ([], []))[1].append(
             (r.stop_id, r.name, r.role, bool(r.is_real),
              round(r.lon, 9), round(r.lat, 9))
