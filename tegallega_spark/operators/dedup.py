@@ -802,9 +802,51 @@ def make_simhash_udf(shingle_n: int = 2):
     return fingerprint
 
 
+def md5_shingle_hashes(text: Column, shingle_n: int = 2) -> Column:
+    """60-bit integers from the first 15 md5 hex chars of each distinct
+    shingle — the ENGINE-AUDITABLE hash family (DuckDB replays md5 exactly;
+    xxhash64 it cannot).  Same construction as the winnowing sketch's
+    auditable hasher."""
+    return F.transform(
+        word_shingles(text, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def make_simhash_bitsum_udf():
+    """array<long> of 60-bit shingle hashes → 60-bit SimHash fingerprint.
+    One numpy pass per Arrow batch; the hash VALUES come from column
+    expressions (md5_shingle_hashes), so string semantics live JVM-side,
+    consistent with the DuckDB oracle — numpy only does integer bit math."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(60, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def fingerprint(hash_arrays: pd.Series) -> pd.Series:
+        out = []
+        for hv in hash_arrays:
+            h = np.asarray(hv, dtype=np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            sums = (2 * bits - 1).sum(axis=0)
+            out.append(int(((sums > 0).astype(np.uint64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return fingerprint
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int, use_arrow: bool
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, use_arrow: bool,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
+    if hash_fn == "md5":
+        # oracle-replayable: md5 hashes via columns, bit sums via Arrow
+        fp_udf = make_simhash_bitsum_udf()
+        return parallelize_for_udf(df).select(
+            F.col(id_col).alias("__id"),
+            fp_udf(md5_shingle_hashes(F.col(text_col), shingle_n)).alias("__fp"),
+        )
     if use_arrow:
         fp_udf = make_simhash_udf(shingle_n)
         return parallelize_for_udf(df).select(
@@ -824,16 +866,22 @@ def simhash_near_duplicates(
     bands: int = 4,
     use_arrow: bool = True,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 63-bit fingerprint into `bands`
-    chunks; by pigeonhole, any pair within max_hamming (< bands) shares at
-    least one identical chunk → equi-join per chunk, then exact Hamming
-    filter via bit_count(xor).  The pigeonhole argument needs only
-    bands > max_hamming — chunks not covering all 64 bits still guarantee
-    recall (uncovered-bit diffs only reduce covered-bit diffs)."""
+    """SimHash near-dup pairs: band the fingerprint (63-bit xxhash family,
+    60-bit md5 family — `hash_fn`) into `bands` chunks; by pigeonhole, any
+    pair within max_hamming (< bands) shares at least one identical chunk
+    → equi-join per chunk, then exact Hamming filter via bit_count(xor).
+    The pigeonhole argument needs only bands > max_hamming — chunks not
+    covering all bits still guarantee recall (uncovered-bit diffs only
+    reduce covered-bit diffs).  hash_fn="md5" keeps the whole family
+    DuckDB-replayable (see md5_shingle_hashes)."""
     # persist: the banded self-join reads fingerprints from both sides
-    fp = simhash_fingerprints(df, id_col, text_col, shingle_n, use_arrow).persist()
-    chunk_bits = 64 // bands
+    fp = simhash_fingerprints(
+        df, id_col, text_col, shingle_n, use_arrow, hash_fn=hash_fn
+    ).persist()
+    width = 60 if hash_fn == "md5" else 64
+    chunk_bits = width // bands
     banded = fp.select(
         "__id",
         "__fp",
@@ -886,19 +934,25 @@ def simhash_near_duplicates_verified(
     jaccard_threshold: float = 0.7,
     use_arrow: bool = True,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """SimHash near-dup pairs with EXACT Jaccard verification.
 
     Candidates come from the banded fingerprint join (hamming ≤ max_hamming
     guaranteed caught when bands > max_hamming); each candidate's exact
     shingle-set Jaccard is then recomputed and filtered, so the output
-    (id_a, id_b, jaccard) is deterministic and oracle-checkable — it equals
-    the exact all-pairs result whenever every true pair at the threshold
-    falls within max_hamming (verified on the test corpora; a miss would
-    show up as an oracle mismatch, which is the point)."""
+    (id_a, id_b, jaccard) is deterministic: exactly the pairs with
+    fingerprint hamming ≤ max_hamming AND exact Jaccard ≥ threshold.
+    With hash_fn="md5" that CONTRACT is itself oracle-checkable — DuckDB
+    can recompute the md5-simhash fingerprints, the hamming distances,
+    and the exact Jaccard, so the gate checks what the operator promises
+    at every scale.  (A plain exact-Jaccard oracle is STRICTER than the
+    operator's horizon: NIGHTLY_r9 at sf0.1 found one 0.7-Jaccard pair at
+    hamming 13 — simhash's documented ε materializing, not a banding
+    recall bug; the md5 oracle form pins the horizon explicitly.)"""
     cand_full = simhash_near_duplicates(
         df, id_col, text_col, shingle_n, max_hamming, bands, use_arrow,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, hash_fn=hash_fn,
     )
     cand = attach_intermediates(cand_full.select("id_a", "id_b"), cand_full)
     exact = exact_jaccard_for_pairs(cand, df, id_col, text_col, shingle_n)

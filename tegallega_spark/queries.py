@@ -656,12 +656,18 @@ def q20(spark, sf_dir):
 
 @register(
     "q21_window_frames",
+    # floor(x*10^4 + 0.5), not ROUND(x, 4): a windowed AVG at sf0.1 lands
+    # exactly on .00005 boundaries (NIGHTLY_r9 caught 14.59125 rounding
+    # 14.5912 in DuckDB vs 14.5913 in Spark) — Spark round() is BigDecimal
+    # HALF_UP on the shortest repr, DuckDB's is a double multiply; the
+    # floor form makes both engines run the identical double arithmetic
+    # (same rule as q45).
     oracle=r"""
     SELECT event_id, user_id,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+           floor(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000 AS mov_avg,
            CAST(COUNT(*) OVER wr AS BIGINT) AS peers_within_1,
-           ROUND(AVG(value) OVER wr, 4) AS peer_avg
+           floor(AVG(value) OVER wr * 10000 + 0.5) / 10000 AS peer_avg
     FROM events
     WINDOW wr AS (PARTITION BY user_id ORDER BY value
                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
@@ -673,11 +679,15 @@ def q21(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     w_range = Window.partitionBy("user_id").orderBy("value").rangeBetween(-1, 1)
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
     return e.select(
         "event_id", "user_id",
-        F.round(F.avg("value").over(w_rows), 4).alias("mov_avg"),
+        r4(F.avg("value").over(w_rows)).alias("mov_avg"),
         F.count("*").over(w_range).alias("peers_within_1"),
-        F.round(F.avg("value").over(w_range), 4).alias("peer_avg"),
+        r4(F.avg("value").over(w_range)).alias("peer_avg"),
     )
 
 
@@ -1141,16 +1151,67 @@ def q35(spark, sf_dir):
 
 @register(
     "q36_simhash_neardup",
-    oracle=_SHINGLE_JACCARD_ORACLE.format(n=2, n_minus_1=1),
+    # The oracle replays the operator's FULL contract — md5-simhash
+    # fingerprints, hamming ≤ 12, exact Jaccard ≥ 0.7 — not just exact
+    # Jaccard.  A plain Jaccard oracle is stricter than what simhash
+    # promises: at sf0.1 one 0.7-Jaccard pair sits at hamming 13
+    # (NIGHTLY_r9 caught it), which is the method's documented ε, not a
+    # recall bug.  The md5 hash family (md5_shingle_hashes) exists so
+    # DuckDB can recompute the identical fingerprints (q62's auditable-
+    # hasher technique).
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                                    i -> array_to_string(w[i:i+1], ' ')))
+             END AS s
+      FROM words),
+    hs AS (
+      SELECT doc_id,
+             list_transform(s, g -> list_sum(
+               [CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT)
+                << (4 * (15 - i)) for i in range(1, 16)])) AS hv
+      FROM sh),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CASE WHEN list_sum(list_transform(hv,
+                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+                for b in range(0, 60)]) AS BIGINT) AS fp
+      FROM hs),
+    tok AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    card AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(common / (ca.c + cb.c - common), 4) AS jaccard
+    FROM pair JOIN card ca ON pair.id_a = ca.doc_id
+              JOIN card cb ON pair.id_b = cb.doc_id
+              JOIN fp fa ON pair.id_a = fa.doc_id
+              JOIN fp fb ON pair.id_b = fb.doc_id
+    WHERE common / (ca.c + cb.c - common) >= 0.7
+      AND bit_count(xor(fa.fp, fb.fp)) <= 12
+    """,
 )
 def q36(spark, sf_dir):
-    """SimHash near-dup pairs, EXACT-verified (north-star): banded 63-bit
-    fingerprint join (pigeonhole-guaranteed for hamming ≤ 12 with 13 bands)
-    generates candidates, then the exact 2-gram shingle-set Jaccard is
-    recomputed and filtered — same falsifiability contract as q35."""
+    """SimHash near-dup pairs, EXACT-verified (north-star): banded 60-bit
+    md5-simhash fingerprint join (pigeonhole-guaranteed for hamming ≤ 12
+    with 13 bands) generates candidates, then the exact 2-gram shingle-set
+    Jaccard is recomputed and filtered.  The md5 hash family makes the
+    whole contract — fingerprints, hamming horizon, exact scores —
+    replayable by the DuckDB oracle at any scale."""
     d = T(spark, sf_dir, "documents")
     pairs = D.simhash_near_duplicates_verified(
-        d, "doc_id", "text", shingle_n=2, max_hamming=12, bands=13, jaccard_threshold=0.7
+        d, "doc_id", "text", shingle_n=2, max_hamming=12, bands=13,
+        jaccard_threshold=0.7, hash_fn="md5",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

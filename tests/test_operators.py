@@ -246,6 +246,57 @@ def test_verified_neardups_equal_exact_sets(spark, sf_dir):
     assert sh == ex2 and len(sh) > 0
 
 
+def test_md5_simhash_fingerprints_rederivable(spark, sf_dir):
+    """r9: the md5 hash family (q36's oracle-replayable variant) — the
+    Spark fingerprint must equal a pure-python rederivation of the SAME
+    spec (lower, [^a-z0-9]+ split, distinct 2-shingles, first-15-hex-chars
+    md5 → 60-bit int, per-bit ±1 sums), and the md5 verified pair set must
+    still equal the exact set on the smoke corpus."""
+    import hashlib
+    import re as _re
+
+    from tegallega_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+        simhash_near_duplicates_verified,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    got = {
+        r["__id"]: r["__fp"]
+        for r in simhash_fingerprints(
+            d, "doc_id", "text", 2, use_arrow=True, hash_fn="md5"
+        ).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in _re.split(r"[^a-z0-9]+", (row.text or "").lower()) if w]
+        if len(words) < 2:
+            sh = {" ".join(words)}
+        else:
+            sh = {" ".join(words[i : i + 2]) for i in range(len(words) - 1)}
+        sums = [0] * 60
+        for g in sorted(sh):
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        want = sum(1 << b for b in range(60) if sums[b] > 0)
+        assert got[row.doc_id] == want, row.doc_id
+
+    full = load_table(spark, sf_dir, "documents")
+    md5_pairs = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in simhash_near_duplicates_verified(
+            full, "doc_id", "text", shingle_n=2, jaccard_threshold=0.7,
+            hash_fn="md5",
+        ).collect()
+    }
+    ex2 = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(full, "doc_id", "text", 2, 0.7).collect()
+    }
+    assert md5_pairs == ex2 and len(md5_pairs) > 0
+
+
 def test_embedding_all_pairs_equals_brute_force(spark, sf_dir):
     """Multi-table hyperplane LSH + exact cosine recompute equals the exact
     all-pairs result at the q39 threshold."""
