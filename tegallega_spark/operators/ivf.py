@@ -102,24 +102,50 @@ def auto_k_lists(n: int) -> int:
 
 
 def _sample_vectors(
-    df: DataFrame, vec_col: str, sample: int, sample_salt: int
+    df: DataFrame, vec_col: str, sample: int, sample_salt: int,
+    n: int | None = None,
 ) -> "np.ndarray":
     """Bounded hash-ordered vector sample as a (sample, d) float64 array —
     deterministic and corpus-size-independent (one pruned scan).
     `sample_salt` draws an INDEPENDENT sample (and therefore an
     independent centroid/boundary system for any quantizer trained on
-    it); 0 keeps the original draw."""
+    it); 0 keeps the original draw.
+
+    When the caller knows the corpus size `n` and the sample is a small
+    fraction of it, a HASH-CUTOFF prefilter runs before the top-N sort:
+    plain orderBy(h).limit(sample) executes as TakeOrderedAndProject,
+    which collects every partition's per-partition top-`sample` to the
+    driver — once `sample` exceeds the rows-per-partition, that is the
+    WHOLE CORPUS (measured: 8 M vectors / sample = 500 k blew
+    spark.driver.maxResultSize at ~500 tasks × full partitions).  The
+    prefilter keeps rows with h below the cutoff expected to pass
+    1.5 × sample rows (xxhash64 is uniform over the signed 64-bit
+    range), then takes the exact top-`sample` within — EXACTNESS
+    PRESERVED: if the filtered set has ≥ sample rows, it contains the
+    global sample smallest hashes, so the result is bit-identical to
+    the unfiltered path (verified by the result-length check, with a
+    fallback to the full path in the Binomial-tail case where the
+    filter under-selects — probability ~e^{-Ω(sample)})."""
     h = (
         F.xxhash64(vec_col)
         if not sample_salt
         else F.xxhash64(vec_col, F.lit(sample_salt))
     )
-    rows = (
-        df.select(F.col(vec_col).alias("v"), h.alias("h"))
-        .orderBy("h")
-        .limit(sample)
-        .collect()
-    )
+    src = df.select(F.col(vec_col).alias("v"), h.alias("h"))
+    if n is not None and n > 0 and sample < n // 8:
+        frac = min(1.0, 1.5 * sample / n)
+        cutoff = int(-(2 ** 63) + frac * 2 ** 64)
+        rows = (
+            src.filter(F.col("h") < F.lit(cutoff))
+            .orderBy("h")
+            .limit(sample)
+            .collect()
+        )
+        if len(rows) >= min(sample, n):
+            return np.array([r.v for r in rows], dtype=np.float64)
+        # under-selected (astronomically unlikely): fall through to the
+        # exact unfiltered path
+    rows = src.orderBy("h").limit(sample).collect()
     return np.array([r.v for r in rows], dtype=np.float64)
 
 
@@ -130,6 +156,7 @@ def train_centroids_sampled(
     sample: int | None = None,
     iters: int = 8,
     sample_salt: int = 0,
+    n: int | None = None,
 ) -> "np.ndarray":
     """The training half of train_ivf_index_sampled, without the
     assignment pass: a (k, d) centroid table from bounded-sample Lloyd's.
@@ -138,7 +165,7 @@ def train_centroids_sampled(
     assignment) use this to avoid a redundant full-corpus GEMM pass."""
     if sample is None:
         sample = max(32 * k, 8192)
-    x = _sample_vectors(df, vec_col, sample, sample_salt)
+    x = _sample_vectors(df, vec_col, sample, sample_salt, n=n)
     if len(x) < k:
         raise ValueError(
             f"IVF training sample has {len(x)} rows < k={k} lists; "
@@ -185,7 +212,7 @@ def train_ivf_index_sampled(
             n = df.count()
         k = auto_k_lists(n)
     centroids = train_centroids_sampled(
-        df, vec_col, k, sample=sample, iters=iters, sample_salt=sample_salt
+        df, vec_col, k, sample=sample, iters=iters, sample_salt=sample_salt, n=n
     )
     assigned = assign_ivf_lists(df, centroids, vec_col)
     return IVFIndex(assigned, [c.tolist() for c in centroids], vec_col)
@@ -291,6 +318,7 @@ def train_tree_quantizer_sampled(
     iters: int = 8,
     sample_salt: int = 0,
     chunk: int = 65536,
+    n: int | None = None,
 ) -> "TreeQuantizer":
     """Train a TreeQuantizer on a bounded hash-ordered sample.  Training
     cost is O(sample·√k·d) per Lloyd's iteration (level 1 over k1
@@ -305,7 +333,7 @@ def train_tree_quantizer_sampled(
     k2 = (k + k1 - 1) // k1
     if sample is None:
         sample = max(32 * k, 8192)
-    x = _sample_vectors(df, vec_col, sample, sample_salt)
+    x = _sample_vectors(df, vec_col, sample, sample_salt, n=n)
     if len(x) < k1:
         raise ValueError(
             f"tree-quantizer training sample has {len(x)} rows < k1={k1}; "

@@ -229,8 +229,10 @@ def semantic_pairs(
             stacklevel=2,
         )
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    n_count = None
     if k_clusters is None:
-        k_clusters = auto_k_clusters(df.count(), target_cell_size)
+        n_count = df.count()
+        k_clusters = auto_k_clusters(n_count, target_cell_size)
     p = 1
     if k_clusters == 1:
         # degenerate blocking (exact all-pairs); pyspark.ml KMeans needs k>=2
@@ -277,13 +279,15 @@ def semantic_pairs(
         for salt in (0, 1):
             if k_clusters > TREE_QUANTIZER_MIN_K:
                 quant = train_tree_quantizer_sampled(
-                    base, vec_col="__v", k=k_clusters, sample_salt=salt
+                    base, vec_col="__v", k=k_clusters, sample_salt=salt,
+                    n=n_count,
                 )
                 width = quant.n_cells
                 probe = quant.probe_udf(p)
             else:
                 cents = train_centroids_sampled(
-                    base, vec_col="__v", k=k_clusters, sample_salt=salt
+                    base, vec_col="__v", k=k_clusters, sample_salt=salt,
+                    n=n_count,
                 )
                 width = k_clusters
                 probe = _probe_cells_udf([c.tolist() for c in cents], p)

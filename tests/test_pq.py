@@ -183,6 +183,21 @@ def test_sampled_ivf_trainer_raises_when_sample_below_k(emb):
         train_ivf_index_sampled(emb, k=64, sample=8)
 
 
+def test_sample_prefilter_bit_identical(spark, emb):
+    """r9: the hash-cutoff prefilter in _sample_vectors (the fix for
+    orderBy().limit() collecting whole partitions at corpus scale) must
+    return exactly the same rows as the unfiltered top-N-by-hash path —
+    the filter only narrows the sort input, never changes the winners."""
+    from tegallega_spark.operators.ivf import _sample_vectors
+
+    n = emb.count()
+    sample = max(8, n // 16)  # small fraction → prefilter path fires
+    for salt in (0, 1):
+        filtered = _sample_vectors(emb, "embedding", sample, salt, n=n)
+        full = _sample_vectors(emb, "embedding", sample, salt, n=None)
+        assert np.array_equal(filtered, full)
+
+
 def test_kmeans_blas_chunked_assignment_matches_monolithic():
     """ADVICE r9: the chunked assignment step (peak memory O(chunk·k)
     instead of a monolithic (n, k) float64 matrix — the N²/1024-byte
