@@ -26,6 +26,10 @@ directly and the row carries verified="planted".
 
 Usage: python scripts/stress_semdedup.py [N ...]   (default 2000 8000 32000)
        TEGALLEGA_DUCKDB_CUTOFF=N  (default 262144) skip exact SQL above N
+       TEGALLEGA_SEMDEDUP_PROBES=P  (default: operator default, 2) — the
+       blocking ε dial: at 8 M the dual top-2 blocking misses 1 of
+       889 089 planted pairs (measured, ~1.1·10⁻⁶); P=3 recovers the
+       full planted set (the README 8 M row).
 """
 
 from __future__ import annotations
@@ -110,9 +114,12 @@ def run_spark(spark, path: str, n: int) -> tuple[float, set[tuple[int, int]]]:
 
     # no explicit k: the operator's auto_k_clusters default (k ∝ N,
     # target_cell_size=512) must be exact on its own
+    probes = int(os.environ.get("TEGALLEGA_SEMDEDUP_PROBES", "2"))
     t0 = time.perf_counter()
     df = spark.read.parquet(path)
-    pairs_df = semantic_pairs(df, min_cosine=THRESHOLD, seed=3, max_cluster=4096)
+    pairs_df = semantic_pairs(
+        df, min_cosine=THRESHOLD, max_cluster=4096, probes=probes
+    )
     pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
     dt = time.perf_counter() - t0
     release_intermediates(pairs_df)
