@@ -60,7 +60,17 @@ def to_fixed(x: Column, digits: int = 4) -> Column:
     so err can never bridge a non-tied f across the boundary.
     Expectations pinned against node's toFixed, including the
     extract-race value and sign edges ((-0.00001).toFixed(4) ==
-    "-0.0000")."""
+    "-0.0000").
+
+    Validity bound (ADVICE r9): exact only for |x|·10^digits < 2^53 —
+    beyond that the scaled value y can't represent the integer grid and
+    the Dekker split itself overflows near DBL_MAX.  Inside the bound the
+    integer part is extracted EXACTLY: (n − n % p) is an exact multiple
+    i·p ≤ 2^53, so its correctly-rounded double quotient is exactly i
+    (the naive n/p double division the r9 advisor flagged could land one
+    off when n/p sits within an ulp of an integer boundary).  The bound
+    covers the operator's whole domain (lon/lat ≤ 180, digits ≤ 6 →
+    1.8·10⁸ ≪ 2^53 ≈ 9·10¹⁵)."""
     assert digits <= 6, "10^digits must fit 20 significand bits"
     p = 10 ** digits
     pl = F.lit(float(p))
@@ -75,9 +85,9 @@ def to_fixed(x: Column, digits: int = 4) -> Column:
     round_up = (f > 0.5) | ((f == 0.5) & (err >= 0.0))
     n = n0 + F.when(round_up, F.lit(1)).otherwise(F.lit(0))
     sign = F.when(x < 0, F.lit("-")).otherwise(F.lit(""))
-    return F.format_string(
-        f"%s%d.%0{digits}d", sign, (n / pl).cast("long"), n % F.lit(p)
-    )
+    frac = n % F.lit(p)
+    int_part = ((n - frac) / pl).cast("long")  # exact: (i·p)/p with i·p ≤ 2^53
+    return F.format_string(f"%s%d.%0{digits}d", sign, int_part, frac)
 
 
 def virtual_stop_id(lon: Column, lat: Column) -> Column:

@@ -41,6 +41,13 @@ _SHUFFLE_NODE_NAMES = frozenset(
         "Sort",
         "Intersect",
         "Except",
+        # ADVICE r9: SQL-authored DISTINCT keeps a Distinct node at
+        # analysis time (ReplaceDistinctWithAggregate runs later, in the
+        # optimizer), and applyInPandas/cogroup stages shuffle on their
+        # grouping keys — all three were misread as scan-rooted before.
+        "Distinct",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
     }
 )
 
@@ -836,12 +843,52 @@ def make_simhash_bitsum_udf():
     return fingerprint
 
 
+def md5_simhash_column(hashes: Column) -> Column:
+    """Pure-column 60-bit SimHash over an array of md5 shingle hashes —
+    the no-Arrow fallback for make_simhash_bitsum_udf (ADVICE r9: callers
+    with use_arrow=False used to get an Arrow UDF anyway).  One
+    F.aggregate fold per bit (60 interpreted folds per row): correct
+    everywhere, ~an order slower than the Arrow pass — parity is pinned
+    bit-identical in tests.  Bit b is set iff strictly more than half the
+    shingle hashes carry it (sum of ±1 > 0 ⇔ 2·ones > n; the tie rounds
+    to 0, matching the numpy kernel's `sums > 0`)."""
+    n = F.size(hashes)
+
+    def _bit_counter(b: int):
+        # NOTE: a `b=b` default param would make pyspark's lambda-arity
+        # inspection see a 3-ary merge function and bind a lambda var to b
+        return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(
+            F.lit(1)
+        )
+
+    terms = []
+    for b in range(60):
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), _bit_counter(b))
+        terms.append(
+            F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int, use_arrow: bool,
     hash_fn: str = "xxhash",
 ) -> DataFrame:
     if hash_fn == "md5":
         # oracle-replayable: md5 hashes via columns, bit sums via Arrow
+        # (or, with use_arrow=False, via the pure-column fold — ADVICE r9)
+        if not use_arrow:
+            return df.select(
+                F.col(id_col).alias("__id"),
+                md5_simhash_column(
+                    md5_shingle_hashes(F.col(text_col), shingle_n)
+                ).alias("__fp"),
+            )
         fp_udf = make_simhash_bitsum_udf()
         return parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"),

@@ -208,6 +208,13 @@ def semantic_pairs(
     measured it missing ~0.3% of planted pairs at N=8k, which probes=2
     recovers for ~2× candidate work.
 
+    Measured blocking ε (scripts/stress_semdedup.py, planted-pair
+    ground truth, dual tree quantizers): probes=2 is planted-exact at
+    every raced size up to 4 M and missed exactly 1 of 889,089 planted
+    pairs at N=8 M — ε ≈ 1.1·10⁻⁶; probes=3 was exact at 8 M for ~1.5×
+    the probes=2 wall.  Pick probes=2 for the scaling default, probes=3
+    when the workload needs the measured-zero configuration.
+
     `max_cluster` is measured in TRUE cell population — distinct primary
     (nearest-centroid) members, NOT probe-inflated visitor rows — so a
     cell whose real membership is under the cap keeps full pairwise
@@ -294,6 +301,9 @@ def semantic_pairs(
             probed = base.withColumn("__cells", probe(F.col("__v"))).persist()
             handles.append(probed)
             per_q.append((probed, width))
+        # Quantizer-1 cell ids are offset by quantizer-0's width (ADVICE
+        # r9: per_q[0][1], not per_q[1][1]) so the composite id spaces
+        # cannot collide even if the two quantizers' widths ever diverge.
         cells = per_q[0][0].select(
             "__id", "__v", F.explode("__cells").alias("__cell")
         ).unionByName(
@@ -302,7 +312,7 @@ def semantic_pairs(
             .select(
                 "__id",
                 "__v",
-                (F.col("__pc") + F.lit(per_q[1][1])).alias("__cell"),
+                (F.col("__pc") + F.lit(per_q[0][1])).alias("__cell"),
             )
         )
 
@@ -328,7 +338,7 @@ def semantic_pairs(
             .unionByName(
                 per_q[1][0]
                 .groupBy(
-                    (F.element_at("__cells", 1) + F.lit(per_q[1][1])).alias(
+                    (F.element_at("__cells", 1) + F.lit(per_q[0][1])).alias(
                         "__cell"
                     )
                 )

@@ -84,6 +84,41 @@ def test_to_fixed_matches_ecmascript_not_java(spark):
         assert one(spark, to_fixed(F.lit(float(x)), 4)) == want, x
 
 
+def test_to_fixed_integer_part_exact_across_magnitudes(spark):
+    """r9 ADVICE: the integer part is now extracted as (n − n%p)/p — an
+    exact multiple i·p ≤ 2^53 divides to exactly i, where the old naive
+    n/p double division is only heuristically truncating.  Fuzz the whole
+    documented validity bound (|x|·10^digits < 2^53) against Python's
+    exact-decimal toFixed emulation (Decimal of the exact binary value,
+    half-away-from-zero — the ECMAScript 6.1.6.1.20 rule)."""
+    import random
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from tegallega_spark.functions.ids import to_fixed
+
+    rng = random.Random(20260815)
+
+    def js_tofixed(x: float, d: int) -> str:
+        q = Decimal(x).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+        # ROUND_HALF_UP in decimal is half-away-from-zero, same as toFixed
+        return ("-" if x < 0 else "") + f"{abs(q):.{d}f}"
+
+    for d in (4, 6):
+        bound = (2**53) / 10**d
+        xs = [rng.uniform(-bound * 0.999, bound * 0.999) for _ in range(60)]
+        # integer-adjacent stress: i·p ± ulp neighborhoods at high magnitude
+        for frac in (0.0, 0.5, 0.9999999, 1e-7):
+            x = (bound * 0.97) + frac / 10**d
+            xs.extend([x, -x])
+        got = (
+            spark.createDataFrame([(x,) for x in xs], "x double")
+            .select("x", to_fixed(F.col("x"), d).alias("s"))
+            .collect()
+        )
+        for r in got:
+            assert r.s == js_tofixed(r.x, d), (r.x, d)
+
+
 def test_misc_string_functions(spark):
     assert one(spark, sanitize_filename(F.lit("K1: A→B/C"))) == "K1_ A_B_C"
     # '#rrggbb' → 'aabbggrr' (convert-geojson-kml.py:8-15)

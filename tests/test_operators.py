@@ -297,6 +297,29 @@ def test_md5_simhash_fingerprints_rederivable(spark, sf_dir):
     assert md5_pairs == ex2 and len(md5_pairs) > 0
 
 
+def test_md5_simhash_no_arrow_fallback_bit_identical(spark, sf_dir):
+    """r9 ADVICE: hash_fn='md5' with use_arrow=False used to silently get
+    the Arrow bitsum UDF anyway.  Now it takes the pure-column fold
+    (md5_simhash_column) — pin that path bit-identical to the Arrow pass
+    over real documents."""
+    from tegallega_spark.operators.dedup import simhash_fingerprints
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    arrow = {
+        r["__id"]: r["__fp"]
+        for r in simhash_fingerprints(
+            d, "doc_id", "text", 2, use_arrow=True, hash_fn="md5"
+        ).collect()
+    }
+    cols = {
+        r["__id"]: r["__fp"]
+        for r in simhash_fingerprints(
+            d, "doc_id", "text", 2, use_arrow=False, hash_fn="md5"
+        ).collect()
+    }
+    assert cols == arrow and len(cols) == 40
+
+
 def test_embedding_all_pairs_equals_brute_force(spark, sf_dir):
     """Multi-table hyperplane LSH + exact cosine recompute equals the exact
     all-pairs result at the q39 threshold."""

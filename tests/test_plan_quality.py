@@ -491,6 +491,31 @@ def test_parallelize_for_udf_ignores_shuffle_words_in_literals(spark):
     assert _has_shuffle_origin_node(agg._jdf.queryExecution().analyzed())
 
 
+def test_shuffle_origin_covers_distinct_and_apply_in_pandas(spark):
+    """r9 ADVICE: SQL-authored DISTINCT keeps a `Distinct` node at
+    analysis time (ReplaceDistinctWithAggregate only runs in the
+    optimizer), and applyInPandas induces a grouping-key shuffle via
+    FlatMapGroupsInPandas — both must classify as shuffle-rooted so
+    parallelize_for_udf doesn't stack a redundant exchange on top."""
+    import pandas as pd
+
+    from tegallega_spark.operators.dedup import _has_shuffle_origin_node
+
+    spark.range(10).toDF("n").createOrReplaceTempView("t_adv_distinct")
+    sql_distinct = spark.sql("SELECT DISTINCT n FROM t_adv_distinct")
+    assert _has_shuffle_origin_node(
+        sql_distinct._jdf.queryExecution().analyzed()
+    )
+
+    applied = (
+        spark.range(10)
+        .toDF("n")
+        .groupBy("n")
+        .applyInPandas(lambda pdf: pdf, "n long")
+    )
+    assert _has_shuffle_origin_node(applied._jdf.queryExecution().analyzed())
+
+
 def test_prefork_runs_once_per_session(spark):
     """get_spark pre-forks the Arrow worker pool exactly once — a second
     get_spark on the same session must be a no-op (the flag rides the
