@@ -33,7 +33,84 @@ from tegallega_spark.operators.dedup import (
 )
 from tegallega_spark.operators.packing import pack_sequences
 from tegallega_spark.operators.sampling import mixture_sample, stratified_hash_sample
-from tegallega_spark.session import aqe_off_for_small_input, attach_intermediates
+from tegallega_spark.session import (
+    aqe_off_for_small_input,
+    attach_intermediates,
+    plan_size_bytes,
+)
+
+# Measured at the 3.2 M-doc composed race (r7 ENOSPC post-mortem): the
+# line-cut + span waves' CONCURRENT shuffle spill peaked at ~80 GB from a
+# ~1.3 GB zstd-parquet input — a ~60× amplification of input bytes into
+# simultaneous scratch.  Rounded up to 64 as the projection factor.
+_SPILL_FACTOR = 64
+
+
+def stage_boundaries_needed(
+    input_bytes: int,
+    free_bytes: int,
+    spill_factor: int = _SPILL_FACTOR,
+    safety: float = 0.5,
+) -> bool:
+    """Pure decision for the auto stage-boundary gate (r9 verdict #6):
+    boundaries turn ON when the projected concurrent shuffle spill
+    (input_bytes × spill_factor) would eat more than `safety` of the free
+    scratch disk.  Below that, the write+read round trip is pure latency
+    (the small-input regime the boundary docstring warns about); above
+    it, skipping the boundary is how the 3.2 M race hit ENOSPC."""
+    return input_bytes * spill_factor > free_bytes * safety
+
+
+class _StageBoundaryDirHandle:
+    """release_intermediates-compatible end-of-life handle for an
+    auto-created stage-boundary directory.  Like CheckpointHandle, release
+    is destructive: the result's plan reads the LAST boundary's parquet,
+    so only unpersist after the consuming action."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+        self._cached = True
+
+    @property
+    def is_cached(self) -> bool:
+        return self._cached
+
+    def unpersist(self, blocking: bool = False) -> "_StageBoundaryDirHandle":
+        if self._cached:
+            import shutil
+
+            shutil.rmtree(self._path, ignore_errors=True)
+            self._cached = False
+        return self
+
+
+def _auto_stage_boundary_dir(docs: DataFrame) -> tuple[str | None, object]:
+    """Size-gated default for `stage_boundary_dir` (same pattern as
+    aqe_off_for_small_input: estimate the input with Catalyst's analyzed
+    sizeInBytes, compare against the environment, no-op outside the
+    regime).  Returns (dir_or_None, release_handle_or_None); the dir is a
+    fresh temp directory owned by the returned handle.
+
+    TEGALLEGA_STAGE_BOUNDARY overrides: 'off'/'0'/'never' disables,
+    'always'/'1'/'on' forces, anything else (default 'auto') gates on
+    projected spill vs free disk."""
+    import os
+    import shutil
+    import tempfile
+
+    mode = os.environ.get("TEGALLEGA_STAGE_BOUNDARY", "auto").lower()
+    if mode in ("0", "off", "never", "false"):
+        return None, None
+    if mode not in ("1", "on", "always", "true"):
+        try:
+            size = plan_size_bytes(docs)
+            free = shutil.disk_usage(tempfile.gettempdir()).free
+        except Exception:
+            return None, None
+        if not stage_boundaries_needed(size, free):
+            return None, None
+    path = tempfile.mkdtemp(prefix="tegallega_stage_boundaries_")
+    return path, _StageBoundaryDirHandle(path)
 
 
 def _stage_boundary(df: DataFrame, path: str, handles=()) -> DataFrame:
@@ -56,9 +133,12 @@ def _stage_boundary(df: DataFrame, path: str, handles=()) -> DataFrame:
     pipelines bound per-executor scratch: each wave's shuffle dies with
     the wave instead of accumulating across the job chain.
 
-    Costs one corpus write+read; callers gate it on input size
-    (`clean_corpus(stage_boundary_dir=...)` is opt-in and only sensible
-    where spill, not latency, is the binding constraint)."""
+    Costs one corpus write+read — only sensible where spill, not
+    latency, is the binding constraint.  Since r10, clean_corpus gates
+    this automatically (stage_boundaries_needed: projected spill vs free
+    disk) when the text-cut stages are enabled and no explicit dir is
+    passed; an explicit `stage_boundary_dir` always forces it, and
+    TEGALLEGA_STAGE_BOUNDARY=off/always overrides the gate."""
     spark = df.sparkSession
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
     for h in handles:
@@ -210,14 +290,36 @@ def clean_corpus(
     the mixture is computed over unique documents, before packing so the
     packed shards carry the final mixture.  Strata not in the map are
     dropped.
+
+    `stage_boundary_dir`: directory for hard parquet stage boundaries
+    between the heavy text-cut waves (see _stage_boundary).  None (the
+    default) is AUTO since r10: when the line/span cut stages are enabled,
+    boundaries turn on by themselves if the projected concurrent spill
+    (input bytes × measured 64× amplification) exceeds half the free
+    scratch disk — the regime where the 3.2 M-doc race hit ENOSPC with
+    the old opt-in default.  The auto directory is temp-created and
+    removed by release_intermediates(result).  An explicit path always
+    forces boundaries on; TEGALLEGA_STAGE_BOUNDARY=off|always overrides.
     """
+    # Auto stage boundaries (r9 verdict #6): when the caller passes no
+    # explicit dir AND the pipeline has the multi-wave text-cut stages
+    # (the only ones boundaries separate), gate them on projected spill
+    # vs free disk — the 3.2 M race died on ENOSPC precisely because the
+    # knob was opt-in.  An explicit dir still always wins; the auto dir's
+    # files are released via the result's intermediates handles.
+    boundary_handle = None
+    if stage_boundary_dir is None and (
+        line_dedup_max_df is not None or span_dedup_k is not None
+    ):
+        stage_boundary_dir, boundary_handle = _auto_stage_boundary_dir(docs)
+
     # The composed run triggers many interior actions (gate counts, the
     # CC checkpoint's iteration jobs, mixture counts) — under AQE each of
     # their shuffle stages is a separately scheduled job, which is pure
     # latency when the input is small (r7 profiling: ~115 stage jobs
     # ≈ 15 s at 5 k docs).  Size-gated: a no-op at real scale.
     with aqe_off_for_small_input(docs):
-        return _clean_corpus_impl(
+        out = _clean_corpus_impl(
             docs, blocklist,
             id_col=id_col, text_col=text_col, stratum_col=stratum_col,
             min_quality=min_quality, max_dup_ngram_frac=max_dup_ngram_frac,
@@ -235,6 +337,11 @@ def clean_corpus(
             mixture_stratum=mixture_stratum,
             stage_boundary_dir=stage_boundary_dir,
         )
+    if boundary_handle is not None:
+        out._tegallega_persisted = list(
+            getattr(out, "_tegallega_persisted", ())
+        ) + [boundary_handle]
+    return out
 
 
 def _clean_corpus_impl(

@@ -453,3 +453,59 @@ def test_stage_boundary_output_identical_and_releases_upstream(spark, tmp_path):
     n_boundary_handles = len(getattr(out, "_tegallega_persisted", ()))
     assert n_boundary_handles < n_base_handles
     release_intermediates(out)
+
+
+def test_stage_boundary_auto_gate_regimes(spark, monkeypatch, tmp_path):
+    """r9 verdict #6: stage boundaries are size-gated by default.  Pin the
+    pure decision at both regimes (3.2 M-race numbers: ~1.3 GB input ×
+    64 projected spill vs 75 GB free → ON; a 5 k-doc toy input → OFF),
+    then the plumbing: forced-on via env writes real boundary parquet
+    into an auto temp dir whose handle release_intermediates removes;
+    default auto stays OFF for a toy corpus (identical rows, no temp dir)."""
+    import glob
+    import os
+
+    from tegallega_spark.pipeline.corpus import stage_boundaries_needed
+    from tegallega_spark.session import release_intermediates
+
+    gib = 1 << 30
+    # the ENOSPC regime the gate exists for: projected 83 GB spill vs 75 GB
+    assert stage_boundaries_needed(int(1.3 * gib), 75 * gib)
+    # toy corpus: ~4 MB input, plenty of disk — boundary is pure latency
+    assert not stage_boundaries_needed(4 << 20, 75 * gib)
+    # boundary of the rule: spill exactly at safety*free does NOT fire
+    assert not stage_boundaries_needed(gib, 2 * 64 * gib)
+    assert stage_boundaries_needed(gib + 1, 2 * 64 * gib)
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .limit(80)
+    )
+    kwargs = dict(
+        min_quality=0.0, max_dup_ngram_frac=1.0, dedup_strategy="exact",
+        normalize=True, line_dedup_max_df=5, span_dedup_k=8,
+    )
+    before = set(glob.glob("/tmp/tegallega_stage_boundaries_*"))
+
+    # default auto on a toy corpus: gate stays off, no temp dir appears
+    monkeypatch.delenv("TEGALLEGA_STAGE_BOUNDARY", raising=False)
+    base = clean_corpus(docs, **kwargs)
+    base_rows = sorted(map(tuple, base.collect()))
+    release_intermediates(base)
+    assert set(glob.glob("/tmp/tegallega_stage_boundaries_*")) == before
+
+    # forced on (the at-scale regime, exercised via the env override):
+    # same rows, real parquet in an auto dir, dir removed on release
+    monkeypatch.setenv("TEGALLEGA_STAGE_BOUNDARY", "always")
+    out = clean_corpus(docs, **kwargs)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == base_rows
+    new_dirs = set(glob.glob("/tmp/tegallega_stage_boundaries_*")) - before
+    assert len(new_dirs) == 1
+    bdir = new_dirs.pop()
+    for sub in ("post_line_cut", "post_span_cut"):
+        files = os.listdir(os.path.join(bdir, sub))
+        assert any(f.endswith(".parquet") for f in files), (sub, files)
+    release_intermediates(out)
+    assert not os.path.exists(bdir)
