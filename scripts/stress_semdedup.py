@@ -143,11 +143,23 @@ def main() -> None:
         write_parquet(vecs, path)
 
         ts, spark_pairs = run_spark(spark, path, n)
-        assert spark_pairs == truth, (
-            f"N={n}: spark found {len(spark_pairs)} pairs, planted {len(truth)}"
+        # TEGALLEGA_SEMDEDUP_MAX_MISS (default 0 = exact) lets the
+        # probes=2 scaling row at 8 M record its measured blocking ε
+        # (1/889,089) instead of dying on it: false positives are NEVER
+        # tolerated (every emitted pair must be planted), and the miss
+        # count goes on the row so the README table can publish it.
+        max_miss = int(os.environ.get("TEGALLEGA_SEMDEDUP_MAX_MISS", "0"))
+        false_pos = spark_pairs - truth
+        missed = truth - spark_pairs
+        assert not false_pos, f"N={n}: {len(false_pos)} non-planted pairs emitted"
+        assert len(missed) <= max_miss, (
+            f"N={n}: spark missed {len(missed)} of {len(truth)} planted pairs "
+            f"(max_miss={max_miss})"
         )
         cutoff = int(os.environ.get("TEGALLEGA_DUCKDB_CUTOFF", "262144"))
         row = {"n": n, "pairs": len(truth), "spark_s": round(ts, 2)}
+        if missed:
+            row["missed"] = len(missed)
         if n <= cutoff:
             td, duck_pairs = run_duckdb(path)
             assert duck_pairs == truth, (
@@ -157,7 +169,11 @@ def main() -> None:
                 duckdb_s=round(td, 2), ratio=round(td / ts, 2), verified="exact+planted"
             )
         else:
-            row.update(duckdb_s=None, ratio=None, verified="planted")
+            row.update(
+                duckdb_s=None, ratio=None,
+                verified="planted" if not missed else
+                f"planted-eps({len(missed)}/{len(truth)})",
+            )
         results.append(row)
         print(json.dumps(results[-1]), file=sys.stderr)
 

@@ -147,6 +147,87 @@ import os
 import pytest
 
 
+def test_stream_checkpoint_recovery_mid_corpus(spark, tmp_path):
+    """r9 verdict #4: the claim a production stream actually rests on —
+    kill the verified near-dup stream mid-corpus and restart it from its
+    checkpoint; the final verified pair set must still equal the batch
+    operator's.  The crash is injected through the public `corpus`
+    callable seam (raises inside the Nth micro-batch BEFORE that batch's
+    sink write), so the dead query has committed some batches' offsets +
+    state and not others — exactly a worker/driver crash between
+    triggers.  Recovery must (a) resume from the committed offset, not
+    batch 0, and (b) rehydrate bucket state so pairs straddling the crash
+    point are still found."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+    from tegallega_spark.streaming.neardup_stream import verified_neardup_sink
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_near_duplicates_verified(
+            docs, "doc_id", "text", shingle_n=3, jaccard_threshold=0.7
+        ).collect()
+    }
+    assert want, "smoke corpus should contain verified near-dups"
+
+    feed = tmp_path / "rfeed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    sink = str(tmp_path / "rsink")
+    # 8 single-file deliveries, one trigger each (maxFilesPerTrigger=1)
+    for k in range(8):
+        docs.filter(F.col("doc_id") % 8 == k).coalesce(1).write.parquet(
+            str(feed / f"d{k}.parquet")
+        )
+
+    calls = {"n": 0}
+    crash_at = 3
+
+    def corpus():
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError("injected crash: process died mid-corpus")
+        return spark.read.schema(DOC_SCHEMA).parquet(f"{feed}/*.parquet")
+
+    def start():
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed}/*.parquet")
+        )
+        return verified_neardup_sink(
+            neardup_candidates_stream(stream), corpus, sink, ckpt,
+            jaccard_threshold=0.7,
+        )
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        start().awaitTermination()
+
+    # the stream died mid-corpus: strictly fewer than all batches ran, so
+    # the sink must be a PARTIAL subset (this is what makes the restart a
+    # real recovery, not a no-op)
+    partial = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert partial <= want and partial != want
+
+    # restart from the same checkpoint — no crash this time
+    q = start()
+    q.awaitTermination()
+    # the recovered run resumed, not restarted: at most (8 - committed) + 1
+    # corpus calls happened after the crash, never all 8 again
+    assert calls["n"] < 8 + crash_at
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == want
+
+
 @pytest.mark.nightly
 @pytest.mark.skipif(
     not os.environ.get("TEGALLEGA_NIGHTLY"),
