@@ -1,0 +1,37 @@
+"""bench.py's round-over-round delta line (r9 verdict #2): every bench run
+must put the primary/secondary deltas vs the newest BENCH_r{N}.json on the
+record, adjudicated against the measured spreads — favorable or not."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_bench_delta_line_within_noise(capsys):
+    """A tiny move swallowed by the spread envelope → within-noise."""
+    prev = bench.json.load(open(os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)), "BENCH_r09.json"
+    )))["parsed"]
+    result = {"value": prev["value"] + 0.1}
+    spreads = {"q1": 0.4, "q2": 0.3}  # envelope = 2*(0.7) = 1.4 > 0.1
+    bench._report_delta_vs_prior(result, spreads, None)
+    err = capsys.readouterr().err
+    assert "# delta vs BENCH_r" in err
+    assert "within-noise" in err
+    assert f"{prev['value']}->" in err
+
+
+def test_bench_delta_line_exceeds_spread_and_secondary(capsys):
+    """A move past the envelope → exceeds-spread; the secondary point's
+    delta rides the same line when both rounds have one."""
+    result = {"value": 400.0}
+    spreads = {"q1": 0.05}
+    bench._report_delta_vs_prior(result, spreads, {"value": 40.0})
+    err = capsys.readouterr().err
+    assert "exceeds-spread" in err
+    assert "secondary" in err
