@@ -210,10 +210,12 @@ def semantic_pairs(
 
     Measured blocking ε (scripts/stress_semdedup.py, planted-pair
     ground truth, dual tree quantizers): probes=2 is planted-exact at
-    every raced size up to 4 M and missed exactly 1 of 889,089 planted
-    pairs at N=8 M — ε ≈ 1.1·10⁻⁶; probes=3 was exact at 8 M for ~1.5×
-    the probes=2 wall.  Pick probes=2 for the scaling default, probes=3
-    when the workload needs the measured-zero configuration.
+    every raced size up to 4 M, missed exactly 1 of 889,089 planted
+    pairs at N=8 M (ε ≈ 1.1·10⁻⁶, reproduced in two serial runs) and 6
+    of 1,778,260 at N=16 M (ε ≈ 3.4·10⁻⁶) — zero false positives at
+    every size; probes=3 was exact at 8 M for ~1.5× the probes=2 wall.
+    Pick probes=2 for the scaling default, probes=3 when the workload
+    needs the measured-zero configuration.
 
     `max_cluster` is measured in TRUE cell population — distinct primary
     (nearest-centroid) members, NOT probe-inflated visitor rows — so a
