@@ -13,17 +13,28 @@ import bench  # noqa: E402
 
 
 def test_bench_delta_line_within_noise(capsys):
-    """A tiny move swallowed by the spread envelope → within-noise."""
-    prev = bench.json.load(open(os.path.join(
-        os.path.dirname(os.path.abspath(bench.__file__)), "BENCH_r09.json"
-    )))["parsed"]
-    result = {"value": prev["value"] + 0.1}
+    """A tiny move swallowed by the spread envelope → within-noise.
+    Discovers the newest BENCH_r{N}.json the same way the function does,
+    so the pin survives future rounds' artifacts."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    newest = max(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r0*(\d+)\.json$", p).group(1)),
+    )
+    prev = (bench.json.load(open(newest)).get("parsed") or {}).get("value")
+    result = {"value": (prev or 20.0) + 0.1}
     spreads = {"q1": 0.4, "q2": 0.3}  # envelope = 2*(0.7) = 1.4 > 0.1
     bench._report_delta_vs_prior(result, spreads, None)
     err = capsys.readouterr().err
     assert "# delta vs BENCH_r" in err
-    assert "within-noise" in err
-    assert f"{prev['value']}->" in err
+    if isinstance(prev, (int, float)) and prev > 0:
+        assert "within-noise" in err
+        assert f"{prev}->" in err
+    else:  # a failed prior round's artifact: the line must still appear
+        assert "unparsable" in err
 
 
 def test_bench_delta_line_exceeds_spread_and_secondary(capsys):
