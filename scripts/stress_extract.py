@@ -181,6 +181,13 @@ def make_sandbox(n_rel: int, seed: int = 7) -> tuple[str, list[int]]:
     """Write the sandbox: reference JS + stubbed deps + per-relation shard
     files.  Streaming — one shard in memory at a time."""
     box = os.path.join(OUT, f"sandbox_{n_rel}")
+    marker = os.path.join(box, ".fixture-complete")
+    if os.path.exists(marker):
+        # fixture generation is deterministic (per-relation seeded rng) —
+        # reuse a previously-completed sandbox, clearing only the
+        # reference's OUTPUT so its run starts clean
+        shutil.rmtree(os.path.join(box, "route-data"), ignore_errors=True)
+        return box, [REL_BASE + i for i in range(n_rel)]
     shutil.rmtree(box, ignore_errors=True)
     os.makedirs(os.path.join(box, "action-scripts"))
     os.makedirs(os.path.join(box, "node_modules", "axios"))
@@ -232,6 +239,8 @@ def make_sandbox(n_rel: int, seed: int = 7) -> tuple[str, list[int]]:
     }
     with open(os.path.join(box, "routes.json"), "w") as f:
         json.dump(routes, f)
+    with open(marker, "w") as f:
+        f.write("ok")
     return box, rids
 
 

@@ -63,6 +63,17 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         # at 24g, floored at 4g.  On a real cluster the driver only
         # coordinates — set SPARK_GRAFT_DRIVER_MEM down explicitly.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
+        # Driver result ceiling: local-mode harnesses legitimately collect
+        # large parity-comparison frames (the 409.6k-relation extract race
+        # returns ~37 M stitched vertices ≈ 1.1 GiB of Arrow batches and
+        # died on the 1 GiB default).  4g is safe under the ≥4g driver
+        # heap above; on a real cluster set it back down — production
+        # pipelines here never collect corpus-sized results (the operators
+        # are written sink-to-sink; collects are bounded and documented).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local test files are ~10 MB; the 128 MB default split puts a whole
         # table in 1-3 tasks and wastes 29 cores.  4 MB splits parallelize
