@@ -36,7 +36,6 @@ Usage: python scripts/stress_extract.py [N ...]   (default 50 200 800)
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import shutil
@@ -73,7 +72,16 @@ const meta = JSON.parse(fs.readFileSync(path.join(dir, 'meta.json'), 'utf-8'));
 const cache = new Map();  // rid -> shard, insertion-ordered LRU
 function shard(rid) {
   if (cache.has(rid)) { const v = cache.get(rid); cache.delete(rid); cache.set(rid, v); return v; }
-  const s = JSON.parse(fs.readFileSync(path.join(dir, rid + '.json'), 'utf-8'));
+  let raw;
+  try {
+    raw = fs.readFileSync(path.join(dir, rid + '.json'), 'utf-8');
+  } catch (e) {
+    // unknown relation id: answer [] like the real Overpass API (and the
+    // r9 relMap stub) instead of throwing ENOENT — keeps the
+    // empty-result branch of the fetch seam reachable (r10 ADVICE)
+    return null;
+  }
+  const s = JSON.parse(raw);
   cache.set(rid, s);
   if (cache.size > 8) cache.delete(cache.keys().next().value);
   return s;
@@ -88,10 +96,10 @@ function answer(query) {
     return s ? [s.relation] : [];
   }
   if ((m = query.match(/^\[out:json\];way\(id:([\d,]+)\);out geom;$/))) {
-    return m[1].split(',').map(id => shard(ridOfWay(Number(id))).ways[id]).filter(Boolean);
+    return m[1].split(',').map(id => (shard(ridOfWay(Number(id))) || {ways: {}}).ways[id]).filter(Boolean);
   }
   if ((m = query.match(/^\[out:json\];node\(id:([\d,]+)\);out geom;$/))) {
-    return m[1].split(',').map(id => shard(ridOfNode(Number(id))).nodes[id]).filter(Boolean);
+    return m[1].split(',').map(id => (shard(ridOfNode(Number(id))) || {nodes: {}}).nodes[id]).filter(Boolean);
   }
   throw new Error('unexpected overpass query: ' + query);
 }
@@ -257,55 +265,77 @@ def run_reference(box: str) -> float:
     return dt
 
 
-def parse_reference(box: str, rids: list[int]) -> dict:
-    out = {}
+def fingerprint_route_dir(d: str) -> str:
+    """One sha256 over a relation directory's parsed geojson content:
+    ordered way coordinates (9 dp) + ordered stop tuples (id, name, role,
+    isReal, coords at 9 dp).  Format-insensitive (node's JSON.stringify
+    vs Python's json.dump), content-exact — the same definition applied
+    to both sides' OUTPUT FILES, so parity covers the sink too.  O(one
+    relation) memory; nothing route-sized ever accumulates anywhere."""
+    import hashlib
+
+    with open(os.path.join(d, "ways.geojson")) as f:
+        wj = json.load(f)
+    # float() coercion: JS JSON.stringify renders 107.0 as "107",
+    # which json.load parses back as int — coerce so both sides
+    # canonicalize to the same "107.0" in the hashed blob
+    coords = [
+        [round(float(x), 9), round(float(y), 9)]
+        for x, y in wj["features"][0]["geometry"]["coordinates"]
+    ]
+    with open(os.path.join(d, "stops.geojson")) as f:
+        sj = json.load(f)
+    stops = [
+        [
+            ft["properties"]["id"],
+            ft["properties"]["name"],
+            ft["properties"]["role"],
+            bool(ft["properties"]["isReal"]),
+            round(float(ft["geometry"]["coordinates"][0]), 9),
+            round(float(ft["geometry"]["coordinates"][1]), 9),
+        ]
+        for ft in sj["features"]
+    ]
+    blob = json.dumps([coords, stops], separators=(",", ":")).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
+def fingerprint_tree(geojson_root: str, rids: list[int]) -> tuple[dict, int]:
+    """dict rid → fingerprint plus total stop count, streaming one
+    relation at a time (replaces the r10 driver-side accumulation of all
+    74 M vertices that the 409.6 k adjudication measured as the
+    harness-side half of the one-driver funnel)."""
+    out, n_stops = {}, 0
     for rid_int in rids:
         rid = str(rid_int)
-        d = os.path.join(box, "route-data", "geojson", rid)
-        with open(os.path.join(d, "ways.geojson")) as f:
-            wj = json.load(f)
-        coords = [
-            (round(x, 9), round(y, 9))
-            for x, y in wj["features"][0]["geometry"]["coordinates"]
-        ]
+        d = os.path.join(geojson_root, rid)
+        out[rid] = fingerprint_route_dir(d)
         with open(os.path.join(d, "stops.geojson")) as f:
-            sj = json.load(f)
-        stops = [
-            (
-                ft["properties"]["id"],
-                ft["properties"]["name"],
-                ft["properties"]["role"],
-                bool(ft["properties"]["isReal"]),
-                round(ft["geometry"]["coordinates"][0], 9),
-                round(ft["geometry"]["coordinates"][1], 9),
-            )
-            for ft in sj["features"]
-        ]
-        out[rid] = (coords, stops)
-    return out
+            n_stops += len(json.load(f)["features"])
+    return out, n_stops
 
 
-def run_spark(spark, box: str, rids: list[int]) -> tuple[float, dict]:
-    """The batched fleet shape: all relations' bundles parsed driver-side
-    (the fetch boundary, same work the JS does — reading the same shard
-    files lazily), then ONE keyed program over two DataFrames."""
+def make_shard_fetch(world_dir: str):
+    """The injectable Overpass fetch answering from per-relation shard
+    files.  Plain-closure + dict cache (NOT lru_cache) so cloudpickle can
+    ship it to executors for --distributed-fetch; an unknown relation id
+    answers [] like the real API (r10 ADVICE)."""
     import re
 
-    from tegallega_spark.operators.stateful import stitch_ways
-    from tegallega_spark.pipeline.extract import angkot_stops
-    from tegallega_spark.sources.overpass import (
-        STOP_NODE_SCHEMA,
-        WAY_VERTEX_SCHEMA,
-        bundle_to_rows,
-        fetch_relation_bundle,
-    )
+    cache: dict[str, dict | None] = {}
 
-    world_dir = os.path.join(box, "world")
-
-    @functools.lru_cache(maxsize=8)
-    def shard(rid: str) -> dict:
-        with open(os.path.join(world_dir, f"{rid}.json")) as f:
-            return json.load(f)
+    def shard(rid: str):
+        if rid in cache:
+            return cache[rid]
+        try:
+            with open(os.path.join(world_dir, f"{rid}.json")) as f:
+                s = json.load(f)
+        except FileNotFoundError:
+            s = None
+        if len(cache) > 8:
+            cache.clear()
+        cache[rid] = s
+        return s
 
     def rid_of_way(wid: int) -> str:
         return str(REL_BASE + (wid - WAY_BASE) // STRIDE)
@@ -316,67 +346,97 @@ def run_spark(spark, box: str, rids: list[int]) -> tuple[float, dict]:
     def fetch(query: str):
         m = re.fullmatch(r"\[out:json\];relation\((\d+)\);out body;", query)
         if m:
-            return [shard(m.group(1))["relation"]]
+            s = shard(m.group(1))
+            return [s["relation"]] if s else []
         m = re.fullmatch(r"\[out:json\];way\(id:([\d,]+)\);out geom;", query)
         if m:
             ids = m.group(1).split(",")
             return [w for w in
-                    (shard(rid_of_way(int(i)))["ways"].get(i) for i in ids) if w]
+                    ((shard(rid_of_way(int(i))) or {"ways": {}})["ways"].get(i)
+                     for i in ids) if w]
         m = re.fullmatch(r"\[out:json\];node\(id:([\d,]+)\);out geom;", query)
         if m:
             ids = m.group(1).split(",")
             return [n for n in
-                    (shard(rid_of_node(int(i)))["nodes"].get(i) for i in ids) if n]
+                    ((shard(rid_of_node(int(i))) or {"nodes": {}})["nodes"].get(i)
+                     for i in ids) if n]
         raise AssertionError(f"unexpected query {query}")
 
-    t0 = time.perf_counter()
-    all_way_rows: list = []
-    all_node_rows: list = []
-    for rid_int in rids:
-        rid = str(rid_int)
-        bundle = fetch_relation_bundle(rid, fetch)
-        wr, nr = bundle_to_rows(rid, bundle)
-        all_way_rows.extend(wr)
-        all_node_rows.extend(nr)
-    # Arrow on both boundaries (r9): list-of-tuples createDataFrame and
-    # row-iterator collect() both serialize row-at-a-time through py4j —
-    # profiled as the DOMINANT per-relation cost past ~10 k relations
-    # (~2 ms/relation against node's 0.77).  pandas→createDataFrame and
-    # toPandas() ride Arrow batches; the query plan is unchanged.
-    import pandas as pd
+    return fetch
 
-    way_cols = ["relation_id", "way_order", "way_id", "way_name",
-                "vertex_idx", "lon", "lat"]
-    node_cols = ["relation_id", "member_order", "stop_id", "name",
-                 "role", "lon", "lat"]
-    ways_df = spark.createDataFrame(
-        pd.DataFrame(all_way_rows, columns=way_cols), WAY_VERTEX_SCHEMA
+
+def run_spark(
+    spark, box: str, rids: list[int], distributed_fetch: bool = False
+) -> tuple[float, str]:
+    """The batched fleet shape, now END-TO-END sink-to-sink (r10 verdict
+    #1): fetch → ONE keyed stitch/project/interpolate/thin program → the
+    DISTRIBUTED per-relation GeoJSON sink (write_route_geojson's
+    cogrouped applyInPandas).  Nothing route-sized crosses the driver —
+    parity against the reference is computed afterwards (untimed) by
+    fingerprinting both sides' written files with the same streaming
+    parser.
+
+    distributed_fetch=True additionally moves the fetch/parse boundary to
+    executors (sources.overpass.fetch_bundles_distributed) — the
+    fleet-scale deployment shape; the default driver loop matches the
+    reference's sequential, rate-limit-friendly shape."""
+    from tegallega_spark.operators.stateful import stitch_ways
+    from tegallega_spark.pipeline.extract import angkot_stops, write_route_geojson
+    from tegallega_spark.session import release_intermediates
+    from tegallega_spark.sources.overpass import (
+        STOP_NODE_SCHEMA,
+        WAY_VERTEX_SCHEMA,
+        bundle_to_rows,
+        fetch_bundles_distributed,
+        fetch_relation_bundle,
     )
-    nodes_df = spark.createDataFrame(
-        pd.DataFrame(all_node_rows, columns=node_cols), STOP_NODE_SCHEMA
-    )
+
+    fetch = make_shard_fetch(os.path.join(box, "world"))
+    spark_out = os.path.join(box, "spark-route-data")
+
+    t0 = time.perf_counter()
+    if distributed_fetch:
+        ways_df, nodes_df = fetch_bundles_distributed(
+            spark, [str(r) for r in rids], fetch
+        )
+    else:
+        all_way_rows: list = []
+        all_node_rows: list = []
+        for rid_int in rids:
+            rid = str(rid_int)
+            bundle = fetch_relation_bundle(rid, fetch)
+            wr, nr = bundle_to_rows(rid, bundle)
+            all_way_rows.extend(wr)
+            all_node_rows.extend(nr)
+        # Arrow on the ingest boundary (r9): list-of-tuples
+        # createDataFrame serializes row-at-a-time through py4j —
+        # profiled as the DOMINANT per-relation cost past ~10 k
+        # relations.  pandas→createDataFrame rides Arrow batches.
+        import pandas as pd
+
+        way_cols = ["relation_id", "way_order", "way_id", "way_name",
+                    "vertex_idx", "lon", "lat"]
+        node_cols = ["relation_id", "member_order", "stop_id", "name",
+                     "role", "lon", "lat"]
+        ways_df = spark.createDataFrame(
+            pd.DataFrame(all_way_rows, columns=way_cols), WAY_VERTEX_SCHEMA
+        )
+        nodes_df = spark.createDataFrame(
+            pd.DataFrame(all_node_rows, columns=node_cols), STOP_NODE_SCHEMA
+        )
     stitched = stitch_ways(ways_df, key="relation_id").persist()
     stops = angkot_stops(nodes_df, stitched, ways_df)
-
-    got: dict = {}
-    spdf = stitched.orderBy("relation_id", "vertex_idx").toPandas()
-    for r in spdf.itertuples(index=False):
-        got.setdefault(r.relation_id, ([], []))[0].append(
-            (round(r.lon, 9), round(r.lat, 9))
-        )
-    stdf = stops.orderBy("relation_id", "frac_idx").toPandas()
-    for r in stdf.itertuples(index=False):
-        got.setdefault(r.relation_id, ([], []))[1].append(
-            (r.stop_id, r.name, r.role, bool(r.is_real),
-             round(r.lon, 9), round(r.lat, 9))
-        )
+    write_route_geojson(stitched, stops, spark_out)
     dt = time.perf_counter() - t0
     stitched.unpersist()
-    return dt, {k: (v[0], v[1]) for k, v in got.items()}
+    release_intermediates(ways_df)
+    return dt, spark_out
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [50, 200, 800]
+    args = sys.argv[1:]
+    distributed_fetch = "--distributed-fetch" in args
+    sizes = [int(a) for a in args if not a.startswith("--")] or [50, 200, 800]
     os.makedirs(OUT, exist_ok=True)
 
     from tegallega_spark.session import get_spark
@@ -389,17 +449,20 @@ def main() -> None:
     for n in sizes:
         box, rids = make_sandbox(n)
         ref_s = run_reference(box)
-        ref = parse_reference(box, rids)
-        spark_s, got = run_spark(spark, box, rids)
+        spark_s, spark_out = run_spark(
+            spark, box, rids, distributed_fetch=distributed_fetch
+        )
 
-        assert set(got) == set(ref), (len(got), len(ref))
-        n_stops = 0
-        for rid in ref:
-            assert got[rid][0] == ref[rid][0], f"rel {rid}: way coords differ"
-            assert got[rid][1] == ref[rid][1], (
-                f"rel {rid}: stops differ\nspark={got[rid][1]}\nref={ref[rid][1]}"
-            )
-            n_stops += len(ref[rid][1])
+        # Parity (untimed): fingerprint BOTH sides' written files with the
+        # same streaming parser — the sink output itself is what's compared
+        ref_fp, n_stops = fingerprint_tree(
+            os.path.join(box, "route-data", "geojson"), rids
+        )
+        got_fp, got_stops = fingerprint_tree(spark_out, rids)
+        assert set(got_fp) == set(ref_fp), (len(got_fp), len(ref_fp))
+        assert got_stops == n_stops, (got_stops, n_stops)
+        diff = [rid for rid in ref_fp if got_fp[rid] != ref_fp[rid]]
+        assert not diff, f"{len(diff)} relations differ, e.g. {diff[:5]}"
         results.append(
             {
                 "relations": n,
@@ -407,6 +470,7 @@ def main() -> None:
                 "reference_s": round(ref_s, 2),
                 "spark_s": round(spark_s, 2),
                 "ratio": round(ref_s / spark_s, 2),
+                "fetch": "distributed" if distributed_fetch else "driver",
                 "outputs": "identical",
             }
         )

@@ -63,16 +63,18 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
         # at 24g, floored at 4g.  On a real cluster the driver only
         # coordinates — set SPARK_GRAFT_DRIVER_MEM down explicitly.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
-        # Driver result ceiling: local-mode harnesses legitimately collect
-        # large parity-comparison frames (the 409.6k-relation extract race
-        # returns ~37 M stitched vertices ≈ 1.1 GiB of Arrow batches and
-        # died on the 1 GiB default).  4g is safe under the ≥4g driver
-        # heap above; on a real cluster set it back down — production
-        # pipelines here never collect corpus-sized results (the operators
-        # are written sink-to-sink; collects are bounded and documented).
+        # Driver result ceiling: STOCK 1g default (r11 — the r10 4g
+        # default existed only to feed the extract race's 74 M-vertex
+        # parity collect, which is gone: the K2 sink writes from
+        # executors and the race compares distributed per-relation
+        # fingerprints).  A clean maxResultSize error on an oversized
+        # collect beats a driver OOM, and no production path here
+        # collects corpus-sized results (operators are sink-to-sink;
+        # collects are bounded and documented).  Env knob kept for
+        # harnesses that knowingly collect more.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local test files are ~10 MB; the 128 MB default split puts a whole

@@ -122,3 +122,179 @@ def test_geojson_sink_roundtrip(extracted, tmp_path):
     props = [ft["properties"] for ft in sj["features"]]
     assert {p["id"] for p in props} >= {"201", "202"}
     assert all("isReal" in p and "role" in p for p in props)
+
+
+def test_geojson_sink_is_distributed_and_exact(extracted, tmp_path, spark):
+    """The K2 sink writes from executors (cogrouped applyInPandas) — this
+    pins (a) byte content equal to a straight driver rendering of the
+    same frames, (b) stop order by frac_idx, (c) a stops-only relation
+    gets NO directory (the driver-loop behavior it replaced)."""
+    stitched, stops = extracted
+    # add a stops-only relation: present in stops, absent from stitched
+    extra = stops.limit(1).selectExpr(
+        "'999' as relation_id", "stop_id", "name", "role", "is_real",
+        "lon", "lat", "frac_idx",
+    )
+    dirs = write_route_geojson(
+        stitched, stops.unionByName(extra), str(tmp_path)
+    )
+    assert [os.path.basename(d) for d in dirs] == ["900"]
+
+    # expected bytes, rendered driver-side from the same collected rows
+    coords = [
+        [r.lon, r.lat]
+        for r in stitched.orderBy("vertex_idx").collect()
+    ]
+    want_ways = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [{
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": coords},
+                "properties": {"relationId": "900"},
+            }],
+        },
+        indent=2,
+    )
+    with open(os.path.join(dirs[0], "ways.geojson")) as f:
+        assert f.read() == want_ways
+    want_stop_ids = [
+        r.stop_id for r in stops.orderBy("frac_idx").collect()
+    ]
+    with open(os.path.join(dirs[0], "stops.geojson")) as f:
+        got = [ft["properties"]["id"] for ft in json.load(f)["features"]]
+    assert got == want_stop_ids
+
+
+# ---------------------------------------------------------------------------
+# Executor-side fetch mode (S5-S7 distributed variant)
+# ---------------------------------------------------------------------------
+
+def _make_multi_fetch():
+    """Factory returning an injected fetch serving 4 shifted copies of
+    the module's 3-way/2-stop world.  A CLOSURE (not a module-level
+    function) so cloudpickle ships it to executors by value — the test
+    module itself is not importable on Spark's Python workers."""
+    base_ways = (WAY1, WAY2, WAY3)
+    base_nodes = (NODE_A, NODE_B)
+
+    def world(rid: int):
+        off = (rid - 900) * 100
+        lon_off = (rid - 900) * 0.1
+        ways = [
+            {
+                "id": w["id"] + off,
+                "tags": w["tags"],
+                "geometry": [
+                    {"lon": g["lon"] + lon_off, "lat": g["lat"]}
+                    for g in w["geometry"]
+                ],
+            }
+            for w in base_ways
+        ]
+        nodes = [
+            {"id": n["id"] + off, "lon": n["lon"] + lon_off, "lat": n["lat"],
+             "tags": n["tags"]}
+            for n in base_nodes
+        ]
+        relation = {
+            "type": "relation",
+            "id": rid,
+            "members": (
+                [{"type": "way", "ref": w["id"], "role": ""} for w in ways]
+                + [{"type": "node", "ref": nodes[0]["id"], "role": "stop"},
+                   {"type": "node", "ref": nodes[1]["id"],
+                    "role": "stop_exit_only"}]
+            ),
+        }
+        return relation, ways, nodes
+
+    def multi_fetch(query: str) -> list[dict]:
+        import re
+
+        m = re.fullmatch(r"\[out:json\];relation\((\d+)\);out body;", query)
+        if m:
+            return [world(int(m.group(1)))[0]]
+        m = re.fullmatch(r"\[out:json\];way\(id:([\d,]+)\);out geom;", query)
+        if m:
+            ids = [int(i) for i in m.group(1).split(",")]
+            rid = 900 + (ids[0] - 101) // 100
+            return [w for w in world(rid)[1] if w["id"] in ids]
+        m = re.fullmatch(r"\[out:json\];node\(id:([\d,]+)\);out geom;", query)
+        if m:
+            ids = [int(i) for i in m.group(1).split(",")]
+            rid = 900 + (ids[0] - 201) // 100
+            return [n for n in world(rid)[2] if n["id"] in ids]
+        raise AssertionError(f"unexpected query: {query}")
+
+    return multi_fetch
+
+
+def test_distributed_fetch_matches_driver_loop(spark, tmp_path):
+    from tegallega_spark.session import release_intermediates
+    from tegallega_spark.sources.overpass import (
+        bundle_to_rows,
+        fetch_bundles_distributed,
+        fetch_relation_bundle,
+    )
+
+    marker_dir = str(tmp_path)
+    multi_fetch = _make_multi_fetch()
+
+    def marking_fetch(query: str) -> list[dict]:
+        # records the Spark partition id of every executor-side call so
+        # the test can prove the fetches ran distributed across tasks,
+        # not in one driver loop (closure-captured path: env vars set
+        # after JVM start don't reach the Python workers)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            with open(os.path.join(marker_dir, f"p{ctx.partitionId()}"), "w") as f:
+                f.write("1")
+        return multi_fetch(query)
+
+    rids = ["900", "901", "902", "903"]
+    ways_d, nodes_d = fetch_bundles_distributed(
+        spark, rids, marking_fetch, num_partitions=4
+    )
+    exp_w, exp_n = [], []
+    for rid in rids:
+        w, n = bundle_to_rows(rid, fetch_relation_bundle(rid, multi_fetch))
+        exp_w.extend(w)
+        exp_n.extend(n)
+    assert sorted(tuple(r) for r in ways_d.collect()) == sorted(exp_w)
+    assert sorted(tuple(r) for r in nodes_d.collect()) == sorted(exp_n)
+    # the fetches ran N-way across distinct tasks (one marker per
+    # partition id), not funneled through the driver
+    markers = {p for p in os.listdir(tmp_path) if p.startswith("p")}
+    assert len(markers) == 4, markers
+    assert release_intermediates(ways_d) == 1  # the shared persisted frame
+
+
+def test_distributed_fetch_feeds_extract_chain(spark):
+    """End-to-end: distributed fetch → stitch → angkot stops produces the
+    exact same output as the driver-loop extract_route path."""
+    from tegallega_spark.operators.stateful import stitch_ways
+    from tegallega_spark.pipeline.extract import angkot_stops
+    from tegallega_spark.sources.overpass import fetch_bundles_distributed
+
+    multi_fetch = _make_multi_fetch()
+    ways_d, nodes_d = fetch_bundles_distributed(spark, ["900"], multi_fetch)
+    stitched = stitch_ways(ways_d, key="relation_id")
+    stops = angkot_stops(nodes_d, stitched, ways_d)
+    via_driver = extract_route(spark, "900", mode="angkot", fetch_fn=multi_fetch)
+    want_coords = [
+        (r.lon, r.lat) for r in via_driver[0].orderBy("vertex_idx").collect()
+    ]
+    got_coords = [(r.lon, r.lat) for r in stitched.orderBy("vertex_idx").collect()]
+    assert got_coords == want_coords
+    want_stops = [
+        (r.stop_id, r.name, r.role, r.is_real, r.lon, r.lat)
+        for r in via_driver[1].orderBy("frac_idx").collect()
+    ]
+    got_stops = [
+        (r.stop_id, r.name, r.role, r.is_real, r.lon, r.lat)
+        for r in stops.orderBy("frac_idx").collect()
+    ]
+    assert got_stops == want_stops
