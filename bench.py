@@ -55,9 +55,11 @@ HEADLINE = [
     "q35_minhash_neardup",    # MinHash-LSH
     "q37_lang_detect",        # text analysis
     "q38_ann_topk",           # similarity search
+    "q41_stateful_thinning",  # applyInPandas stateful fold (r11)
     "q51_duplicated_spans",   # ExactSubstr span dedup (r5: driver-tracked)
     "q56_lm_perplexity",      # bigram-LM train + score (r5)
     "q58_image_resize_features",  # codec chain: decode→resize→encode→features (r6)
+    "q60_segment_snap",       # spatial point-to-segment projection join (r11)
     "q69_ivfpq_full_rerank",  # IVF-PQ ANN: train + codes-only ADC scan (r6)
     "q72_mini_clean_corpus",  # COMPOSED normalize→para-dedup→gopher→mixture (r7)
 ]
@@ -67,7 +69,15 @@ def _report_delta_vs_prior(result, spreads, secondary) -> None:
     """Round-over-round adjudication ON THE RECORD (r9 verdict #2: the
     r9 artifact's +18% went unremarked and took a judge re-run to call as
     jitter).  Finds the newest BENCH_r{N}.json next to this script,
-    prints primary/secondary deltas vs it, and adjudicates the primary
+    prints primary/secondary deltas vs it, and adjudicates the primary.
+
+    "Newest" excludes the CURRENT round's artifact (r10 ADVICE: on a
+    re-run after the harness already saved BENCH_r{N}.json, comparing to
+    the newest file compares this round to itself).  The current round
+    is taken from $SPARK_GRAFT_ROUND when set, else inferred as
+    (VERDICT.md's round + 1) — the verdict for round N ships at the
+    START of round N+1, so BENCH files numbered > N are this round's
+    own artifacts, not priors.
     delta against the measured per-query spreads: if the total movement
     is within the summed spread envelope of the two rounds (this round's
     measured spreads counted twice as a proxy for the prior round's),
@@ -78,10 +88,22 @@ def _report_delta_vs_prior(result, spreads, secondary) -> None:
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    cur_round = None
+    env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env_round.isdigit():
+        cur_round = int(env_round)
+    else:
+        try:
+            with open(os.path.join(repo, "VERDICT.md")) as f:
+                m = re.search(r"VERDICT\s*[—-]+\s*round\s+(\d+)", f.read(200))
+            if m:
+                cur_round = int(m.group(1)) + 1
+        except OSError:
+            pass
     benches = {}
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = re.search(r"BENCH_r0*(\d+)\.json$", p)
-        if m:
+        if m and (cur_round is None or int(m.group(1)) < cur_round):
             benches[int(m.group(1))] = p
     if not benches:
         return

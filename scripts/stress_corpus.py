@@ -893,9 +893,13 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
         # size-gated default (stage_boundaries_needed: projected spill vs
         # free disk) decides, which is the production posture the r9
         # verdict asked this race to validate.  At ≤1.6 M the gate stays
-        # off (methodology-identical with prior rounds); at 3.2 M+ it
-        # fires by itself — the regime that used to die on ENOSPC when
-        # the knob was opt-in.
+        # off; at 3.2 M+ it fires by itself — the regime that used to
+        # die on ENOSPC when the knob was opt-in.  NOTE (r10 ADVICE):
+        # the same r10 change moved corpus ingestion from
+        # createDataFrame(pdf) to a parquet scan at ALL sizes, so even
+        # the ≤1.6 M rows are not timed-work-identical with rounds ≤9
+        # (driver-side Arrow conversion vs parallel scan) — compare
+        # round-over-round only within the parquet-scan generation.
         with aqe_off_for_small_input(docs):
             cleaned = clean_corpus(
                 docs, blocklist=bl_df,

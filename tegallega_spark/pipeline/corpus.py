@@ -104,6 +104,16 @@ def _auto_stage_boundary_dir(docs: DataFrame) -> tuple[str | None, object]:
     if mode not in ("1", "on", "always", "true"):
         try:
             size = plan_size_bytes(docs)
+            # _SPILL_FACTOR was calibrated against zstd-parquet scan
+            # bytes; in-memory roots (createDataFrame → LocalRelation /
+            # LogicalRDD) report sizeInBytes ~17× below that calibration
+            # (measured in the r10 stress harness), so without a
+            # correction the ENOSPC gate silently stays off in exactly
+            # the regime it protects (r10 ADVICE).  16× multiplier when
+            # the lineage is not scan-rooted.
+            plan_str = str(docs._jdf.queryExecution().analyzed())
+            if "LocalRelation" in plan_str or "LogicalRDD" in plan_str:
+                size *= 16
             free = shutil.disk_usage(tempfile.gettempdir()).free
         except Exception:
             return None, None
@@ -318,25 +328,32 @@ def clean_corpus(
     # their shuffle stages is a separately scheduled job, which is pure
     # latency when the input is small (r7 profiling: ~115 stage jobs
     # ≈ 15 s at 5 k docs).  Size-gated: a no-op at real scale.
-    with aqe_off_for_small_input(docs):
-        out = _clean_corpus_impl(
-            docs, blocklist,
-            id_col=id_col, text_col=text_col, stratum_col=stratum_col,
-            min_quality=min_quality, max_dup_ngram_frac=max_dup_ngram_frac,
-            shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
-            sample_thresholds=sample_thresholds,
-            default_sample_threshold=default_sample_threshold,
-            pack_budget=pack_budget, n_shards=n_shards,
-            dedup_strategy=dedup_strategy, max_shingle_df=max_shingle_df,
-            exact_dedup_limit=exact_dedup_limit, normalize=normalize,
-            line_dedup_max_df=line_dedup_max_df, span_dedup_k=span_dedup_k,
-            span_dedup_min_count=span_dedup_min_count,
-            embedding_col=embedding_col, min_cosine=min_cosine,
-            gopher_rules=gopher_rules, max_perplexity=max_perplexity,
-            paragraph_dedup=paragraph_dedup, mixture_targets=mixture_targets,
-            mixture_stratum=mixture_stratum,
-            stage_boundary_dir=stage_boundary_dir,
-        )
+    try:
+        with aqe_off_for_small_input(docs):
+            out = _clean_corpus_impl(
+                docs, blocklist,
+                id_col=id_col, text_col=text_col, stratum_col=stratum_col,
+                min_quality=min_quality, max_dup_ngram_frac=max_dup_ngram_frac,
+                shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
+                sample_thresholds=sample_thresholds,
+                default_sample_threshold=default_sample_threshold,
+                pack_budget=pack_budget, n_shards=n_shards,
+                dedup_strategy=dedup_strategy, max_shingle_df=max_shingle_df,
+                exact_dedup_limit=exact_dedup_limit, normalize=normalize,
+                line_dedup_max_df=line_dedup_max_df, span_dedup_k=span_dedup_k,
+                span_dedup_min_count=span_dedup_min_count,
+                embedding_col=embedding_col, min_cosine=min_cosine,
+                gopher_rules=gopher_rules, max_perplexity=max_perplexity,
+                paragraph_dedup=paragraph_dedup, mixture_targets=mixture_targets,
+                mixture_stratum=mixture_stratum,
+                stage_boundary_dir=stage_boundary_dir,
+            )
+    except BaseException:
+        # the auto temp dir would otherwise leak: the handle only gets
+        # attached to a successfully returned result (r10 ADVICE)
+        if boundary_handle is not None:
+            boundary_handle.unpersist()
+        raise
     if boundary_handle is not None:
         out._tegallega_persisted = list(
             getattr(out, "_tegallega_persisted", ())

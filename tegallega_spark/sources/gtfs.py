@@ -1,11 +1,14 @@
 """GTFS CSV sink + reader (SURVEY K1, K3, S9).
 
 K1: GTFS requires exact filenames (agency.txt, ...) and a pinned column
-order — a single CSV per table.  coalesce(1) here is a correctness
-requirement of the format, not a performance choice (SURVEY §4.2); for
-feeds too large for one file, write partitioned and concatenate on the
-driver (the helper does exactly that under the hood: Spark writes the
-part file(s), the driver streams them into the final .txt).
+order — a single CSV per table (SURVEY §4.2).  Spark writes the table
+as (possibly many) part files IN PARALLEL and the driver streams them
+into the final .txt in partition order, dropping repeated headers.
+Part-file concatenation order equals partition index order, which is
+the same order a coalesce(1) would have merged them in, so the output
+bytes are identical to a single-file write — but CSV serialization of
+a 39 M-row stop_times now uses every core instead of one (r10 verdict
+#5: the old coalesce(1) was an unnecessary single-thread funnel).
 
 K3: gtfs.zip packaging for the OTP consumer.
 """
@@ -31,15 +34,20 @@ def write_gtfs_table(df: DataFrame, name: str, out_dir: str) -> str:
     final = os.path.join(out_dir, f"{name}.txt")
     with tempfile.TemporaryDirectory(dir=out_dir) as tmp:
         spark_out = os.path.join(tmp, "csv")
-        df.select(*cols).coalesce(1).write.option("header", True).option(
+        df.select(*cols).write.option("header", True).option(
             "emptyValue", ""
         ).mode("overwrite").csv(spark_out)
         parts = sorted(glob.glob(os.path.join(spark_out, "part-*.csv")))
         with open(final, "wb") as out:
+            if not parts:
+                # a 0-partition frame writes no part file at all; the
+                # format still requires the header line
+                out.write((",".join(cols) + "\n").encode())
             for i, p in enumerate(parts):
                 with open(p, "rb") as f:
-                    if i > 0:
-                        f.readline()  # drop repeated header on extra parts
+                    header = f.readline()
+                    if i == 0:
+                        out.write(header)
                     shutil.copyfileobj(f, out)
     return final
 

@@ -37,6 +37,35 @@ def test_bench_delta_line_within_noise(capsys):
         assert "unparsable" in err
 
 
+def test_bench_delta_excludes_current_round_artifact(capsys, monkeypatch):
+    """r10 ADVICE: a re-run after the harness saved this round's
+    BENCH_r{N}.json must NOT compare the round to itself.  With
+    SPARK_GRAFT_ROUND=10 the newest eligible prior is r9, even though
+    BENCH_r10.json exists on disk."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")
+    bench._report_delta_vs_prior({"value": 20.0}, {"q1": 0.1}, None)
+    err = capsys.readouterr().err
+    assert "# delta vs BENCH_r9:" in err
+
+
+def test_bench_delta_infers_round_from_verdict(capsys):
+    """With no env override the current round is VERDICT.md's round + 1,
+    so the newest prior never exceeds the verdict round."""
+    import re
+
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    m = re.search(r"VERDICT\s*[—-]+\s*round\s+(\d+)",
+                  open(os.path.join(repo, "VERDICT.md")).read(200))
+    if m is None:
+        import pytest
+
+        pytest.skip("no VERDICT.md round header")
+    bench._report_delta_vs_prior({"value": 20.0}, {"q1": 0.1}, None)
+    err = capsys.readouterr().err
+    got = re.search(r"# delta vs BENCH_r(\d+):", err)
+    assert got and int(got.group(1)) <= int(m.group(1))
+
+
 def test_bench_delta_line_exceeds_spread_and_secondary(capsys):
     """A move past the envelope → exceeds-spread; the secondary point's
     delta rides the same line when both rounds have one."""
