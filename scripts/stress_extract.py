@@ -435,7 +435,16 @@ def run_spark(
 
 def main() -> None:
     args = sys.argv[1:]
-    distributed_fetch = "--distributed-fetch" in args
+    # --fetch=driver (default) | distributed | both.  "both" runs the node
+    # reference ONCE per size and races both Spark fetch shapes on the
+    # same sandbox.  --distributed-fetch kept as an alias (r10 flag).
+    fetch_mode = "driver"
+    if "--distributed-fetch" in args:
+        fetch_mode = "distributed"
+    for a in args:
+        if a.startswith("--fetch="):
+            fetch_mode = a.split("=", 1)[1]
+    keep = "--keep" in args
     sizes = [int(a) for a in args if not a.startswith("--")] or [50, 200, 800]
     os.makedirs(OUT, exist_ok=True)
 
@@ -445,38 +454,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
 
+    modes = ["driver", "distributed"] if fetch_mode == "both" else [fetch_mode]
     results = []
     for n in sizes:
         box, rids = make_sandbox(n)
         ref_s = run_reference(box)
-        spark_s, spark_out = run_spark(
-            spark, box, rids, distributed_fetch=distributed_fetch
-        )
-
-        # Parity (untimed): fingerprint BOTH sides' written files with the
-        # same streaming parser — the sink output itself is what's compared
         ref_fp, n_stops = fingerprint_tree(
             os.path.join(box, "route-data", "geojson"), rids
         )
-        got_fp, got_stops = fingerprint_tree(spark_out, rids)
-        assert set(got_fp) == set(ref_fp), (len(got_fp), len(ref_fp))
-        assert got_stops == n_stops, (got_stops, n_stops)
-        diff = [rid for rid in ref_fp if got_fp[rid] != ref_fp[rid]]
-        assert not diff, f"{len(diff)} relations differ, e.g. {diff[:5]}"
-        results.append(
-            {
-                "relations": n,
-                "stops_total": n_stops,
-                "reference_s": round(ref_s, 2),
-                "spark_s": round(spark_s, 2),
-                "ratio": round(ref_s / spark_s, 2),
-                "fetch": "distributed" if distributed_fetch else "driver",
-                "outputs": "identical",
-            }
-        )
-        print(json.dumps(results[-1]), file=sys.stderr)
-        shutil.rmtree(box, ignore_errors=True)  # shards + route-data; next
-        # size regenerates its own sandbox, disk stays bounded
+        for mode in modes:
+            spark_s, spark_out = run_spark(
+                spark, box, rids, distributed_fetch=(mode == "distributed")
+            )
+            # Parity (untimed): fingerprint BOTH sides' written files with
+            # the same streaming parser — the sink output itself is compared
+            got_fp, got_stops = fingerprint_tree(spark_out, rids)
+            assert set(got_fp) == set(ref_fp), (len(got_fp), len(ref_fp))
+            assert got_stops == n_stops, (got_stops, n_stops)
+            diff = [rid for rid in ref_fp if got_fp[rid] != ref_fp[rid]]
+            assert not diff, f"{len(diff)} relations differ, e.g. {diff[:5]}"
+            results.append(
+                {
+                    "relations": n,
+                    "stops_total": n_stops,
+                    "reference_s": round(ref_s, 2),
+                    "spark_s": round(spark_s, 2),
+                    "ratio": round(ref_s / spark_s, 2),
+                    "fetch": mode,
+                    "outputs": "identical",
+                }
+            )
+            print(json.dumps(results[-1]), file=sys.stderr)
+            shutil.rmtree(spark_out, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(box, ignore_errors=True)  # shards + route-data;
+            # next size regenerates its own sandbox, disk stays bounded
 
     print(json.dumps(results))
     spark.stop()
