@@ -968,6 +968,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     strategy = sys.argv[2] if len(sys.argv) > 2 else "exact"
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    if n >= 3_200_000:
+        # The text-cut waves' sort spill is disk-bound, not CPU-bound, at
+        # this size: zstd shuffle blocks (~1.7x tighter than lz4 on the
+        # token-posting rows) are what fit a 6.4M wave on this box's
+        # scratch disk.  Core conf — must be set before the session
+        # exists; explicit SPARK_GRAFT_IO_CODEC always wins.
+        os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
     result = run(n, strategy=strategy, repeats=repeats)
     print(json.dumps(result))
     assert result["fingerprint_match"], "e2e corpus outputs diverged"

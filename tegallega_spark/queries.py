@@ -1171,21 +1171,29 @@ def q35(spark, sf_dir):
                                                     i -> array_to_string(w[i:i+1], ' ')))
              END AS s
       FROM words),
-    hs AS (
-      SELECT doc_id,
-             list_transform(s, g -> list_sum(
-               [CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT)
-                << (4 * (15 - i)) for i in range(1, 16)])) AS hv
-      FROM sh),
+    tok AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    -- hash each DISTINCT shingle once corpus-wide (the r10 form hashed
+    -- per (doc, shingle) inside nested list_transforms — interpreted
+    -- per-element and re-paying md5 for every repeat; r10 NIGHTLY
+    -- measured this oracle as the single largest wall in the sweep)
+    hv AS (
+      SELECT sh, list_sum(
+               [CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)
+                << (4 * (15 - i)) for i in range(1, 16)]) AS h
+      FROM (SELECT DISTINCT sh FROM tok)),
+    -- simhash bit sums as one flat unnested aggregate (vectorized)
+    -- instead of 60 nested list_sum passes per doc: identical integers
+    bits AS (
+      SELECT t.doc_id, b.b,
+             SUM(CASE WHEN (hv.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok t JOIN hv ON t.sh = hv.sh
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+      GROUP BY 1, 2),
     fp AS (
       SELECT doc_id,
-             CAST(list_sum(
-               [CASE WHEN list_sum(list_transform(hv,
-                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                     THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
-                for b in range(0, 60)]) AS BIGINT) AS fp
-      FROM hs),
-    tok AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id),
     card AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
     pair AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common

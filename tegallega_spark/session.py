@@ -88,6 +88,21 @@ def get_spark(app_name: str = "tegallega-spark", cpus: int | None = None) -> Spa
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.sql.files.openCostInBytes", "524288")
+        # Shuffle/spill block codec: stock lz4 by default (fastest for the
+        # many small exchanges in the headline queries).  The big
+        # text-cut waves are the exception: their spill is one row per
+        # corpus token and DISK-bound, not CPU-bound — zstd compresses
+        # those blocks ~1.7x tighter than lz4, which is what lets a
+        # 6.4 M-doc composed wave fit the scratch disk at all.  Core
+        # Spark conf, immutable after context start, so it is an env
+        # knob here rather than a per-job setting; stress_corpus sets it
+        # for the >=3.2M races.  On a real cluster, zstd for shuffle is
+        # the common large-ETL posture (trades executor CPU for
+        # disk/network bytes).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # File-index listing: above this many paths Spark launches a
         # CLUSTER JOB to list them in parallel — ~0.4 s of scheduling
         # latency per source on this box, triggered at the default of 32
