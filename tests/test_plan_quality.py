@@ -548,3 +548,55 @@ def test_aqe_gate_narrows_shuffle_and_restores(spark):
         assert spark.conf.get(key) == "4"
     finally:
         spark.conf.set(key, prior)
+
+
+def test_exact_jaccard_pair_gen_no_cartesian(spark):
+    """q23's pair generator (exact_shingle_jaccard_pairs) must meet pairs
+    only through the shingle-keyed postings equi-join — no cartesian, no
+    nested loop, and the shuffled postings carry the 8-byte hash, never
+    the shingle STRING (the strings would multiply the exchange bytes by
+    the shingle width).  This pins the nightly q23 wall as inherent
+    verify work: at sf0.1 it is ~15 small jobs of scheduling latency
+    around one postings exchange + the CC rounds, each already minimal."""
+    from tegallega_spark.operators.dedup import exact_shingle_jaccard_pairs
+    from tegallega_spark.session import release_intermediates
+
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} common tail text {i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = exact_shingle_jaccard_pairs(df, shingle_n=2, threshold=0.5)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_intermediates(pairs)
+
+
+def test_all_pairs_above_band_join_shuffles_ids_not_vectors(spark):
+    """q39's LSH candidate join must shuffle only (id, table, bucket)
+    rows; the embedding vectors join back AFTER the bare-pair dedup.  A
+    plan where the vector column reaches the band-join exchange would
+    multiply the shuffle by the embedding width.  (The q39 nightly wall
+    itself is pinned as inherent: at cos 0.462 on random vectors the
+    2-plane/16-table configuration is the RECALL-1 oracle-exact setting
+    — hyperplane selectivity ~0.99, so candidates ~ all pairs by math,
+    and the exact-cosine verify pass IS the work.  Production thresholds
+    (0.9+, more planes) prune; the recall race in README.md measures
+    that regime.)"""
+    import numpy as np
+
+    from tegallega_spark.operators.similarity import all_pairs_above
+    from tegallega_spark.session import release_intermediates
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = all_pairs_above(df, min_cosine=0.5, num_planes=2, num_tables=4)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the band self-join subtree must not carry the vector column: every
+    # exchange mentioning `bucket` must not mention `__v` / embedding
+    for block in plan.split("Exchange"):
+        if "bucket" in block.split("\n")[0]:
+            assert "__v" not in block.split("\n")[0]
+    release_intermediates(pairs)
