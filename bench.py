@@ -125,6 +125,23 @@ def _report_delta_vs_prior(result, spreads, secondary) -> None:
     verdict = "within-noise" if abs(cur - prev_val) <= envelope else "exceeds-spread"
     line = (f"# delta vs BENCH_r{n_prev}: primary {prev_val}->{cur}s "
             f"({pct:+.1f}%), spread envelope +/-{envelope:.2f}s -> {verdict}")
+    # When the headline SET changed between rounds, the raw totals are
+    # not comparable (r11: adding q41+q60 per the r10 verdict #7 made a
+    # -21% like-for-like move print as +1.3%).  Also adjudicate the
+    # intersection, with its own envelope restricted to shared queries.
+    prev_q = prev.get("queries") or {}
+    cur_q = result.get("queries") or {}
+    if prev_q and cur_q and set(prev_q) != set(cur_q):
+        shared = sorted(set(prev_q) & set(cur_q))
+        pv = sum(prev_q[q] for q in shared)
+        cv = sum(cur_q[q] for q in shared)
+        env_s = 2.0 * sum(spreads.get(q, 0.0) for q in shared)
+        sverdict = "within-noise" if abs(cv - pv) <= env_s else "exceeds-spread"
+        line += (f"; like-for-like over {len(shared)} shared queries "
+                 f"{pv:.2f}->{cv:.2f}s ({100.0 * (cv - pv) / pv:+.1f}%, "
+                 f"envelope +/-{env_s:.2f}s -> {sverdict}; "
+                 f"added {sorted(set(cur_q) - set(prev_q))}, "
+                 f"removed {sorted(set(prev_q) - set(cur_q))})")
     prev_sec = prev.get("secondary_value")
     if secondary is not None and isinstance(prev_sec, (int, float)) and prev_sec > 0:
         sv = secondary["value"]

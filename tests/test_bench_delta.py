@@ -75,3 +75,22 @@ def test_bench_delta_line_exceeds_spread_and_secondary(capsys):
     err = capsys.readouterr().err
     assert "exceeds-spread" in err
     assert "secondary" in err
+
+
+def test_bench_delta_like_for_like_on_set_change(capsys, monkeypatch, tmp_path):
+    """When the headline set changes between rounds, the raw-total delta is
+    not comparable — the line must ALSO adjudicate the intersection (r11:
+    q41+q60 joined the set and a -21% like-for-like move printed as +1.3%)."""
+    import json
+
+    prior = {"parsed": {"value": 10.0, "queries": {"qa": 6.0, "qb": 4.0}}}
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    result = {"value": 12.0, "queries": {"qa": 5.0, "qb": 3.0, "qc": 4.0}}
+    bench._report_delta_vs_prior(result, {"qa": 0.2, "qb": 0.2, "qc": 0.2}, None)
+    err = capsys.readouterr().err
+    assert "like-for-like over 2 shared queries" in err
+    assert "10.00->8.00s" in err and "-20.0%" in err
+    assert "exceeds-spread" in err       # |8-10| = 2 > 2*(0.2+0.2)
+    assert "added ['qc']" in err and "removed []" in err
