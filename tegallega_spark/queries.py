@@ -734,7 +734,7 @@ def q22(spark, sf_dir):
       FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
-               CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               CASE WHEN len(toks) < 4 THEN [coalesce(array_to_string(toks, ' '), '')]
                     ELSE [list_aggregate(toks[i:i+3], 'string_agg', ' ')
                           for i in range(1, len(toks) - 3 + 1)] END)) AS g
       FROM tok),
@@ -813,7 +813,7 @@ def q24(spark, sf_dir):
       FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
-               CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               CASE WHEN len(toks) < 4 THEN [coalesce(array_to_string(toks, ' '), '')]
                     ELSE [list_aggregate(toks[i:i+3], 'string_agg', ' ')
                           for i in range(1, len(toks) - 3 + 1)] END)) AS g
       FROM tok)
@@ -1030,7 +1030,7 @@ def q32(spark, sf_dir):
       FROM documents),
     gr AS (
       SELECT doc_id, unnest(
-               CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+               CASE WHEN len(toks) < 2 THEN [coalesce(array_to_string(toks, ' '), '')]
                     ELSE [list_aggregate(toks[i:i+1], 'string_agg', ' ')
                           for i in range(1, len(toks))] END) AS g
       FROM tok),
@@ -1113,7 +1113,7 @@ _SHINGLE_JACCARD_ORACLE = r"""
       FROM documents),
     sh AS (
       SELECT doc_id,
-             CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+             CASE WHEN len(w) < {n} THEN [coalesce(array_to_string(w, ' '), '')]
                   ELSE list_distinct(list_transform(generate_series(1, len(w) - {n_minus_1}),
                                                     i -> array_to_string(w[i:i+{n_minus_1}], ' ')))
              END AS s
@@ -1164,9 +1164,15 @@ def q35(spark, sf_dir):
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
       FROM documents),
+    -- degenerate shingle: a doc whose token list is EMPTY must still get
+    -- one '' shingle (r11 ADVICE + re-derivation: array_to_string([],' ')
+    -- is NULL in DuckDB, so without the coalesce the doc gets no tok row,
+    -- no fingerprint, and - the real divergence - never enters the pair
+    -- join, while Spark's concat_ws gives '' and pairs two empty docs at
+    -- jaccard 1.0; reproduced with two punctuation-only docs)
     sh AS (
       SELECT doc_id,
-             CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+             CASE WHEN len(w) < 2 THEN [coalesce(array_to_string(w, ' '), '')]
                   ELSE list_distinct(list_transform(generate_series(1, len(w) - 1),
                                                     i -> array_to_string(w[i:i+1], ' ')))
              END AS s

@@ -14,17 +14,17 @@ import bench  # noqa: E402
 
 def test_bench_delta_line_within_noise(capsys):
     """A tiny move swallowed by the spread envelope → within-noise.
-    Discovers the newest BENCH_r{N}.json the same way the function does,
-    so the pin survives future rounds' artifacts."""
-    import glob
-    import re
-
+    Discovers the prior BENCH_r{N}.json via bench's OWN selection helper
+    (r11 verdict #1: a hand-rolled "newest file" here diverged from the
+    function's current-round self-exclusion the moment the driver
+    deposited this round's artifact, and the pin went red)."""
     repo = os.path.dirname(os.path.abspath(bench.__file__))
-    newest = max(
-        glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r0*(\d+)\.json$", p).group(1)),
-    )
-    prev = (bench.json.load(open(newest)).get("parsed") or {}).get("value")
+    prior = bench._newest_prior_bench(repo)
+    if prior is None:
+        import pytest
+
+        pytest.skip("no prior BENCH artifact next to bench.py")
+    prev = (bench.json.load(open(prior[1])).get("parsed") or {}).get("value")
     result = {"value": (prev or 20.0) + 0.1}
     spreads = {"q1": 0.4, "q2": 0.3}  # envelope = 2*(0.7) = 1.4 > 0.1
     bench._report_delta_vs_prior(result, spreads, None)
@@ -94,3 +94,38 @@ def test_bench_delta_like_for_like_on_set_change(capsys, monkeypatch, tmp_path):
     assert "10.00->8.00s" in err and "-20.0%" in err
     assert "exceeds-spread" in err       # |8-10| = 2 > 2*(0.2+0.2)
     assert "added ['qc']" in err and "removed []" in err
+
+
+def test_bench_delta_disjoint_sets_cannot_kill_the_run(capsys, monkeypatch,
+                                                       tmp_path):
+    """r11 ADVICE: a prior round sharing NO queries with the current set
+    made the like-for-like percentage divide by pv=0, raising before the
+    final result JSON printed and discarding the whole bench run.  The
+    reporter must print the set change without a ratio instead."""
+    import json
+
+    prior = {"parsed": {"value": 10.0, "queries": {"qa": 6.0, "qb": 4.0}}}
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    result = {"value": 5.0, "queries": {"qx": 2.0, "qy": 3.0}}
+    bench._report_delta_vs_prior(result, {"qx": 0.1, "qy": 0.1}, None)
+    err = capsys.readouterr().err
+    assert "no shared queries with prior round" in err
+    assert "added ['qx', 'qy']" in err and "removed ['qa', 'qb']" in err
+
+
+def test_bench_delta_selection_is_shared_with_the_function(monkeypatch,
+                                                           tmp_path):
+    """The helper the within-noise pin calls IS the function's selection:
+    with r7/r8 artifacts on disk and SPARK_GRAFT_ROUND=8, both must pick
+    r7 (self-exclusion), not the newest file."""
+    import json
+
+    for n in (7, 8):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps({"parsed": {"value": float(n)}}))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+    got = bench._newest_prior_bench(str(tmp_path))
+    assert got is not None and got[0] == 7
+    assert got[1].endswith("BENCH_r7.json")

@@ -595,8 +595,23 @@ def test_all_pairs_above_band_join_shuffles_ids_not_vectors(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the band self-join subtree must not carry the vector column: every
-    # exchange mentioning `bucket` must not mention `__v` / embedding
-    for block in plan.split("Exchange"):
-        if "bucket" in block.split("\n")[0]:
-            assert "__v" not in block.split("\n")[0]
+    # exchange hash-partitioned on `bucket` must not carry `__v` /
+    # embedding in its input schema.  r11 ADVICE: the old form checked
+    # the first line after splitting on "Exchange", which in formatted
+    # mode is always empty (details put Arguments:/Input on later
+    # lines) — it matched zero exchanges and passed vacuously.  Parse
+    # the detail sections and assert the predicate actually fired.
+    import re
+
+    bucket_exchanges = []
+    for block in re.split(r"\(\d+\) Exchange", plan)[1:]:
+        detail = block.split("\n\n")[0]  # this node's detail section
+        arg = next((ln for ln in detail.splitlines() if "Arguments:" in ln), "")
+        if "bucket" in arg:
+            bucket_exchanges.append(detail)
+    assert bucket_exchanges, (
+        "no Exchange hash-partitioned on `bucket` found - the band "
+        "self-join plan shape changed; re-derive this pin:\n" + plan)
+    for detail in bucket_exchanges:
+        assert "__v" not in detail and "embedding" not in detail, detail
     release_intermediates(pairs)
