@@ -47,16 +47,21 @@ def main() -> None:
         # check non-SQL-expressible queries get (same split the driver
         # records) — a 74/74 artifact must not overstate what was checked
         mode = "oracle" if name in oracles else "rows_only"
+        # spark_s / oracle_s split (r11 verdict #7): "the wall is the
+        # oracle's" must be a recorded number, not a COVERAGE claim
+        split: dict = {}
         try:
-            _assert_parity(spark, name, sf_dir)
+            _assert_parity(spark, name, sf_dir, timings=split)
             results[name] = {"pass": True, "mode": mode,
-                             "wall_s": round(time.perf_counter() - t0, 2)}
+                             "wall_s": round(time.perf_counter() - t0, 2),
+                             **split}
         except Exception as exc:  # record, don't abort: the artifact must
             # show WHICH queries diverged, not just that one did
             results[name] = {
                 "pass": False,
                 "mode": mode,
                 "wall_s": round(time.perf_counter() - t0, 2),
+                **split,
                 "error": "".join(
                     traceback.format_exception_only(type(exc), exc)
                 )[:500],

@@ -214,8 +214,9 @@ def _write_relation_geojson(out_dir: str, ways_pdf, stops_pdf):
 
 
 def write_route_geojson(
-    stitched: DataFrame, stops: DataFrame, out_dir: str
-) -> list[str]:
+    stitched: DataFrame, stops: DataFrame, out_dir: str,
+    return_paths: bool = False,
+) -> int | list[str]:
     """K2 sink (js:413-417,462-465): pretty-printed ways.geojson +
     stops.geojson per relation directory.
 
@@ -225,9 +226,16 @@ def write_route_geojson(
     and nothing else, so the sink scales with #relations across the
     cluster — no driver collect of route geometry anywhere (the r10
     extract race measured the old driver-funnel version turning the
-    throughput curve DOWN at 409.6 k relations; this is the fix).  The
-    driver only collects the written directory paths (one short string
-    per relation) to preserve the return contract.
+    throughput curve DOWN at 409.6 k relations; this is the fix).
+
+    Returns the COUNT of directories written — the count() reduces on
+    executors, so nothing per-relation ever crosses the driver (r11
+    verdict #3: the previous contract collected one path string per
+    relation, ~linear driver memory that would meet the stock 1 g
+    maxResultSize around the 40 M-relation mark — the same funnel
+    species the data path already eliminated, one layer up).  Tests and
+    small presentation callers can opt back into the sorted path list
+    with return_paths=True, documented as driver-linear.
 
     `out_dir` must be reachable from every executor — trivially true on
     local[N]; on a real cluster that means a shared filesystem mount or
@@ -244,4 +252,6 @@ def write_route_geojson(
         .cogroup(stops.groupBy("relation_id"))
         .applyInPandas(write_group, schema="relation_dir string")
     )
-    return sorted(r.relation_dir for r in result.collect())
+    if return_paths:
+        return sorted(r.relation_dir for r in result.collect())
+    return result.count()

@@ -15,8 +15,10 @@ the geopandas dependency the reference needs — the container has none, and
 a sink that raises NotImplementedError is not a sink.
 
 Presentation sinks are inherently driver-side small (one file set per
-route, ~100s of routes); the collect here matches write_route_geojson /
-write_route_kml and the reference's per-route file loop.
+route, ~100s of routes); the collect here matches write_route_kml and the
+reference's per-route file loop.  (The K2 GeoJSON sink this used to cite
+is no longer a valid precedent: it writes from executors and returns a
+count — see write_route_geojson.)
 """
 
 from __future__ import annotations

@@ -111,7 +111,10 @@ def test_non_angkot_keeps_raw_stops(spark):
 
 def test_geojson_sink_roundtrip(extracted, tmp_path):
     stitched, stops = extracted
-    dirs = write_route_geojson(stitched, stops, str(tmp_path))
+    n = write_route_geojson(stitched, stops, str(tmp_path))
+    assert n == 1  # default contract: a count, no per-relation collect
+    dirs = write_route_geojson(stitched, stops, str(tmp_path),
+                               return_paths=True)
     assert len(dirs) == 1
     with open(os.path.join(dirs[0], "ways.geojson")) as f:
         ways = json.load(f)
@@ -136,7 +139,7 @@ def test_geojson_sink_is_distributed_and_exact(extracted, tmp_path, spark):
         "lon", "lat", "frac_idx",
     )
     dirs = write_route_geojson(
-        stitched, stops.unionByName(extra), str(tmp_path)
+        stitched, stops.unionByName(extra), str(tmp_path), return_paths=True
     )
     assert [os.path.basename(d) for d in dirs] == ["900"]
 

@@ -55,11 +55,23 @@ def _canon(columns, rows):
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
 
-def _assert_parity(spark, name: str, sf_dir: str) -> None:
+def _assert_parity(spark, name: str, sf_dir: str,
+                   timings: dict | None = None) -> None:
+    """Value-hash parity of one queries() entry vs its DuckDB oracle.
+
+    When `timings` is passed, records {"spark_s", "oracle_s"} into it —
+    the Spark plan+collect wall vs the DuckDB sql+fetch wall (r11 verdict
+    #7: nightly-tail adjudications like "q36's wall is the oracle's"
+    must be numbers in NIGHTLY_r{N}.json, not COVERAGE prose)."""
+    import time as _time
+
     q = entry_mod.queries()[name]
+    t0 = _time.perf_counter()
     sdf = q(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    if timings is not None:
+        timings["spark_s"] = round(_time.perf_counter() - t0, 2)
 
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
@@ -67,9 +79,12 @@ def _assert_parity(spark, name: str, sf_dir: str) -> None:
         assert len(spark_rows) >= 0
         return
 
+    t0 = _time.perf_counter()
     con = _duck(sf_dir)
     rel = con.sql(sql)
     duck_cols, duck_rows = rel.columns, rel.fetchall()
+    if timings is not None:
+        timings["oracle_s"] = round(_time.perf_counter() - t0, 2)
 
     s_cols, s_body = _canon(spark_cols, [tuple(r) for r in spark_rows])
     d_cols, d_body = _canon(duck_cols, duck_rows)
