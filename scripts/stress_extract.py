@@ -433,6 +433,56 @@ def run_spark(
     return dt, spark_out
 
 
+def profile_spark(spark, box: str, rids: list[int]) -> dict:
+    """Stage-time ATTRIBUTION of the distributed shape (r11 verdict #4:
+    the 0.90x deficit at 204 800 relations needs a recorded breakdown —
+    fixed cogroup/shuffle overhead vs the 2-files-per-relation write
+    fan-out — not a guess).  Re-runs the same program with persist+count
+    barriers between phases so each phase's wall is separable.  The
+    barriers add materialization the fused run doesn't pay, so the SUM
+    here exceeds the timed race number — this is attribution, not a
+    second benchmark; only the RATIOS between phases are the finding."""
+    from tegallega_spark.operators.stateful import stitch_ways
+    from tegallega_spark.pipeline.extract import angkot_stops, write_route_geojson
+    from tegallega_spark.session import release_intermediates
+    from tegallega_spark.sources.overpass import fetch_bundles_distributed
+
+    fetch = make_shard_fetch(os.path.join(box, "world"))
+    spark_out = os.path.join(box, "spark-route-data-profile")
+
+    phases: dict[str, float] = {}
+    t0 = time.perf_counter()
+    ways_df, nodes_df = fetch_bundles_distributed(
+        spark, [str(r) for r in rids], fetch
+    )
+    ways_df = ways_df.persist()
+    nodes_df = nodes_df.persist()
+    n_ways, n_nodes = ways_df.count(), nodes_df.count()
+    phases["fetch_parse"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    stitched = stitch_ways(ways_df, key="relation_id").persist()
+    stops = angkot_stops(nodes_df, stitched, ways_df).persist()
+    n_vertices, n_stops = stitched.count(), stops.count()
+    phases["stitch_interpolate_thin"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_dirs = write_route_geojson(stitched, stops, spark_out)
+    phases["geojson_sink"] = round(time.perf_counter() - t0, 2)
+
+    stops.unpersist()
+    stitched.unpersist()
+    nodes_df.unpersist()
+    release_intermediates(ways_df)
+    shutil.rmtree(spark_out, ignore_errors=True)
+    return {
+        "phases_s": phases,
+        "rows": {"way_vertices": n_ways, "stop_nodes": n_nodes,
+                 "stitched_vertices": n_vertices, "stops": n_stops,
+                 "relation_dirs": n_dirs},
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     # --fetch=driver (default) | distributed | both.  "both" runs the node
@@ -486,6 +536,11 @@ def main() -> None:
             )
             print(json.dumps(results[-1]), file=sys.stderr)
             shutil.rmtree(spark_out, ignore_errors=True)
+            if mode == "distributed" and "--profile" in args:
+                prof = profile_spark(spark, box, rids)
+                prof["relations"] = n
+                results.append(prof)
+                print(json.dumps(prof), file=sys.stderr)
         if not keep:
             shutil.rmtree(box, ignore_errors=True)  # shards + route-data;
             # next size regenerates its own sandbox, disk stays bounded

@@ -127,13 +127,22 @@ def make_session(root: str):
     return spark
 
 
-def time_spark(root: str, spark=None) -> tuple[float, int]:
+def time_spark(root: str, spark=None, sink_dir: str | None = None
+               ) -> tuple[float, int]:
     """One full pipeline execution: plan construction + all 7 table
     materializations.  Pass a warm `spark` to measure steady-session
     time (the long-lived-cluster model bench.py also uses — JVM/JIT/
     codegen warmup amortizes to zero on a real deployment); with
     spark=None a fresh session is created and its one-time warmup lands
-    inside the measured run."""
+    inside the measured run.
+
+    sink_dir: when set, every table is written through the REAL K1 CSV
+    sink (sources.gtfs.write_gtfs_table — parallel part write + ordered
+    driver concat) instead of noop, so the measured wall includes full
+    CSV serialization + final file assembly, symmetric with the
+    reference script which always writes its 7 .txt files (r11 verdict
+    #8: the end-to-end race wrote noop, leaving the sink's share of the
+    flagship number invisible outside the isolated sink measurement)."""
     from tegallega_spark.pipeline.gtfs_build import build_gtfs
 
     own_session = spark is None
@@ -166,6 +175,11 @@ def time_spark(root: str, spark=None) -> tuple[float, int]:
 
     def write(item):
         name, df = item
+        if sink_dir is not None:
+            from tegallega_spark.sources.gtfs import write_gtfs_table
+
+            write_gtfs_table(df, name, sink_dir)
+            return None
         if name == "stop_times":
             return df.count()
         df.write.format("noop").mode("overwrite").save()
@@ -173,15 +187,76 @@ def time_spark(root: str, spark=None) -> tuple[float, int]:
 
     with ThreadPoolExecutor(max_workers=len(tables)) as ex:
         results = list(ex.map(write, tables.items()))
-    n = next(r for r in results if r is not None)
     dt = time.time() - t0
+    if sink_dir is not None:
+        # row count read back from the written file, untimed — symmetric
+        # with time_reference, which also counts after the clock stops
+        with open(os.path.join(sink_dir, "stop_times.txt")) as f:
+            n = sum(1 for _ in f) - 1
+    else:
+        n = next(r for r in results if r is not None)
     if own_session:
         spark.stop()
     return dt, n
 
 
+def _multiset_md5(path: str) -> str:
+    """Order-insensitive content hash: XOR of per-line md5s.  Streaming
+    and O(1) memory, so it scales to the 39 M-row stop_times files; a
+    match means the two files contain the SAME MULTISET of lines."""
+    import hashlib
+
+    acc = 0
+    with open(path, "rb") as f:
+        for line in f:
+            acc ^= int.from_bytes(
+                hashlib.md5(line.rstrip(b"\r\n")).digest(), "big"
+            )
+    return f"{acc:032x}"
+
+
+def compare_feeds(ref_dir: str, spark_dir: str) -> dict:
+    """Per-table parity of the two written feeds, strongest verdict
+    first: byte-identical → same lines in the same ORDER (the
+    reference's csv module writes CRLF, the Spark sink LF — an
+    EOL-only difference) → same multiset of lines → DIFFERENT."""
+    import filecmp
+
+    def same_order_eol_insensitive(a: str, b: str) -> bool:
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            from itertools import zip_longest
+
+            for la, lb in zip_longest(fa, fb):
+                if la is None or lb is None:
+                    return False
+                if la.rstrip(b"\r\n") != lb.rstrip(b"\r\n"):
+                    return False
+        return True
+
+    out = {}
+    for fname in sorted(os.listdir(ref_dir)):
+        if not fname.endswith(".txt"):
+            continue
+        a, b = os.path.join(ref_dir, fname), os.path.join(spark_dir, fname)
+        if not os.path.exists(b):
+            out[fname] = "MISSING"
+            continue
+        if filecmp.cmp(a, b, shallow=False):
+            out[fname] = "bytes_identical"
+        elif same_order_eol_insensitive(a, b):
+            out[fname] = "same_lines_same_order_eol_only"
+        elif _multiset_md5(a) == _multiset_md5(b):
+            out[fname] = "same_lines_different_order"
+        else:
+            out[fname] = "DIFFERENT"
+    return out
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = sys.argv[1:]
+    sink = "--sink" in args
+    nums = [int(a) for a in args if not a.startswith("--")]
+    n = nums[0] if nums else 8
     root = build_input(n)
     # the host VM shows ±60% run-to-run jitter at small scale; best-of-2
     # on BOTH engines (symmetric) approximates steady state where each run
@@ -202,17 +277,27 @@ def main() -> None:
     # symmetric with the reference's repeat, which also reuses a warm OS
     # page cache; each run still rebuilds + re-executes the whole DAG
     spark_session = make_session(root)
+    sink_dir = os.path.join(root, "spark-gtfs") if sink else None
+    if sink_dir:
+        shutil.rmtree(sink_dir, ignore_errors=True)
     spark_s, spark_rows = min(
-        time_spark(root, spark=spark_session) for _ in range(runs)
+        time_spark(root, spark=spark_session, sink_dir=sink_dir)
+        for _ in range(runs)
     )
     spark_session.stop()
     out = {
         "replication": n,
+        "sink_included": bool(sink),
         "reference_script_sec": round(ref_s, 2),
         "spark_pipeline_sec": round(spark_s, 2),
         "speedup": round(ref_s / spark_s, 2),
         "stop_times_rows": {"reference": ref_rows, "spark": spark_rows},
     }
+    if sink_dir:
+        # parity of the two WRITTEN feeds, untimed (both engines already
+        # paid their serialization inside the clock)
+        out["feed_parity"] = compare_feeds(os.path.join(root, "gtfs"),
+                                           sink_dir)
     if cold is not None:
         out["spark_cold_first_session_sec"] = cold
         out["speedup_cold"] = round(ref_s / cold, 2)
