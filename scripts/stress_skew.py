@@ -8,15 +8,16 @@ plus planted genuine near-dup pairs elsewhere.  Proves, at >=1 M docs:
   * the `max_bucket` guard holds: the guarded run completes without
     executor OOM or a quadratic candidate blowup, and the dropped-bucket
     histogram (count, sizes, member rows) is RECORDED, not asserted away;
-  * output parity vs the exact reference: by construction the planted
-    clone pairs are the ONLY pairs the guarded contract must emit
-    (spam-internal pairs sit exclusively in over-full buckets — the
-    documented spam-guard semantics drop them; background docs draw from
-    a 10^7 vocabulary so cross-pairs share no shingles).  The exact
-    reference — pair ids AND exact Jaccards — is recomputed in plain
-    Python from the same seeded construction with the same tokenizer
-    semantics as operators.dedup.word_shingles, and the Spark output must
-    match it row-for-row, value-for-value;
+  * output parity vs the exact reference: the planted clone pairs must
+    ALL be emitted with exact Jaccards matching a plain-Python
+    recomputation from the same seeded construction (same tokenizer
+    semantics as operators.dedup.word_shingles), and every OTHER emitted
+    pair must be proven sound — spam-internal and exact-Jaccard >= the
+    threshold.  (Spam pairs are true 0.902-Jaccard near-dups; the guard
+    drops the mega-bucket they share, but 32-bit shingle-hash birthday
+    collisions legitimately surface a few hundred of them through
+    size-2 buckets at the million-doc scale — see the soundness check
+    in main());
   * the blowup being guarded is real, not hypothetical: an UNGUARDED
     control at a small spam size measures the candidate count growing
     with the square of the cluster (k=512 -> ~2.6e6 candidates from 512
@@ -247,8 +248,25 @@ def main() -> None:
     missing = want_pairs - got_pairs
     extra = got_pairs - want_pairs
     assert not missing, f"{len(missing)} planted pairs missed, e.g. {sorted(missing)[:5]}"
-    assert not extra, f"{len(extra)} unexpected pairs, e.g. {sorted(extra)[:5]}"
-    j_diff = [(g, w) for g, w in zip(got, want) if abs(g[2] - w[2]) > 1e-9]
+    # Extras CAN legitimately surface, and only from inside the spam
+    # cluster: shingle hashes live in [0, MINHASH_PRIME) — a 32-bit
+    # space — so ~1M docs x 3 unique shingles produce ~1.1k birthday
+    # collisions (3.1e6^2 / 2^33), and a collision can drop two spam
+    # docs into a small (size-2) band bucket the guard keeps.  Those
+    # pairs are TRUE near-dups (every spam pair has exact jaccard
+    # 55/61 = 0.902 >= 0.7, and the verify pass recomputed it), so the
+    # guarded contract they must satisfy is SOUNDNESS, not absence:
+    # every extra is spam x spam and its Python-exact jaccard clears
+    # the threshold.  A single extra touching a background/clone doc
+    # would be a real false positive and fails the race.
+    for a, b in sorted(extra):
+        assert a < n_spam and b < n_spam, (
+            f"false positive outside the spam cluster: {(a, b)}")
+        j = exact_jaccard(spam_text(a), spam_text(b))
+        assert j >= JACCARD_T, f"unsound extra pair {(a, b)} jaccard={j}"
+    got_j = {(a, b): j for a, b, j in got}
+    j_diff = [(p, got_j[p], w) for (pa, pb, w) in want
+              for p in [(pa, pb)] if abs(got_j[p] - w) > 1e-9]
     assert not j_diff, f"jaccard mismatch, e.g. {j_diff[:3]}"
 
     # -- the recorded guard histogram ------------------------------------
@@ -261,7 +279,10 @@ def main() -> None:
     report.update({
         "guarded_run_s": round(spark_s, 2),
         "pairs_emitted": len(got),
-        "parity": "identical to planted reference (ids + exact jaccard)",
+        "planted_recall": f"{len(want_pairs & got_pairs)}/{len(want_pairs)}",
+        "spam_true_pairs_surfaced_via_32bit_hash_collisions": len(extra),
+        "parity": "planted pairs identical (ids + exact jaccard); "
+                  "every extra verified spam-internal and exact-sound",
         "bucket_guard": hist,
         "projected_unguarded_candidates": int(
             16 * (0.9 * n_spam) ** 2 / 2
