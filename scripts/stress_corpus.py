@@ -811,12 +811,21 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
 # race driver
 # ---------------------------------------------------------------------------
 
+
+def shutil_disk_free() -> int:
+    """Free bytes on the scratch filesystem (tempdir's mount)."""
+    import shutil
+
+    return shutil.disk_usage(tempfile.gettempdir()).free
+
+
 def _fingerprint(rows: list[tuple]) -> str:
     lines = sorted("|".join(map(repr, r)) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
+def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1,
+        spark_only: bool = False) -> dict:
     """strategy='exact' races deterministic semantics; strategy='minhash'
     swaps in the banded-LSH + exact-verify pair generator on the SPARK
     side only — the reference stays exact — so a fingerprint match ALSO
@@ -830,7 +839,15 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
     generated stage, the fork of 32 Arrow Python workers, page-cache fill
     — which a long-lived cluster pays once a day, not once per program.
     Cold (run 1) and steady are reported SEPARATELY so code improvements
-    and methodology never blend (the r6 GTFS lesson)."""
+    and methodology never blend (the r6 GTFS lesson).
+
+    spark_only=True (r12): run and fingerprint the SPARK side only,
+    sampling scratch-disk headroom every 5 s — the feasibility shape for
+    sizes where the single-node reference's projected wall (~3.4 h at
+    12.8 M, superlinear from its measured 6 148.6 s at 6.4 M) would eat
+    the whole round.  The recorded fingerprint lets any later session
+    with that budget run the reference half and close the parity claim
+    without re-running Spark."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from tegallega_spark.pipeline.corpus import clean_corpus
@@ -857,6 +874,21 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
         spark = get_spark("corpus-stress")
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1).count()
+
+    # scratch-disk sampler (spark_only feasibility runs): min free bytes
+    # observed during the run, polled every 5 s — cheap and O(1)
+    scratch_min_free = [shutil_disk_free()]
+    stop_sampler = []
+    if spark_only:
+        import threading
+
+        def _sample():
+            while not stop_sampler:
+                scratch_min_free[0] = min(scratch_min_free[0],
+                                          shutil_disk_free())
+                time.sleep(5)
+
+        threading.Thread(target=_sample, daemon=True).start()
 
     spark_times: list[float] = []
     for rep in range(max(1, repeats)):
@@ -932,6 +964,25 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
     fp_spark_early = _fingerprint(spark_rows)
     print(f"# spark fingerprint {fp_spark_early}", file=sys.stderr, flush=True)
 
+    if spark_only:
+        stop_sampler.append(True)
+        result = {
+            "n_docs": n,
+            "mode": "spark_only_feasibility",
+            "survivors": {"spark": len(spark_rows)},
+            "spark_s": round(spark_s, 2),
+            "spark_fingerprint": fp_spark_early,
+            "scratch_min_free_gb": round(scratch_min_free[0] / 1e9, 1),
+        }
+        if len(spark_times) > 1:
+            import statistics
+
+            result["spark_steady_s"] = round(
+                statistics.median(spark_times[1:]), 2)
+        if own:
+            spark.stop()
+        return result
+
     ref, ref_s = reference_clean(pdf, bl)
     ref_rows = [
         (d, v["lang"], v["bucket"], v["quality"], v["dup_ngram_frac"],
@@ -965,9 +1016,11 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    strategy = sys.argv[2] if len(sys.argv) > 2 else "exact"
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    spark_only = "--spark-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 100_000
+    strategy = args[1] if len(args) > 1 else "exact"
+    repeats = int(args[2]) if len(args) > 2 else 1
     if n >= 3_200_000:
         # The text-cut waves' sort spill is disk-bound, not CPU-bound, at
         # this size: zstd shuffle blocks (~1.7x tighter than lz4 on the
@@ -975,9 +1028,11 @@ def main() -> None:
         # scratch disk.  Core conf — must be set before the session
         # exists; explicit SPARK_GRAFT_IO_CODEC always wins.
         os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
-    result = run(n, strategy=strategy, repeats=repeats)
+    result = run(n, strategy=strategy, repeats=repeats,
+                 spark_only=spark_only)
     print(json.dumps(result))
-    assert result["fingerprint_match"], "e2e corpus outputs diverged"
+    if not spark_only:
+        assert result["fingerprint_match"], "e2e corpus outputs diverged"
 
 
 if __name__ == "__main__":
