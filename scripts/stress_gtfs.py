@@ -277,27 +277,34 @@ def main() -> None:
     # symmetric with the reference's repeat, which also reuses a warm OS
     # page cache; each run still rebuilds + re-executes the whole DAG
     spark_session = make_session(root)
-    sink_dir = os.path.join(root, "spark-gtfs") if sink else None
-    if sink_dir:
-        shutil.rmtree(sink_dir, ignore_errors=True)
     spark_s, spark_rows = min(
-        time_spark(root, spark=spark_session, sink_dir=sink_dir)
-        for _ in range(runs)
+        time_spark(root, spark=spark_session) for _ in range(runs)
     )
-    spark_session.stop()
     out = {
         "replication": n,
-        "sink_included": bool(sink),
         "reference_script_sec": round(ref_s, 2),
         "spark_pipeline_sec": round(spark_s, 2),
         "speedup": round(ref_s / spark_s, 2),
         "stop_times_rows": {"reference": ref_rows, "spark": spark_rows},
     }
-    if sink_dir:
+    if sink:
+        # sink-INCLUDED measurement in the same session against the same
+        # reference run (r11 verdict #8): the noop number above isolates
+        # compute, this one adds the real K1 CSV serialization + concat
+        sink_dir = os.path.join(root, "spark-gtfs")
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        sink_s, sink_rows = min(
+            time_spark(root, spark=spark_session, sink_dir=sink_dir)
+            for _ in range(runs)
+        )
+        assert sink_rows == ref_rows, (sink_rows, ref_rows)
+        out["spark_with_k1_sink_sec"] = round(sink_s, 2)
+        out["speedup_with_sink"] = round(ref_s / sink_s, 2)
         # parity of the two WRITTEN feeds, untimed (both engines already
         # paid their serialization inside the clock)
         out["feed_parity"] = compare_feeds(os.path.join(root, "gtfs"),
                                            sink_dir)
+    spark_session.stop()
     if cold is not None:
         out["spark_cold_first_session_sec"] = cold
         out["speedup_cold"] = round(ref_s / cold, 2)
