@@ -189,6 +189,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# Prime > 2^32: the classic minhash permutation universe.  Scale note
+# (measured, r12 stress_skew at 1.3 M docs): reducing shingle hashes mod
+# this 32-bit prime is ONLY used for signature/band candidate generation
+# — birthday collisions there (~k²/2³³ for k distinct shingles
+# corpus-wide) can add or drop CANDIDATES at the margin, never corrupt
+# output, because the verified paths recompute exact Jaccard over the
+# RAW 64-bit shingle hashes (make_band_shingle_udf stores sh unreduced;
+# collision odds 2⁻⁶⁴-scale).  At the raced million-doc scale the effect
+# measured as a few hundred extra TRUE pairs surfacing through small
+# band buckets; recall of planted pairs stayed 100%.
 MINHASH_PRIME = 4294967311  # prime > 2^32
 
 
