@@ -1015,12 +1015,63 @@ def run(n: int, spark=None, strategy: str = "exact", repeats: int = 1,
     return result
 
 
+def run_reference_only(n: int, expect_fp: str | None) -> dict:
+    """Reference half alone, against a PREVIOUSLY RECORDED Spark
+    fingerprint (r12 `--spark-only` feasibility runs record one exactly
+    so the parity claim is closable later without re-running Spark).
+    Requires the deterministic corpus cache from the recording run —
+    same (n, seed=61) generation, so the inputs are identical by
+    construction."""
+    cache = os.path.join(tempfile.gettempdir(), f"tegallega_corpus_{n}.parquet")
+    if not os.path.exists(cache):
+        raise SystemExit(
+            f"corpus cache {cache} missing — the ref-only mode must run "
+            "against the exact cached corpus the Spark fingerprint was "
+            "recorded on"
+        )
+    pdf = pd.read_parquet(cache)
+    bl = blocklist_texts(pdf)
+    print(f"# corpus loaded n={n}", file=sys.stderr, flush=True)
+    ref, ref_s = reference_clean(pdf, bl)
+    ref_rows = [
+        (d, v["lang"], v["bucket"], v["quality"], v["dup_ngram_frac"],
+         v["cluster_id"], v["n_tokens"], v["shard"], v["pack_id"],
+         v["pack_offset"], v["spills_over"])
+        for d, v in ref.items()
+    ]
+    fp_ref = _fingerprint(ref_rows)
+    result = {
+        "n_docs": n,
+        "mode": "reference_only",
+        "survivors": {"reference": len(ref_rows)},
+        "reference_s": round(ref_s, 2),
+        "reference_fingerprint": fp_ref,
+    }
+    if expect_fp:
+        result["expected_spark_fingerprint"] = expect_fp
+        result["fingerprint_match"] = fp_ref == expect_fp
+    return result
+
+
 def main() -> None:
     spark_only = "--spark-only" in sys.argv
+    ref_only = "--ref-only" in sys.argv
+    expect_fp = None
+    for a in sys.argv[1:]:
+        if a.startswith("--expect-fp="):
+            expect_fp = a.split("=", 1)[1]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if len(args) > 0 else 100_000
     strategy = args[1] if len(args) > 1 else "exact"
     repeats = int(args[2]) if len(args) > 2 else 1
+    if ref_only:
+        result = run_reference_only(n, expect_fp)
+        print(json.dumps(result))
+        if expect_fp:
+            assert result["fingerprint_match"], (
+                "reference fingerprint diverged from recorded Spark run"
+            )
+        return
     if n >= 3_200_000:
         # The text-cut waves' sort spill is disk-bound, not CPU-bound, at
         # this size: zstd shuffle blocks (~1.7x tighter than lz4 on the

@@ -201,18 +201,25 @@ def time_spark(root: str, spark=None, sink_dir: str | None = None
 
 
 def _multiset_md5(path: str) -> str:
-    """Order-insensitive content hash: XOR of per-line md5s.  Streaming
-    and O(1) memory, so it scales to the 39 M-row stop_times files; a
-    match means the two files contain the SAME MULTISET of lines."""
+    """Order-insensitive content hash: SUM of per-line md5s modulo
+    2**128 (not XOR — XOR is parity-of-occurrence, so a line appearing
+    an even number of times contributes nothing and duplicate
+    multiplicity is invisible; addition is multiset-homomorphic: k
+    copies contribute k*h).  Also folds in the line count, so two files
+    can only collide by forging a md5 sum collision.  Streaming and
+    O(1) memory, so it scales to the 39 M-row stop_times files; a match
+    means the two files contain the SAME MULTISET of lines."""
     import hashlib
 
     acc = 0
+    n = 0
     with open(path, "rb") as f:
         for line in f:
-            acc ^= int.from_bytes(
+            acc = (acc + int.from_bytes(
                 hashlib.md5(line.rstrip(b"\r\n")).digest(), "big"
-            )
-    return f"{acc:032x}"
+            )) % (1 << 128)
+            n += 1
+    return f"{n:x}:{acc:032x}"
 
 
 def compare_feeds(ref_dir: str, spark_dir: str) -> dict:

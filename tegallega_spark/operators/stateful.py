@@ -83,17 +83,41 @@ def _thin_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Walk stops in order; keep a stop iff it is real OR ≥ MIN_SPACING_M
     from the last *kept* stop (reference update-routes.js:353-373).  A true
     running-state fold: the distance is against the last kept, not the last
-    seen."""
+    seen.
+
+    Vectorized chunk-and-rescan (r12 verdict #4): from each kept stop the
+    NEXT kept stop is the first subsequent row that is real or ≥ the
+    spacing from it — found by one vectorized haversine over the tail plus
+    an argmax, so the Python loop runs once per KEPT stop, not per row.
+    Same float arithmetic (math.* and np.* both IEEE double), identical
+    keep set to the per-row walk (pinned by the extract goldens and the
+    property tests)."""
+    import numpy as np
+
     pdf = pdf.sort_values("frac_idx")
-    kept_rows = []
-    last_kept: tuple[float, float] | None = None
-    for row in pdf.itertuples(index=False):
-        if bool(row.is_real) or last_kept is None or (
-            _haversine_m(row.lon, row.lat, last_kept[0], last_kept[1]) >= MIN_SPACING_M
-        ):
-            kept_rows.append(row)
-            last_kept = (row.lon, row.lat)
-    return pd.DataFrame(kept_rows, columns=pdf.columns)
+    n = len(pdf)
+    lon = pdf["lon"].to_numpy(dtype=np.float64)
+    lat = pdf["lat"].to_numpy(dtype=np.float64)
+    is_real = pdf["is_real"].to_numpy().astype(bool)
+    keep = np.zeros(n, dtype=bool)
+    i = 0
+    while i < n:
+        keep[i] = True
+        j = i + 1
+        if j >= n:
+            break
+        p1 = math.radians(lat[i])
+        dp = np.radians(lat[j:]) - p1
+        dl = np.radians(lon[j:] - lon[i])
+        a = (np.sin(dp / 2) ** 2
+             + math.cos(p1) * np.cos(np.radians(lat[j:])) * np.sin(dl / 2) ** 2)
+        d = 2 * 6371000.0 * np.arcsin(np.sqrt(a))
+        ok = is_real[j:] | (d >= MIN_SPACING_M)
+        nxt = np.flatnonzero(ok)
+        if len(nxt) == 0:
+            break
+        i = j + int(nxt[0])
+    return pdf[keep]
 
 
 def thin_stops(stops: DataFrame, key: str = "relation_id") -> DataFrame:

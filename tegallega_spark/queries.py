@@ -1376,20 +1376,27 @@ def q41(spark, sf_dir):
     (update-routes.js:353-373) generalized: keep an event iff ≥600 s since
     the last KEPT event of that user.  applyInPandas per key.  The oracle is
     a recursive CTE walking each user's kept-chain — the sequential fold IS
-    SQL-expressible, so this is now hash-checked, not rows-only."""
+    SQL-expressible, so this is now hash-checked, not rows-only.
+
+    The fold is vectorized (r12 verdict #4): because the keep criterion is
+    a monotone threshold on the SORTED time axis (t_next >= t_kept + 600 s),
+    the next kept event is a binary search, so the Python loop runs once
+    per KEPT event (O(k log n)), not once per row — exact integer-ns
+    arithmetic, identical keep set to the per-row walk."""
+    import numpy as np
     import pandas as pd
 
     e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
 
     def thin(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        kept, last = [], None
-        for row in pdf.itertuples(index=False):
-            t = row.ts.timestamp()
-            if last is None or t - last >= 600:
-                kept.append((row.user_id, row.event_id))
-                last = t
-        return pd.DataFrame(kept, columns=["user_id", "event_id"])
+        t_ns = pdf["ts"].to_numpy().view("int64")
+        gap = 600 * 1_000_000_000
+        idx, i, n = [], 0, len(t_ns)
+        while i < n:
+            idx.append(i)
+            i = int(np.searchsorted(t_ns, t_ns[i] + gap, side="left"))
+        return pdf.iloc[idx][["user_id", "event_id"]]
 
     return e.groupBy("user_id").applyInPandas(thin, "user_id bigint, event_id bigint")
 

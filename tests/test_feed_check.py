@@ -48,9 +48,18 @@ def test_validator_detects_planted_defects(spark, feed_dir, tmp_path):
 
     broken = str(tmp_path / "broken")
     shutil.copytree(feed_dir, broken)
+    # reuse a real trip/stop for the malformed-time row so it fires ONLY
+    # the time rule, not the referential ones
+    with open(os.path.join(broken, "stop_times.txt")) as f:
+        f.readline()
+        real_trip, real_stop = f.readline().split(",")[:2]
     with open(os.path.join(broken, "stop_times.txt"), "a") as f:
-        # unknown trip + unknown stop + malformed time + dep < arr
+        # unknown trip + unknown stop + dep < arr (both times are VALID
+        # GTFS — extended hours — so bad_time must NOT fire here)
         f.write("ghost_trip,ghost_stop,1,25:00:00,24:59:59,0,0\n")
+        # genuinely malformed times (minutes 99; the word 'noon'):
+        # exactly one row → stop_times_bad_time == 1
+        f.write(f"{real_trip},{real_stop},9999,9:99:99,noon,0,0\n")
     with open(os.path.join(broken, "trips.txt"), "a") as f:
         # unknown route/service/shape, and no stop_times rows
         f.write("ghost_route,ghost_trip2,ghost_service,X,0,ghost_shape,b1\n")
@@ -64,6 +73,7 @@ def test_validator_detects_planted_defects(spark, feed_dir, tmp_path):
     assert report["trips_unknown_service"] == 1
     assert report["trips_unknown_shape"] == 1
     assert report["trips_without_stop_times"] == 1
+    assert report["stop_times_bad_time"] == 1
     assert report["stop_times_departure_before_arrival"] == 1
     assert report["stops_bad_coordinates"] == 1
 
@@ -84,3 +94,93 @@ def test_validator_detects_duplicate_sequences(spark, feed_dir, tmp_path):
     report = validate_gtfs_feed(spark, broken)
     assert report["stop_times_duplicate_sequence"] == 1
     assert report["shapes_duplicate_sequence"] == 1
+
+
+def test_missing_required_table_is_a_defect_not_a_crash(spark, feed_dir,
+                                                        tmp_path):
+    """r12 verdict #1 / ADVICE: a validator whose job is catching broken
+    feeds must REPORT a missing required table, not KeyError before
+    producing any counts."""
+    import shutil
+
+    broken = str(tmp_path / "nost")
+    shutil.copytree(feed_dir, broken)
+    os.remove(os.path.join(broken, "stop_times.txt"))
+    report = validate_gtfs_feed(spark, broken)
+    assert report["missing_table_stop_times"] == 1
+    # dependent checks are skipped, not crashed or faked as zero
+    assert "stop_times_unknown_trip" not in report
+    assert "stop_times_bad_time" not in report
+    # independent checks still ran
+    assert report["trips_unknown_route"] == 0
+    assert report["stops_bad_coordinates"] == 0
+
+
+def test_missing_calendar_entirely_is_a_defect(spark, feed_dir, tmp_path):
+    import shutil
+
+    broken = str(tmp_path / "nocal")
+    shutil.copytree(feed_dir, broken)
+    os.remove(os.path.join(broken, "calendar.txt"))
+    report = validate_gtfs_feed(spark, broken)
+    assert report["missing_table_calendar"] == 1
+    assert "trips_unknown_service" not in report
+
+
+def test_calendar_dates_satisfies_service_requirement(spark, feed_dir,
+                                                      tmp_path):
+    """GTFS allows calendar.txt to be absent when calendar_dates.txt
+    defines the services — such a feed must validate all-zeros."""
+    import shutil
+
+    alt = str(tmp_path / "caldates")
+    shutil.copytree(feed_dir, alt)
+    # re-express every service as calendar_dates entries (schema-on-read
+    # only needs the service_id column to resolve references)
+    with open(os.path.join(alt, "calendar.txt")) as f:
+        services = [line.split(",")[0] for line in f.readlines()[1:] if line.strip()]
+    os.remove(os.path.join(alt, "calendar.txt"))
+    with open(os.path.join(alt, "calendar_dates.txt"), "w") as f:
+        f.write("service_id,date,exception_type\n")
+        for s in services:
+            f.write(f"{s},20260101,1\n")
+    report = validate_gtfs_feed(spark, alt)
+    assert report["missing_table_calendar"] == 0
+    assert report["trips_unknown_service"] == 0
+
+
+def test_optional_shapes_absent(spark, feed_dir, tmp_path):
+    """shapes.txt is optional: absent+unreferenced must validate clean;
+    absent-but-referenced must count every dangling shape_id."""
+    import shutil
+
+    # (a) shapes.txt gone but trips still reference shapes → every
+    # non-empty shape_id is a dangling reference
+    dangling = str(tmp_path / "dangling")
+    shutil.copytree(feed_dir, dangling)
+    os.remove(os.path.join(dangling, "shapes.txt"))
+    with open(os.path.join(dangling, "trips.txt")) as f:
+        lines = f.readlines()
+    n_trips = len([ln for ln in lines[1:] if ln.strip()])
+    report = validate_gtfs_feed(spark, dangling)
+    assert all(v == 0 for k, v in report.items() if k.startswith("missing_"))
+    assert report["trips_unknown_shape"] == n_trips
+    assert "shapes_duplicate_sequence" not in report
+
+    # (b) shapes.txt gone AND no trip references a shape → fully valid
+    clean = str(tmp_path / "clean")
+    shutil.copytree(feed_dir, clean)
+    os.remove(os.path.join(clean, "shapes.txt"))
+    header = lines[0].rstrip("\n").split(",")
+    shape_idx = header.index("shape_id")
+    with open(os.path.join(clean, "trips.txt"), "w") as f:
+        f.write(lines[0])
+        for ln in lines[1:]:
+            if not ln.strip():
+                continue
+            parts = ln.rstrip("\n").split(",")
+            parts[shape_idx] = ""
+            f.write(",".join(parts) + "\n")
+    report = validate_gtfs_feed(spark, clean)
+    bad = {k: v for k, v in report.items() if v != 0}
+    assert not bad, f"optional-files-omitted feed should validate: {bad}"

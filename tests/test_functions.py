@@ -47,6 +47,10 @@ def test_time_codecs(spark):
     # banker's rounding like Python round() (generate_gtfs.py:34)
     assert one(spark, seconds_to_hhmmss(F.lit(0.5))) == "00:00:00"
     assert one(spark, seconds_to_hhmmss(F.lit(1.5))) == "00:00:02"
+    # r13 concat/lpad codec: hour field must not truncate past 99 h and
+    # must still zero-pad single digits (lpad would truncate '100'→'10')
+    assert one(spark, seconds_to_hhmmss(F.lit(100 * 3600 + 75))) == "100:01:15"
+    assert one(spark, seconds_to_hhmmss(F.lit(9 * 3600 + 59 * 60 + 59))) == "09:59:59"
 
 
 def test_id_grammar(spark):

@@ -30,6 +30,24 @@ def test_multiset_md5_order_insensitive_eol_insensitive(tmp_path):
     assert _multiset_md5(a) != _multiset_md5(c)
 
 
+def test_multiset_md5_sees_even_duplicate_multiplicity(tmp_path):
+    """An XOR-of-hashes adjudicator is blind to even multiplicities: a
+    file with a line duplicated TWICE hashes equal to one missing both
+    copies (each pair XORs to zero).  The sum-mod-2**128 form must
+    distinguish every multiplicity."""
+    a, b, c, d = (str(tmp_path / n) for n in ("a", "b", "c", "d"))
+    _write(a, b"h\nx,1\nx,1\ny,2\n")   # x,1 twice
+    _write(b, b"h\ny,2\n")             # x,1 zero times (XOR-equal to a)
+    _write(c, b"h\nx,1\ny,2\n")        # x,1 once
+    _write(d, b"h\nx,1\nx,1\nx,1\ny,2\n")  # x,1 three times
+    hashes = [_multiset_md5(p) for p in (a, b, c, d)]
+    assert len(set(hashes)) == 4
+    # and equal multisets still match regardless of order
+    e = str(tmp_path / "e")
+    _write(e, b"x,1\ny,2\nh\nx,1\n")
+    assert _multiset_md5(e) == hashes[0]
+
+
 def test_compare_feeds_verdict_ladder(tmp_path):
     ref = tmp_path / "ref"
     got = tmp_path / "got"
