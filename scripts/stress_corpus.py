@@ -637,7 +637,13 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     # kill line + a spill directory, so it gets a disk-backed path (or a
     # clean engine-level OOM error) instead of a SIGKILL that takes the
     # whole race process with it.
-    con.execute("SET memory_limit='40GB'")
+    # default 40GB fit the ≤6.4 M runs; the 12.8 M ref-only close needs
+    # more (the 40GB run C++-aborted inside LINE_DEDUP_SQL despite the
+    # spill dir) — overridable so the budget matches the box's free RAM
+    # minus the numpy stages' peak.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('TEGALLEGA_REF_MEM', '40GB')}'"
+    )
     _spill = os.path.join(tempfile.gettempdir(), "tegallega_ref_spill")
     os.makedirs(_spill, exist_ok=True)
     con.execute(f"SET temp_directory='{_spill}'")

@@ -274,6 +274,73 @@ def main() -> None:
     # the spam cluster must actually have been the pathology we built:
     # one bucket per band holding ~90% of the cluster
     assert hist["hottest_bucket"] > 0.8 * n_spam, hist
+
+    # -- remediated guarded run (r12 verdict #2) --------------------------
+    # remediate_dropped resolves each dropped mega-bucket by a bounded
+    # star pass (rep = bucket-min id, one pair per member) whose pairs go
+    # through the SAME exact-Jaccard verify.  The claim to prove: the
+    # spam cluster — which the plain guarded run leaves in the corpus
+    # whole — becomes ONE connected component covering every spam doc, so
+    # a first-wins/CC consumer collapses it to its single template class,
+    # while planted-pair parity and the no-false-positives contract are
+    # unchanged.  Checks run Spark-side: the star set can be several
+    # times n_spam (reps differ per band) — too big to collect.
+    from tegallega_spark.operators.cc import connected_components
+
+    t0 = time.perf_counter()
+    rem = minhash_near_duplicates_verified(
+        docs, "doc_id", "text", shingle_n=SHINGLE_N,
+        jaccard_threshold=JACCARD_T, max_bucket=MAX_BUCKET,
+        remediate_dropped=True,
+    ).persist()
+    n_rem_pairs = rem.count()
+    rem_s = time.perf_counter() - t0
+
+    want_df = spark.createDataFrame(
+        pd.DataFrame(sorted(want_pairs), columns=["id_a", "id_b"])
+    )
+    n_planted_found = rem.join(want_df, ["id_a", "id_b"], "left_semi").count()
+    assert n_planted_found == n_planted, (
+        f"remediated run lost planted pairs: {n_planted_found}/{n_planted}")
+    # every non-planted pair must be spam-internal (false positives
+    # touching a background/clone doc would fail the race exactly as in
+    # the unremediated run)
+    n_outside = (
+        rem.join(want_df, ["id_a", "id_b"], "left_anti")
+        .filter(~((F.col("id_a") < n_spam) & (F.col("id_b") < n_spam)))
+        .count()
+    )
+    assert n_outside == 0, f"{n_outside} non-spam extra pairs"
+    # verified path: every emitted jaccard clears the threshold
+    n_below = rem.filter(F.col("jaccard") < JACCARD_T).count()
+    assert n_below == 0
+    # the collapse: spam-internal pairs form ONE component covering ALL
+    # spam docs → keep-one-canonical leaves exactly one survivor
+    spam_edges = (
+        rem.filter((F.col("id_a") < n_spam) & (F.col("id_b") < n_spam))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(spam_edges, max_iter=40).persist()
+    n_covered = cc.count()
+    n_clusters = cc.select("cluster_id").distinct().count()
+    cc.unpersist()
+    release_intermediates(rem)
+    rem.unpersist()
+    assert n_covered == n_spam, (
+        f"remediation left {n_spam - n_covered} spam docs uncovered")
+    assert n_clusters == 1, f"spam split into {n_clusters} clusters"
+    report["remediated"] = {
+        "run_s": round(rem_s, 2),
+        "pairs_emitted": n_rem_pairs,
+        "spam_docs_covered": f"{n_covered}/{n_spam}",
+        "spam_components": n_clusters,
+        "survivors_after_keep_one": 1,
+        "planted_recall": f"{n_planted_found}/{n_planted}",
+        "false_positives_outside_spam": 0,
+    }
+    print(json.dumps({"remediated": report["remediated"]}),
+          file=sys.stderr, flush=True)
+
     docs.unpersist()
 
     report.update({

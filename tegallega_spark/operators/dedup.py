@@ -533,7 +533,9 @@ def make_band_shingle_udf(shingle_n: int = 3, num_hashes: int = 32, bands: int =
 
 
 def _pairs_from_band_hashes(
-    bh: DataFrame, max_bucket: int | None = None
+    bh: DataFrame,
+    max_bucket: int | None = None,
+    remediate_dropped: bool = False,
 ) -> DataFrame:
     """Distinct bare (id_a, id_b) pairs from (__id, __bh: array<long>).
 
@@ -545,10 +547,29 @@ def _pairs_from_band_hashes(
     OTHER, more selective bands unless they are template-only, which is
     exactly the spam being guarded against.  The count+join reads the
     banded rows twice; at scale that re-scan is one cheap aggregate versus
-    a quadratic hot-key blowup."""
+    a quadratic hot-key blowup.
+
+    remediate_dropped (r12 verdict #2): a dropped mega-bucket forfeits
+    ALL its internal true duplicates — at 100 TB the hottest template
+    cluster is exactly what dedup most needs to remove.  With remediation
+    on, each dropped bucket is resolved by a bounded STAR pass instead of
+    vanishing: its minimum __id becomes the representative and every
+    other member emits one (rep, member) candidate pair — O(k) pairs per
+    k-member bucket, never the O(k²) self-join the guard exists to avoid.
+    Star pairs are a SUBSET of the true banded candidate set (every
+    member really did collide with the representative in that band), so
+    LSH soundness is unchanged; downstream estimate/exact-Jaccard
+    verification filters any non-duplicate that merely shared the bucket.
+    Under first-wins/connected-components consumption the star collapses
+    the whole template cluster onto its representative, which restores
+    the reference's keep-one-canonical-doc contract
+    (generate_gtfs.py:115-123) inside the region the guard drops.  Cost:
+    one extra aggregate over the banded rows plus a broadcast-size join
+    (#dropped buckets is tiny by construction)."""
     banded = bh.select(
         "__id", F.posexplode("__bh").alias("band_idx", "band_hash")
     )
+    star = None
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_idx", "band_hash")
@@ -556,15 +577,28 @@ def _pairs_from_band_hashes(
             .filter(F.col("__n") <= max_bucket)
             .select("band_idx", "band_hash")
         )
+        if remediate_dropped:
+            dropped = banded.join(ok, ["band_idx", "band_hash"], "left_anti")
+            rep = dropped.groupBy("band_idx", "band_hash").agg(
+                F.min("__id").alias("id_a")
+            )
+            # rep is the bucket MIN, so id_a < id_b holds by construction
+            star = (
+                dropped.join(F.broadcast(rep), ["band_idx", "band_hash"])
+                .filter(F.col("__id") != F.col("id_a"))
+                .select("id_a", F.col("__id").alias("id_b"))
+            )
         banded = banded.join(ok, ["band_idx", "band_hash"], "left_semi")
     left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
-    return (
+    pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def make_shingle_hash_udf(shingle_n: int):
@@ -639,8 +673,16 @@ def minhash_near_duplicates_verified(
     use_arrow: bool = True,
     max_bucket: int | None = None,
     fused: bool = True,
+    remediate_dropped: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
+
+    remediate_dropped (needs max_bucket): buckets the guard drops are
+    resolved by a bounded star pass (see _pairs_from_band_hashes) whose
+    candidates flow through the SAME exact-Jaccard verification — the
+    emitted remediation pairs are therefore exactly as trustworthy as
+    every other pair, and a template mega-cluster collapses onto its
+    representative instead of silently surviving dedup.
 
     Same LSH candidate generation as minhash_near_duplicates, but each
     candidate pair's exact shingle-set Jaccard is recomputed and filtered —
@@ -667,7 +709,8 @@ def minhash_near_duplicates_verified(
             F.col(id_col).alias("__id"), enc_udf(F.col(text_col)).alias("__e")
         ).persist()  # band self-join reads it twice, verify join twice more
         pairs = _pairs_from_band_hashes(
-            enc.select("__id", F.col("__e.bh").alias("__bh")), max_bucket=max_bucket
+            enc.select("__id", F.col("__e.bh").alias("__bh")),
+            max_bucket=max_bucket, remediate_dropped=remediate_dropped,
         )
         a = enc.select(F.col("__id").alias("id_a"), F.col("__e.sh").alias("sh_a"))
         b = enc.select(F.col("__id").alias("id_b"), F.col("__e.sh").alias("sh_b"))
@@ -688,7 +731,9 @@ def minhash_near_duplicates_verified(
         bh = parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"), bh_udf(F.col(text_col)).alias("__bh")
         ).persist()  # both sides of the band self-join read it
-        pairs = _pairs_from_band_hashes(bh, max_bucket=max_bucket)
+        pairs = _pairs_from_band_hashes(
+            bh, max_bucket=max_bucket, remediate_dropped=remediate_dropped
+        )
     else:
         sig = df.select(
             F.col(id_col).alias("__id"),

@@ -222,6 +222,44 @@ def test_minhash_hot_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_minhash_hot_bucket_remediation(spark):
+    """r12 verdict #2: with remediate_dropped, a dropped mega-bucket is
+    resolved by a bounded star pass — every member pairs with the bucket
+    representative (min id), the verify stage re-checks exact Jaccard,
+    and the template cluster becomes collapsible onto one canonical doc
+    instead of silently surviving dedup whole."""
+    import pyspark.sql.functions as F
+
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+
+    template = ("the same boilerplate template text repeated across every "
+                "document in this synthetic spam block")
+    # 40 identical spam docs + 5 distinct background docs
+    spam = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit(template).alias("text"))
+    bg = spark.createDataFrame(
+        [(100 + i,
+          f"completely unrelated background document number {i} with "
+          f"its own distinct vocabulary token{i} marker{i} payload{i}")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spam.unionByName(bg)
+
+    got = minhash_near_duplicates_verified(
+        docs, "doc_id", "text", max_bucket=10, remediate_dropped=True
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # exactly the star: doc 0 (bucket min) vs every other spam doc —
+    # O(k) pairs, NOT the 40*39/2 quadratic set, and no background doc
+    assert pairs == {(0, b) for b in range(1, 40)}
+    # verified path: identical docs → jaccard exactly 1.0
+    assert all(r["jaccard"] == 1.0 for r in got)
+    # the star collapses the cluster: one canonical survivor among spam
+    survivors = {i for i in range(40)} - {b for _, b in pairs}
+    assert survivors == {0}
+
+
 def test_cc_raises_when_diameter_exceeds_max_iter(spark):
     """Unconverged labels would silently split one dup cluster into several
     'canonical' docs — the operator must fail loudly instead (ADVICE r2)."""
