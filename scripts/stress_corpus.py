@@ -235,6 +235,46 @@ SELECT d.doc_id, coalesce(r.text, '') AS text
 FROM cur d LEFT JOIN rebuilt r USING (doc_id)
 """
 
+# Bounded half of LINE_DEDUP_SQL: ONLY the blocked-line set (unnest +
+# spillable group-by; result is small).  The full SQL materializes the
+# whole rebuilt corpus through a window-ordered string_agg plus a .df()
+# conversion — the stage where BOTH 12.8 M ref-only attempts died (40GB:
+# C++ abort; 72GB: clean OutOfMemoryException).
+LINE_BLOCKED_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, trim(line) AS t
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM cur))
+SELECT t FROM lines WHERE length(t) >= {MIN_LINE_CHARS}
+GROUP BY t HAVING count(DISTINCT doc_id) > {LINE_MAX_DF}
+"""
+
+
+def reference_line_dedup(con, cur: pd.DataFrame) -> pd.DataFrame:
+    """Memory-bounded cross-doc line dedup — IDENTICAL semantics to
+    LINE_DEDUP_SQL: DuckDB derives the blocked-line set (len(trim) >=
+    MIN_LINE_CHARS and doc frequency > LINE_MAX_DF); Python rebuilds each
+    doc from its own lines, so peak memory is the blocked set + one doc.
+    Exactness notes: DuckDB string_split(text, chr(10)) == str.split('\\n');
+    DuckDB trim() strips SPACES only == str.strip(' '); kept-line predicate
+    and order mirror the SQL's (length(t) < min OR t not blocked, original
+    position order, all-lines-blocked → '').  Cross-checked against
+    LINE_DEDUP_SQL itself at every size the SQL can run (reference_clean
+    asserts equality <= 150 k docs)."""
+    blocked = {r[0] for r in con.execute(LINE_BLOCKED_SQL).fetchall()}
+
+    def rebuild(t: str) -> str:
+        kept = []
+        for line in t.split("\n"):
+            s = line.strip(" ")
+            if len(s) < MIN_LINE_CHARS or s not in blocked:
+                kept.append(line)
+        return "\n".join(kept)
+
+    out = cur.copy()
+    out["text"] = [rebuild(t) for t in out["text"]]
+    return out
+
+
 SPANS_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -670,9 +710,22 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     cur["text"] = cur["text"].map(dedupe_paras)
     con.unregister("cur"); con.register("cur", cur)
 
-    # 3. cross-doc line dedup
-    _mark("line dedup")
-    cur = con.execute(LINE_DEDUP_SQL).df()
+    # 3. cross-doc line dedup: bounded derivation (blocked set via
+    # spillable SQL aggregate, per-doc rebuild in Python) — the full
+    # LINE_DEDUP_SQL's window string_agg + whole-corpus .df() is the stage
+    # that OOMed both 12.8 M ref-only attempts.  Self-validating: at every
+    # size the SQL itself can run, both formulations are asserted equal.
+    _mark("line dedup (bounded)")
+    new_cur = reference_line_dedup(con, cur)
+    if len(cur) <= 150_000:
+        _mark("line dedup (SQL cross-check)")
+        tv = time.perf_counter()
+        sql_cur = con.execute(LINE_DEDUP_SQL).df()
+        a = dict(zip(new_cur["doc_id"], new_cur["text"]))
+        b = dict(zip(sql_cur["doc_id"], sql_cur["text"]))
+        assert a == b, "bounded line dedup diverged from LINE_DEDUP_SQL"
+        validation_s += time.perf_counter() - tv
+    cur = new_cur
     con.unregister("cur"); con.register("cur", cur)
 
     # 4. span dedup: the memory-bounded exact derivation finds the merged

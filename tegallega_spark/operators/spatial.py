@@ -101,6 +101,174 @@ def project_onto_segments(
     )
 
 
+def polyline_arrays(vertices: DataFrame, key: str = "relation_id") -> DataFrame:
+    """(key, verts: array<struct<lon,lat>>): one row per polyline, vertices
+    in vertex_idx order.
+
+    The array form is the r13 extract-chain optimization (r12 verdict #3):
+    the row form makes every projection/interpolation a window + explode
+    join + argmin shuffle over |points|×|segments| rows, and the drill-down
+    profile put ~45% of the 204.8 k compute phase in exactly those
+    exchanges.  Aggregating the polyline ONCE lets the same formulas run as
+    in-row higher-order-function scans — one 1-row-per-key join each, no
+    row explosion, no argmin shuffle — with every arithmetic op still
+    evaluated by the JVM (java.lang.Math), so results are bit-identical to
+    the row form (the extract race asserts output identity vs the node
+    reference).  Polylines are route shapes (≤ a few hundred vertices), so
+    one array row is KBs — far under any array/row size limit."""
+    return vertices.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vertex_idx", "lon", "lat"))),
+            lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
+        ).alias("verts")
+    )
+
+
+def project_onto_polyline(
+    points: DataFrame,
+    polylines: DataFrame,
+    key: str = "relation_id",
+    point_id: str = "stop_id",
+) -> DataFrame:
+    """project_onto_segments semantics (update-routes.js:206-246) over the
+    polyline ARRAY form — identical formulas in identical order, evaluated
+    JVM-side inside one F.aggregate scan per point, so the output is
+    bit-identical to the row-explosion form while shuffling only the
+    1-row-per-key polyline join.
+
+    The scan keeps a candidate only when strictly closer (d < best), which
+    reproduces the reference's first-win tie-break on the LOWEST segment
+    index (js:235-239) — the same ordering the row form's struct-min
+    encodes.  Points on polylines with < 2 vertices are dropped, matching
+    the row form's inner segment join."""
+    j = points.alias("pt").join(polylines.alias("pl"), key)
+    verts = F.col("pl.verts")
+
+    def seg_step(acc, i):
+        a = F.element_at(verts, i + 1)
+        b = F.element_at(verts, i + 2)
+        ax, ay, bx, by = a["lon"], a["lat"], b["lon"], b["lat"]
+        apx = F.col("pt.lon") - ax
+        apy = F.col("pt.lat") - ay
+        abx = bx - ax
+        aby = by - ay
+        ab2 = abx * abx + aby * aby
+        t = F.when(
+            ab2 > 0,
+            F.least(F.greatest((apx * abx + apy * aby) / ab2, F.lit(0.0)), F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        px = lerp(ax, bx, t)
+        py = lerp(ay, by, t)
+        d = haversine_m(F.col("pt.lon"), F.col("pt.lat"), px, py)
+        cand = F.struct(
+            d.alias("proj_dist_m"),
+            (i.cast("double") + t).alias("frac_idx"),
+            px.alias("proj_lon"),
+            py.alias("proj_lat"),
+        )
+        return F.when(d < acc["proj_dist_m"], cand).otherwise(acc)
+
+    best = F.aggregate(
+        F.sequence(F.lit(0), F.size(verts) - 2),
+        F.struct(
+            F.lit(float("inf")).alias("proj_dist_m"),
+            F.lit(0.0).alias("frac_idx"),
+            F.lit(0.0).alias("proj_lon"),
+            F.lit(0.0).alias("proj_lat"),
+        ),
+        seg_step,
+    )
+    return (
+        j.filter(F.size(verts) >= 2)
+        .select(
+            key,
+            F.col(f"pt.{point_id}").alias(point_id),
+            best.alias("__b"),
+        )
+        .select(key, point_id, "__b.frac_idx", "__b.proj_lon", "__b.proj_lat",
+                "__b.proj_dist_m")
+    )
+
+
+def interpolate_virtual_stops_along_polyline(
+    real_stops: DataFrame,
+    polylines: DataFrame,
+    key: str = "relation_id",
+    order_col: str = "member_order",
+    max_gap_km: float = 0.25,
+) -> DataFrame:
+    """interpolate_virtual_stops_along_line semantics (W10,
+    update-routes.js:281-333) over the polyline ARRAY form: the lag-pair
+    and explode(sequence) stay (they run over the small stops frame), but
+    the two per-vertex equi-joins become element_at lookups into the
+    joined array — no vertex-row shuffle.  Bounds filter __ci ∈
+    [0, len-2] matches the row form's inner joins (js:302)."""
+    w = Window.partitionBy(key).orderBy(order_col)
+    paired = (
+        real_stops.withColumn("nlon", F.lead("lon").over(w))
+        .withColumn("nlat", F.lead("lat").over(w))
+        .withColumn("nidx", F.lead("frac_idx").over(w))
+        .filter(F.col("nlon").isNotNull())
+    )
+    gap_km = haversine_m(F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat")) / 1000.0
+    paired = (
+        paired.withColumn("__gap", gap_km)
+        .filter(F.col("__gap") > max_gap_km)
+        .withColumn("__n", F.floor(F.col("__gap") / max_gap_km).cast("int"))
+        .withColumn("__step", (F.col("nidx") - F.col("frac_idx")) / (F.col("__n") + 1))
+    )
+    exploded = paired.select(
+        key, "frac_idx", "__step",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__k"),
+    )
+    idx = F.col("frac_idx") + F.col("__k") * F.col("__step")
+    pts = exploded.select(
+        key,
+        F.floor(idx).cast("int").alias("__ci"),
+        (idx - F.floor(idx)).alias("__t"),
+    ).filter(F.col("__ci") >= 0)
+    joined = pts.join(polylines, key).filter(
+        F.col("__ci") + 2 <= F.size("verts")
+    )
+    a = F.element_at(F.col("verts"), F.col("__ci") + 1)
+    b = F.element_at(F.col("verts"), F.col("__ci") + 2)
+    vlon = lerp(a["lon"], b["lon"], F.col("__t"))
+    vlat = lerp(a["lat"], b["lat"], F.col("__t"))
+    return joined.select(
+        key,
+        virtual_stop_id(vlon, vlat).alias("stop_id"),
+        vlon.alias("lon"),
+        vlat.alias("lat"),
+        F.lit(False).alias("is_real"),
+    )
+
+
+def drop_near_real_arr(
+    virtual: DataFrame,
+    real: DataFrame,
+    key: str = "relation_id",
+    max_dist_m: float = 150.0,
+) -> DataFrame:
+    """drop_near_real semantics (J5, update-routes.js:311-313) without the
+    theta anti-join: the real stops aggregate to one coordinate array per
+    key, and each virtual stop filters on F.exists over that array — one
+    small groupBy plus a 1-row-per-key join.  Inner join is equivalent to
+    the anti join here because every virtual stop's relation has real
+    stops by construction (virtuals interpolate BETWEEN real pairs)."""
+    arr = real.groupBy(key).agg(
+        F.collect_list(F.struct("lon", "lat")).alias("__real")
+    )
+    near = lambda p: haversine_m(  # noqa: E731
+        F.col("v.lon"), F.col("v.lat"), p["lon"], p["lat"]
+    ) < max_dist_m
+    return (
+        virtual.alias("v")
+        .join(arr, key)
+        .filter(~F.exists(F.col("__real"), near))
+        .drop("__real")
+    )
+
+
 def line_slice(
     slices: DataFrame,
     vertices: DataFrame,

@@ -26,11 +26,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from tegallega_spark.operators.spatial import (
-    drop_near_real,
-    interpolate_virtual_stops_along_line,
-    project_onto_segments,
+    drop_near_real_arr,
+    interpolate_virtual_stops_along_polyline,
+    polyline_arrays,
+    project_onto_polyline,
 )
 from tegallega_spark.operators.stateful import stitch_ways, thin_stops
+from tegallega_spark.session import attach_intermediates
 from tegallega_spark.sources.overpass import (
     FetchFn,
     bundle_to_dataframes,
@@ -43,14 +45,16 @@ MIN_DISTANCE_KM = 0.15  # js:283
 
 
 def coord_name_map(way_vertices: DataFrame) -> DataFrame:
-    """A7 (js:251-261): first-wins (lon,lat) → street name over way order."""
-    w = Window.partitionBy("relation_id", "lon", "lat").orderBy(
-        "way_order", "vertex_idx"
-    )
-    return (
-        way_vertices.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("relation_id", "lon", "lat", F.col("way_name").alias("street_name"))
+    """A7 (js:251-261): first-wins (lon,lat) → street name over way order.
+
+    min_by over the (way_order, vertex_idx) struct instead of a
+    row_number window: same first-wins winner, but the aggregate gets a
+    map-side partial combine and skips the window's per-partition sort
+    (r13 extract-compute pass)."""
+    return way_vertices.groupBy("relation_id", "lon", "lat").agg(
+        F.min_by("way_name", F.struct("way_order", "vertex_idx")).alias(
+            "street_name"
+        )
     )
 
 
@@ -62,30 +66,42 @@ def angkot_stops(
 
     Returns (relation_id, stop_id, name, role, is_real, lon, lat, frac_idx)
     in final kept order (frac_idx ascending per relation).
+
+    r13 (r12 verdict #3): the polyline is aggregated ONCE into an array
+    per relation (polyline_arrays) and both projections, the
+    interpolation lookups, and the near-real filter run as in-row JVM
+    higher-order scans against it — the drill-down profile had the row
+    form's window/explode/argmin exchanges at ~45% of the 204.8 k
+    compute wall.  All arithmetic stays JVM-side in the same order, so
+    outputs are bit-identical (extract race + goldens assert it).
     """
+    # the array frame is read by both projections + the interpolation —
+    # persist and ride the handle out on the result (session pattern)
+    poly = polyline_arrays(stitched, key="relation_id").persist()
+
     # J4: project real stops (by member order, ids may repeat)
     pts = real_stops.select(
         "relation_id", F.col("member_order").alias("pid"), "stop_id", "name",
         "role", "lon", "lat",
     )
-    proj = project_onto_segments(
+    proj = project_onto_polyline(
         pts.select("relation_id", "pid", "lon", "lat"),
-        stitched,
+        poly,
         key="relation_id",
         point_id="pid",
     )
     real = pts.join(proj.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"])
 
     # W10: virtual stops between consecutive real stops along the polyline
-    virt = interpolate_virtual_stops_along_line(
+    virt = interpolate_virtual_stops_along_polyline(
         real.select("relation_id", F.col("pid").alias("member_order"), "lon", "lat", "frac_idx"),
-        stitched,
+        poly,
         key="relation_id",
         order_col="member_order",
         max_gap_km=MAX_DISTANCE_KM,
     )
     # J5: too close to ANY real stop of the relation (js:311-313)
-    virt = drop_near_real(
+    virt = drop_near_real_arr(
         virt, real.select("relation_id", "lon", "lat"),
         key="relation_id", max_dist_m=MIN_DISTANCE_KM * 1000,
     )
@@ -113,9 +129,9 @@ def angkot_stops(
     ).unionByName(virt)
     w = Window.partitionBy("relation_id").orderBy("stop_id", "lon", "lat")
     allstops = allstops.withColumn("pid", F.row_number().over(w))
-    proj_all = project_onto_segments(
+    proj_all = project_onto_polyline(
         allstops.select("relation_id", "pid", "lon", "lat"),
-        stitched,
+        poly,
         key="relation_id",
         point_id="pid",
     )
@@ -124,12 +140,15 @@ def angkot_stops(
     ).drop("pid")
 
     # W9: min-spacing thinning against the last KEPT stop (js:352-373)
-    return thin_stops(
-        positioned.select(
-            "relation_id", "stop_id", "name", "role", "lon", "lat",
-            "frac_idx", "is_real",
+    return attach_intermediates(
+        thin_stops(
+            positioned.select(
+                "relation_id", "stop_id", "name", "role", "lon", "lat",
+                "frac_idx", "is_real",
+            ),
+            key="relation_id",
         ),
-        key="relation_id",
+        poly,
     )
 
 
