@@ -85,7 +85,12 @@ def apply_sorted_groups(df: DataFrame, key: str, sort_cols: list[str],
     the trailing (possibly incomplete) group of each Arrow batch and
     prepends it to the next, so a group larger than a batch just keeps
     accumulating — correctness never depends on Arrow's batch size."""
-    parted = df.repartition(key).sortWithinPartitions(key, *sort_cols)
+    # explicit partition COUNT: a bare repartition(key) is
+    # AQE-coalescible, and a coalesced-to-1 exchange would serialize the
+    # Python stage (the q41 lesson); a numbered user repartition is not
+    parted = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, key
+    ).sortWithinPartitions(key, *sort_cols)
 
     def gen(batches):
         buf = None

@@ -1398,6 +1398,13 @@ def q41(spark, sf_dir):
             i = int(np.searchsorted(t_ns, t_ns[i] + gap, side="left"))
         return pdf.iloc[idx][["user_id", "event_id"]]
 
+    # explicit key repartition: without it AQE coalesces the small
+    # groupBy exchange to ONE partition and the Python fold runs
+    # single-threaded (measured: the whole query was one task at sf0.1);
+    # a user repartition is not AQE-coalesced, so the fold keeps
+    # cluster-width parallelism — no-op at real scale where the shuffle
+    # is already wide
+    e = e.repartition(spark.sparkContext.defaultParallelism, "user_id")
     return e.groupBy("user_id").applyInPandas(thin, "user_id bigint, event_id bigint")
 
 
