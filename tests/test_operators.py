@@ -98,6 +98,53 @@ def test_thin_stops_invariant(spark):
         last = (r.lon, r.lat)
 
 
+def test_apply_sorted_groups_survives_batch_splits(spark):
+    """r13: the batched fold helper buffers the trailing incomplete group
+    of each Arrow batch — a group LARGER than a batch, or one straddling
+    a boundary, must reach the kernel whole.  Forced with a tiny
+    maxRecordsPerBatch and groups engineered around the boundary;
+    asserted against per-group ground truth."""
+    from tegallega_spark.operators.stateful import apply_sorted_groups
+
+    key_sizes = [("a", 7), ("b", 23), ("c", 1), ("d", 40), ("e", 9)]
+    rows = []
+    for k, sz in key_sizes:
+        for i in range(sz):
+            rows.append((k, i))
+    df = spark.createDataFrame(rows, "k string, i int").coalesce(1)
+
+    def kernel(pdf):
+        import pandas as pd
+
+        # one row per WHOLE group: (key, n_rows, checksum of ordered i)
+        out = []
+        kcol = pdf["k"].to_numpy()
+        import numpy as np
+        starts = np.flatnonzero(np.concatenate(([True], kcol[1:] != kcol[:-1])))
+        ends = np.concatenate((starts[1:], [len(kcol)]))
+        for s, e in zip(starts, ends):
+            ii = pdf["i"].to_numpy()[s:e]
+            out.append((kcol[s], int(len(ii)),
+                        int(sum(v * (j + 1) for j, v in enumerate(ii)))))
+        return pd.DataFrame(out, columns=["k", "n", "chk"])
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        got = {
+            r.k: (r.n, r.chk)
+            for r in apply_sorted_groups(df, "k", ["i"], kernel,
+                                         "k string, n long, chk long").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {
+        k: (sz, sum(v * (j + 1) for j, v in enumerate(range(sz))))
+        for k, sz in key_sizes
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # cumulative distance monotonicity (SURVEY §5.2)
 # ---------------------------------------------------------------------------
