@@ -365,12 +365,23 @@ def reference_spans(con) -> pd.DataFrame:
     del tid
     starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
     uniq_doc = doc[starts]
-    lens = np.diff(np.concatenate((starts, [len(doc)])))
+    lens = np.diff(np.concatenate((starts, [len(doc)]))).astype(np.int64)
     del doc
+    # r13 memory diet (the 12.8 M run was kernel-OOM-killed at 130 GB
+    # inside this derivation): index arrays are int32 (token stream
+    # < 2^31 entries), and gram-duplicate detection avoids
+    # return_inverse — np.unique's inverse path holds grams + argsort +
+    # sorted copy + a full-length int64 inverse simultaneously (~40 GB
+    # extra at 1.4 B grams).  Instead: unique+counts → the (small) set
+    # of duplicated grams → membership via searchsorted + byte-equality.
+    # EXACTNESS unchanged: same gram identity, same >= SPAN_MIN_COUNT
+    # predicate (cross-checked against SPANS_SQL <= 150 k as before).
     win = np.lib.stride_tricks.sliding_window_view(ids, k)
-    doc_of = np.repeat(np.arange(len(lens)), lens)[: win.shape[0]]
-    local = np.arange(win.shape[0]) - starts[doc_of]
-    valid = local <= (lens[doc_of] - k)
+    starts32 = starts.astype(np.int64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int32), lens)[: win.shape[0]]
+    local = (np.arange(win.shape[0], dtype=np.int64)
+             - starts32[doc_of]).astype(np.int32)
+    valid = local <= (lens[doc_of] - k).astype(np.int32)
     grams = (
         np.ascontiguousarray(win[valid])
         .view(f"|V{ids.dtype.itemsize * k}")
@@ -379,9 +390,15 @@ def reference_spans(con) -> pd.DataFrame:
     g_doc = doc_of[valid]
     g_pos = local[valid]
     del win, doc_of, local, valid, ids
-    _, inv, counts = np.unique(grams, return_inverse=True, return_counts=True)
-    dup = counts[inv] >= SPAN_MIN_COUNT
-    del grams, inv, counts
+    uniq_g, counts = np.unique(grams, return_counts=True)
+    dup_grams = uniq_g[counts >= SPAN_MIN_COUNT]
+    del uniq_g, counts
+    if len(dup_grams) == 0:
+        return pd.DataFrame({"doc_id": [], "start_tok": [], "end_tok": []})
+    pos = np.searchsorted(dup_grams, grams)
+    pos[pos == len(dup_grams)] = 0  # out-of-range → compare to [0], never equal
+    dup = dup_grams[pos] == grams
+    del grams, pos, dup_grams
     d, p = g_doc[dup], g_pos[dup]
     del g_doc, g_pos, dup
     if len(d) == 0:
@@ -688,6 +705,14 @@ def reference_clean(pdf: pd.DataFrame, bl: list[str]) -> tuple[dict, float]:
     os.makedirs(_spill, exist_ok=True)
     con.execute(f"SET temp_directory='{_spill}'")
     cur = pdf[["doc_id", "text"]].copy()
+    # memory relief at 10M+ docs: after the working copy exists, the
+    # caller-frame text column is never read again (only the source/lang
+    # maps are, stages 9-10) — and after the normalize stage rewrites
+    # cur's strings, the two columns no longer share objects, so keeping
+    # pdf.text doubles resident text (~15 GB at 12.8 M).  Mutates the
+    # caller's frame deliberately; both callers (run, run_reference_only)
+    # are done with the text by now.
+    del pdf["text"]
     con.register("cur", cur)
 
     # 1. normalize (q52 chain)
