@@ -1103,16 +1103,18 @@ def run_reference_only(n: int, expect_fp: str | None) -> dict:
     """Reference half alone, against a PREVIOUSLY RECORDED Spark
     fingerprint (r12 `--spark-only` feasibility runs record one exactly
     so the parity claim is closable later without re-running Spark).
-    Requires the deterministic corpus cache from the recording run —
-    same (n, seed=61) generation, so the inputs are identical by
-    construction."""
+    Uses the deterministic corpus cache from the recording run when it
+    survives; otherwise REGENERATES it — build_corpus(n, seed=61) is a
+    pure function of (n, seed), so the regenerated corpus is identical
+    by construction to the one the Spark fingerprint was recorded on
+    (the cache exists only to skip the ~10 min/3.2M-doc generation cost
+    on re-runs, not because the bytes are session-unique)."""
     cache = os.path.join(tempfile.gettempdir(), f"tegallega_corpus_{n}.parquet")
     if not os.path.exists(cache):
-        raise SystemExit(
-            f"corpus cache {cache} missing — the ref-only mode must run "
-            "against the exact cached corpus the Spark fingerprint was "
-            "recorded on"
-        )
+        print(f"# corpus cache missing — regenerating (n={n}, seed=61)",
+              file=sys.stderr, flush=True)
+        pdf = build_corpus(n)
+        pdf.to_parquet(cache)
     pdf = pd.read_parquet(cache)
     bl = blocklist_texts(pdf)
     print(f"# corpus loaded n={n}", file=sys.stderr, flush=True)

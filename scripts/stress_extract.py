@@ -59,6 +59,33 @@ WAY_BASE = 10_000_000
 NODE_BASE = 500_000_000
 STRIDE = 16
 
+# --pause-pid=N (r13): serial-window instrumentation.  A long-running
+# UNRELATED background job (e.g. the 12.8 M corpus reference run, hours
+# of single-node wall) and this race can share the box without
+# contaminating each other's measurements: the pid is SIGSTOPped for
+# exactly the TIMED regions (the node reference run and the Spark run)
+# and SIGCONTed for everything untimed (sandbox generation, fingerprint
+# parity) — so the race numbers are serial-quality while the background
+# job loses only the timed minutes, not the whole invocation.
+PAUSE_PID: int | None = None
+
+
+def _pause_background() -> None:
+    if PAUSE_PID:
+        import signal
+
+        os.kill(PAUSE_PID, signal.SIGSTOP)
+
+
+def _resume_background() -> None:
+    if PAUSE_PID:
+        import signal
+
+        try:
+            os.kill(PAUSE_PID, signal.SIGCONT)
+        except ProcessLookupError:
+            pass
+
 AXIOS_STUB = r"""
 // offline axios: answers Overpass queries from per-relation shard files
 // under WORLD_DIR — the injected-fetch seam, mirrored on the Spark side
@@ -495,6 +522,10 @@ def main() -> None:
         if a.startswith("--fetch="):
             fetch_mode = a.split("=", 1)[1]
     keep = "--keep" in args
+    global PAUSE_PID
+    for a in args:
+        if a.startswith("--pause-pid="):
+            PAUSE_PID = int(a.split("=", 1)[1])
     sizes = [int(a) for a in args if not a.startswith("--")] or [50, 200, 800]
     os.makedirs(OUT, exist_ok=True)
 
@@ -508,14 +539,22 @@ def main() -> None:
     results = []
     for n in sizes:
         box, rids = make_sandbox(n)
-        ref_s = run_reference(box)
+        _pause_background()
+        try:
+            ref_s = run_reference(box)
+        finally:
+            _resume_background()
         ref_fp, n_stops = fingerprint_tree(
             os.path.join(box, "route-data", "geojson"), rids
         )
         for mode in modes:
-            spark_s, spark_out = run_spark(
-                spark, box, rids, distributed_fetch=(mode == "distributed")
-            )
+            _pause_background()
+            try:
+                spark_s, spark_out = run_spark(
+                    spark, box, rids, distributed_fetch=(mode == "distributed")
+                )
+            finally:
+                _resume_background()
             # Parity (untimed): fingerprint BOTH sides' written files with
             # the same streaming parser — the sink output itself is compared
             got_fp, got_stops = fingerprint_tree(spark_out, rids)
@@ -537,7 +576,11 @@ def main() -> None:
             print(json.dumps(results[-1]), file=sys.stderr)
             shutil.rmtree(spark_out, ignore_errors=True)
             if mode == "distributed" and "--profile" in args:
-                prof = profile_spark(spark, box, rids)
+                _pause_background()
+                try:
+                    prof = profile_spark(spark, box, rids)
+                finally:
+                    _resume_background()
                 prof["relations"] = n
                 results.append(prof)
                 print(json.dumps(prof), file=sys.stderr)
