@@ -29,6 +29,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = "/root/reference"
 OUT = "/tmp/tegallega_gtfs_stress"
 
+# --pause-pid=N (r13): same serial-window instrumentation as
+# stress_extract — SIGSTOP an unrelated background job for exactly the
+# TIMED regions (reference runs, Spark runs) and SIGCONT it for untimed
+# harness work (input replication, feed parity), so a multi-hour
+# feasibility job and this race can share the box without contaminating
+# the published numbers.
+PAUSE_PID: int | None = None
+
+
+def _pause_background() -> None:
+    if PAUSE_PID:
+        import signal
+
+        os.kill(PAUSE_PID, signal.SIGSTOP)
+
+
+def _resume_background() -> None:
+    if PAUSE_PID:
+        import signal
+
+        try:
+            os.kill(PAUSE_PID, signal.SIGCONT)
+        except ProcessLookupError:
+            pass
+
 
 def build_input(n: int) -> str:
     root = os.path.join(OUT, f"x{n}")
@@ -262,6 +287,10 @@ def compare_feeds(ref_dir: str, spark_dir: str) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     sink = "--sink" in args
+    global PAUSE_PID
+    for a in args:
+        if a.startswith("--pause-pid="):
+            PAUSE_PID = int(a.split("=", 1)[1])
     nums = [int(a) for a in args if not a.startswith("--")]
     n = nums[0] if nums else 8
     root = build_input(n)
@@ -269,7 +298,11 @@ def main() -> None:
     # on BOTH engines (symmetric) approximates steady state where each run
     # is cheap.  At n>8 a single run is minutes long and self-averages.
     runs = 3 if n <= 8 else 1
-    ref_s, ref_rows = min(time_reference(root) for _ in range(runs))
+    _pause_background()
+    try:
+        ref_s, ref_rows = min(time_reference(root) for _ in range(runs))
+    finally:
+        _resume_background()
     # COLD first-session number (r6 verdict: the steady-session 1.41×
     # bundled a methodology change with the threaded-plans code change —
     # publish BOTH so they decompose): a fresh session created inside
@@ -277,16 +310,24 @@ def main() -> None:
     # the measurement.  Only at small n, where warmup is a visible share.
     cold = None
     if n <= 8:
-        cold_s, cold_rows = time_spark(root, spark=None)
+        _pause_background()
+        try:
+            cold_s, cold_rows = time_spark(root, spark=None)
+        finally:
+            _resume_background()
         assert cold_rows == ref_rows
         cold = round(cold_s, 2)
     # steady session across the Spark runs (see time_spark docstring):
     # symmetric with the reference's repeat, which also reuses a warm OS
     # page cache; each run still rebuilds + re-executes the whole DAG
     spark_session = make_session(root)
-    spark_s, spark_rows = min(
-        time_spark(root, spark=spark_session) for _ in range(runs)
-    )
+    _pause_background()
+    try:
+        spark_s, spark_rows = min(
+            time_spark(root, spark=spark_session) for _ in range(runs)
+        )
+    finally:
+        _resume_background()
     out = {
         "replication": n,
         "reference_script_sec": round(ref_s, 2),
@@ -300,10 +341,14 @@ def main() -> None:
         # compute, this one adds the real K1 CSV serialization + concat
         sink_dir = os.path.join(root, "spark-gtfs")
         shutil.rmtree(sink_dir, ignore_errors=True)
-        sink_s, sink_rows = min(
-            time_spark(root, spark=spark_session, sink_dir=sink_dir)
-            for _ in range(runs)
-        )
+        _pause_background()
+        try:
+            sink_s, sink_rows = min(
+                time_spark(root, spark=spark_session, sink_dir=sink_dir)
+                for _ in range(runs)
+            )
+        finally:
+            _resume_background()
         assert sink_rows == ref_rows, (sink_rows, ref_rows)
         out["spark_with_k1_sink_sec"] = round(sink_s, 2)
         out["speedup_with_sink"] = round(ref_s / sink_s, 2)
