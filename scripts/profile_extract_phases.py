@@ -32,7 +32,7 @@ def main() -> None:
         drop_near_real_arr,
         interpolate_virtual_stops_along_polyline,
         polyline_arrays,
-        project_onto_polyline,
+        project_onto_segments,
     )
     from tegallega_spark.operators.stateful import stitch_ways, thin_stops
     from tegallega_spark.pipeline.extract import (
@@ -77,8 +77,8 @@ def main() -> None:
         "relation_id", F.col("member_order").alias("pid"), "stop_id", "name",
         "role", "lon", "lat",
     ).persist()
-    proj = project_onto_polyline(
-        pts.select("relation_id", "pid", "lon", "lat"), poly,
+    proj = project_onto_segments(
+        pts.select("relation_id", "pid", "lon", "lat"), stitched,
         key="relation_id", point_id="pid",
     )
     real = pts.join(
@@ -122,8 +122,8 @@ def main() -> None:
     ).unionByName(virt3)
     w = Window.partitionBy("relation_id").orderBy("stop_id", "lon", "lat")
     allstops = allstops.withColumn("pid", F.row_number().over(w))
-    proj_all = project_onto_polyline(
-        allstops.select("relation_id", "pid", "lon", "lat"), poly,
+    proj_all = project_onto_segments(
+        allstops.select("relation_id", "pid", "lon", "lat"), stitched,
         key="relation_id", point_id="pid",
     )
     positioned = allstops.join(

@@ -29,7 +29,7 @@ from tegallega_spark.operators.spatial import (
     drop_near_real_arr,
     interpolate_virtual_stops_along_polyline,
     polyline_arrays,
-    project_onto_polyline,
+    project_onto_segments,
 )
 from tegallega_spark.operators.stateful import stitch_ways, thin_stops
 from tegallega_spark.session import attach_intermediates
@@ -67,15 +67,20 @@ def angkot_stops(
     Returns (relation_id, stop_id, name, role, is_real, lon, lat, frac_idx)
     in final kept order (frac_idx ascending per relation).
 
-    r13 (r12 verdict #3): the polyline is aggregated ONCE into an array
-    per relation (polyline_arrays) and both projections, the
-    interpolation lookups, and the near-real filter run as in-row JVM
-    higher-order scans against it — the drill-down profile had the row
-    form's window/explode/argmin exchanges at ~45% of the 204.8 k
-    compute wall.  All arithmetic stays JVM-side in the same order, so
-    outputs are bit-identical (extract race + goldens assert it).
+    r13 (r12 verdict #3): mixed polyline forms, each picked by a 204.8 k
+    sub-phase profile.  The interpolation lookups and the near-real
+    filter run over the ARRAY form (polyline_arrays): element_at /
+    F.exists scans with no vertex-row shuffle — measured at ~5.7 s and
+    ~3.7 s where the row form's exchanges dominated the r12 profile.
+    The two J4 PROJECTIONS stay on the ROW form (project_onto_segments):
+    Spark evaluates higher-order-function lambdas interpreted, with a
+    struct allocation per element — an F.aggregate segment scan measured
+    80 s (real) + 308 s (all) at 204.8 k, vs the explode join + struct-min
+    whose arithmetic is whole-stage-codegen'd.  Shuffle savings lose to
+    interpreted compute once the segment count is the work; both forms
+    are bit-identical (extract race + goldens assert it).
     """
-    # the array frame is read by both projections + the interpolation —
+    # the array frame is read by the interpolation + near-real filter —
     # persist and ride the handle out on the result (session pattern)
     poly = polyline_arrays(stitched, key="relation_id").persist()
 
@@ -84,9 +89,9 @@ def angkot_stops(
         "relation_id", F.col("member_order").alias("pid"), "stop_id", "name",
         "role", "lon", "lat",
     )
-    proj = project_onto_polyline(
+    proj = project_onto_segments(
         pts.select("relation_id", "pid", "lon", "lat"),
-        poly,
+        stitched,
         key="relation_id",
         point_id="pid",
     )
@@ -122,22 +127,34 @@ def angkot_stops(
         )
     )
 
-    # union, re-project everything, sort by position (js:341-350)
-    allstops = real.select(
-        "relation_id", "stop_id", "name", "role", F.lit(True).alias("is_real"),
-        "lon", "lat",
-    ).unionByName(virt)
+    # union + position by frac_idx (js:341-350).  The reference re-projects
+    # EVERY stop here with the same pure projectPointToLineString it used
+    # on the real stops before interpolation — same point, same polyline,
+    # so the real stops' second projection is bit-for-bit the first one
+    # (referential transparency; the race and goldens pin it).  Carry the
+    # reals' frac_idx forward and project only the VIRTUAL stops — at
+    # 204.8 k relations the all-stops re-projection was the single
+    # largest compute phase (88 s of a 250 s barriered profile).
     w = Window.partitionBy("relation_id").orderBy("stop_id", "lon", "lat")
-    allstops = allstops.withColumn("pid", F.row_number().over(w))
-    proj_all = project_onto_polyline(
-        allstops.select("relation_id", "pid", "lon", "lat"),
-        poly,
+    virt = virt.withColumn("pid", F.row_number().over(w))
+    proj_virt = project_onto_segments(
+        virt.select("relation_id", "pid", "lon", "lat"),
+        stitched,
         key="relation_id",
         point_id="pid",
     )
-    positioned = allstops.join(
-        proj_all.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"]
-    ).drop("pid")
+    positioned = real.select(
+        "relation_id", "stop_id", "name", "role", F.lit(True).alias("is_real"),
+        "lon", "lat", "frac_idx",
+    ).unionByName(
+        virt.join(
+            proj_virt.select("relation_id", "pid", "frac_idx"),
+            ["relation_id", "pid"],
+        )
+        .drop("pid")
+        .select("relation_id", "stop_id", "name", "role", "is_real",
+                "lon", "lat", "frac_idx")
+    )
 
     # W9: min-spacing thinning against the last KEPT stop (js:352-373)
     return attach_intermediates(
