@@ -456,6 +456,7 @@ def run_spark(
     write_route_geojson(stitched, stops, spark_out)
     dt = time.perf_counter() - t0
     stitched.unpersist()
+    release_intermediates(stops)
     release_intermediates(ways_df)
     return dt, spark_out
 

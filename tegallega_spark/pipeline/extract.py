@@ -95,7 +95,14 @@ def angkot_stops(
         key="relation_id",
         point_id="pid",
     )
-    real = pts.join(proj.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"])
+    # real is read THREE times in the fused plan (interpolation input,
+    # near-real coordinate array, the final union) — without a persist
+    # each consumer re-runs the J4 projection and the fetch/parse below
+    # it (measured ~50 s of the 204.8 k fused wall).  Rides out on the
+    # result with attach_intermediates like poly.
+    real = pts.join(
+        proj.select("relation_id", "pid", "frac_idx"), ["relation_id", "pid"]
+    ).persist()
 
     # W10: virtual stops between consecutive real stops along the polyline
     virt = interpolate_virtual_stops_along_polyline(
@@ -166,6 +173,7 @@ def angkot_stops(
             key="relation_id",
         ),
         poly,
+        real,
     )
 
 
