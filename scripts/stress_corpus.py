@@ -351,8 +351,9 @@ def reference_spans(con) -> pd.DataFrame:
     dictionary-encodes the token stream (SPANS_TOKENS_SQL, spillable),
     numpy does the gram uniq + merge the SQL's window operators OOM on.
     Gram identity is EXACT (fixed-width packed id records through
-    np.unique — dictionary ids are a bijection on token strings, no
-    hashing anywhere).  Cross-checked against SPANS_SQL itself at every
+    np.unique — dictionary ids are a bijection on token strings; the
+    64-bit window hash below is used ONLY to partition the unique, never
+    to decide identity).  Cross-checked against SPANS_SQL itself at every
     size the SQL can run (reference_clean asserts equality <= 150 k)."""
     tbl = con.execute(SPANS_TOKENS_SQL).arrow()
     doc = tbl.column("doc_id").to_numpy()
@@ -367,40 +368,73 @@ def reference_spans(con) -> pd.DataFrame:
     uniq_doc = doc[starts]
     lens = np.diff(np.concatenate((starts, [len(doc)]))).astype(np.int64)
     del doc
-    # r13 memory diet (the 12.8 M run was kernel-OOM-killed at 130 GB
-    # inside this derivation): index arrays are int32 (token stream
-    # < 2^31 entries), and gram-duplicate detection avoids
-    # return_inverse — np.unique's inverse path holds grams + argsort +
-    # sorted copy + a full-length int64 inverse simultaneously (~40 GB
-    # extra at 1.4 B grams).  Instead: unique+counts → the (small) set
-    # of duplicated grams → membership via searchsorted + byte-equality.
-    # EXACTNESS unchanged: same gram identity, same >= SPAN_MIN_COUNT
-    # predicate (cross-checked against SPANS_SQL <= 150 k as before).
+    # r13 memory diet v2 (the v1 run was STILL kernel-OOM-killed at
+    # 129.8 GB on an EXCLUSIVE 125 GB box: the residual peak was grams
+    # plus np.unique's sorted copy — 2 × 16 B over ~2 B windows — on top
+    # of the resident corpus + DuckDB buffer pool).  Partitioned unique:
+    # a 64-bit polynomial hash of each window is computed IN PLACE over
+    # the token-id array (k buffered ufunc passes — no gram
+    # materialization, no full-length temporaries), then grams are
+    # uniqued one hash-partition at a time.  EXACTNESS is untouched:
+    # equal grams have equal hashes so every copy of a gram lands in the
+    # SAME partition, making the per-partition >= SPAN_MIN_COUNT
+    # predicate over gram BYTES identical to the global one; hash
+    # collisions merely co-locate distinct grams, which the byte-level
+    # unique then separates.  The g_doc/g_pos arrays are gone too — hit
+    # positions map back to (doc, pos) through one searchsorted over doc
+    # starts.  Peak extra memory: 8 B/window for the hash (freed before
+    # partitioning) + ~2×(windows/8)×16 B per partition, vs v1's
+    # 2×windows×16 B.  Cross-checked against SPANS_SQL <= 150 k as
+    # before (reference_clean asserts equality), pinned by the 5 k
+    # ref-only fingerprint regression and a direct-vs-partitioned
+    # equality test in tests/test_stress_helpers.py.
+    n_tok = len(ids)
+    g0 = n_tok - k + 1
+    # windows crossing a doc boundary are invalid: exactly those starting
+    # in the k-1 positions before each next-doc start (which also voids
+    # every window of a doc shorter than k); windows never cross the
+    # array end because g0 stops them
+    valid = np.ones(g0, dtype=bool)
+    if len(starts) > 1:
+        bad = (starts[1:, None] - np.arange(1, k, dtype=np.int64)).ravel()
+        bad = bad[(bad >= 0) & (bad < g0)]
+        valid[bad] = False
+        del bad
+    h = np.zeros(g0, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(k):
+        np.multiply(h, mult, out=h)
+        np.add(h, ids[j:j + g0], out=h, casting="unsafe")
+    n_part = 8
+    np.bitwise_and(h, np.uint64(n_part - 1), out=h)
+    hpart = h.astype(np.uint8)
+    del h
     win = np.lib.stride_tricks.sliding_window_view(ids, k)
-    starts32 = starts.astype(np.int64)
-    doc_of = np.repeat(np.arange(len(lens), dtype=np.int32), lens)[: win.shape[0]]
-    local = (np.arange(win.shape[0], dtype=np.int64)
-             - starts32[doc_of]).astype(np.int32)
-    valid = local <= (lens[doc_of] - k).astype(np.int32)
-    grams = (
-        np.ascontiguousarray(win[valid])
-        .view(f"|V{ids.dtype.itemsize * k}")
-        .ravel()
-    )
-    g_doc = doc_of[valid]
-    g_pos = local[valid]
-    del win, doc_of, local, valid, ids
-    uniq_g, counts = np.unique(grams, return_counts=True)
-    dup_grams = uniq_g[counts >= SPAN_MIN_COUNT]
-    del uniq_g, counts
-    if len(dup_grams) == 0:
+    gram_dtype = f"|V{ids.dtype.itemsize * k}"
+    hit_lists = []
+    for pnum in range(n_part):
+        sel = np.flatnonzero((hpart == pnum) & valid)
+        if not len(sel):
+            continue
+        part = np.ascontiguousarray(win[sel]).view(gram_dtype).ravel()
+        uniq_g, counts = np.unique(part, return_counts=True)
+        dup_grams = uniq_g[counts >= SPAN_MIN_COUNT]
+        del uniq_g, counts
+        if not len(dup_grams):
+            del part, sel
+            continue
+        pos = np.searchsorted(dup_grams, part)
+        pos[pos == len(dup_grams)] = 0  # out-of-range → compare to [0]
+        hit_lists.append(sel[dup_grams[pos] == part])
+        del pos, part, dup_grams, sel
+    del win, hpart, valid, ids
+    if not hit_lists:
         return pd.DataFrame({"doc_id": [], "start_tok": [], "end_tok": []})
-    pos = np.searchsorted(dup_grams, grams)
-    pos[pos == len(dup_grams)] = 0  # out-of-range → compare to [0], never equal
-    dup = dup_grams[pos] == grams
-    del grams, pos, dup_grams
-    d, p = g_doc[dup], g_pos[dup]
-    del g_doc, g_pos, dup
+    g = np.sort(np.concatenate(hit_lists))
+    del hit_lists
+    d = np.searchsorted(starts, g, side="right") - 1
+    p = g - starts[d]
+    del g
     if len(d) == 0:
         return pd.DataFrame({"doc_id": [], "start_tok": [], "end_tok": []})
     new_span = np.empty(len(d), dtype=bool)

@@ -78,3 +78,31 @@ def test_compare_feeds_verdict_ladder(tmp_path):
     assert out["diff.txt"] == "DIFFERENT"
     assert out["missing.txt"] == "MISSING"
     assert out["prefix.txt"] == "DIFFERENT"
+
+
+def test_reference_spans_partitioned_equals_spans_sql():
+    """The corpus race's reference span derivation (hash-PARTITIONED
+    byte-exact gram unique — the 12.8 M memory diet) must equal the
+    direct SPANS_SQL window derivation wherever the SQL can run.  The
+    partition hash may only co-locate grams, never decide identity; a
+    drift here silently corrupts the published parity verdicts."""
+    import duckdb
+    import pandas as pd
+
+    from scripts.stress_corpus import SPANS_SQL, build_corpus, reference_spans
+
+    pdf = build_corpus(2500)
+    con = duckdb.connect()
+    con.register("cur", pdf[["doc_id", "text"]])
+    want = (
+        con.execute(SPANS_SQL).df()
+        .sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+        .astype({"doc_id": "int64", "start_tok": "int64", "end_tok": "int64"})
+    )
+    got = (
+        reference_spans(con)
+        .sort_values(["doc_id", "start_tok"]).reset_index(drop=True)
+        .astype({"doc_id": "int64", "start_tok": "int64", "end_tok": "int64"})
+    )
+    assert len(want) > 100  # the corpus must actually contain dup spans
+    pd.testing.assert_frame_equal(want, got)
