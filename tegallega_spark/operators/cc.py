@@ -20,8 +20,9 @@ Scale notes (100 TB):
 - `localCheckpoint` after every round truncates lineage; without it the plan
   doubles per iteration and the driver OOMs on plan serialization long
   before the executors break a sweat.
-- The convergence check is a count() of changed labels — one cheap action
-  per round on an already-materialized (checkpointed) frame.
+- The convergence check is a count() of changed labels, FUSED with the
+  round's checkpoint materialization (lazy localCheckpoint + one count
+  action) — one job per round.
 """
 
 from __future__ import annotations
@@ -48,46 +49,92 @@ def connected_components(
         that want singleton clusters union them in afterwards.
     Returns DataFrame(node, cluster_id).
     """
+    from tegallega_spark.operators.graph import SMALL_GRAPH_EDGES
+    from tegallega_spark.session import aqe_off_for_small_input
+
     und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    und = und.localCheckpoint()
+    # LAZY checkpoint: the count() below materializes it (one job instead
+    # of eager-checkpoint + count), and the measured edge count drives the
+    # small-graph execution profile — the analyzed-plan size gate cannot
+    # see through join-derived pair inputs (a join's estimate multiplies
+    # its sides upward), so a 5 k-doc dedup graph would never fire it.
+    und = und.localCheckpoint(eager=False)
     und_h = CheckpointHandle(und)
+    n_edges = und.count()
 
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round 1's single action materializes it
     )
     labels_h = CheckpointHandle(labels)
 
     n_changed = 0
-    for _ in range(max_iter):
-        # min label among each node's neighbors, one shuffle keyed on node
-        nbr_min = (
-            und.join(labels.select(F.col("node").alias("s"), "label"), "s")
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        proposed = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias("changed"),
+    # On a small graph each round's two shuffles under AQE are separately
+    # planned stage jobs (~100 ms each) doing microseconds of work; run the
+    # loop on the static 8-partition profile below SMALL_GRAPH_EDGES.  At
+    # real scale the gate never fires and AQE keeps skew/coalesce wins.
+    small = n_edges < SMALL_GRAPH_EDGES
+    # Propagation rounds are batched UNROLL per checkpoint/convergence
+    # cycle (the GraphX-Pregel checkpoint-interval trade): per-round fixed
+    # costs — driver plan construction, the convergence action, the
+    # checkpoint barrier — divide by the unroll factor, while min-label
+    # propagation is idempotent past convergence, so overshooting inside
+    # the final cycle wastes at most UNROLL−1 no-op rounds.
+    UNROLL = 3
+    with aqe_off_for_small_input(und, fires=small):
+        rounds_left = max_iter
+        n_changed = 0
+        while rounds_left > 0:
+            cur = labels
+            for _ in range(min(UNROLL, rounds_left)):
+                # min label among each node's neighbors, one shuffle keyed
+                # on node.  Checkpointed frames are LogicalRDDs with
+                # unknown stats (planner assumes huge → sort-merge, two
+                # exchanges + sorts per round); under the measured small
+                # gate the label set is ≤ n_nodes ≤ n_edges rows,
+                # broadcastable by construction.
+                lbl = cur.select(F.col("node").alias("s"), "label")
+                nbr_min = (
+                    und.join(F.broadcast(lbl) if small else lbl, "s")
+                    .groupBy(F.col("d").alias("node"))
+                    .agg(F.min("label").alias("nbr_label"))
+                )
+                cur = cur.join(
+                    F.broadcast(nbr_min) if small else nbr_min, "node", "left"
+                ).select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                )
+                rounds_left -= 1
+            # LAZY checkpoint + fused convergence count: the single count()
+            # action materializes every partition of this cycle's label set
+            # (the filter sits above the checkpoint barrier — nothing is
+            # pruned through it) AND counts the changed labels, where the
+            # eager form paid one job to checkpoint and a second to count
+            # — per ROUND, not per cycle.
+            old = labels.select("node", F.col("label").alias("__old"))
+            proposed = (
+                cur.join(F.broadcast(old) if small else old, "node", "left")
+                .select(
+                    "node",
+                    "label",
+                    (F.col("label") < F.col("__old")).alias("changed"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()  # eager: materialized before the line below
-        )
-        # the superseded round's checkpoint is dead the moment its
-        # successor materializes — free it NOW, not at ContextCleaner's
-        # leisure (a 20-round run would otherwise hold 20 generations of
-        # the full label set in block storage simultaneously)
-        labels_h.unpersist()
-        labels_h = CheckpointHandle(proposed)
-        n_changed = proposed.filter("changed").count()
-        labels = proposed.drop("changed")
-        if n_changed == 0:
-            break
+            n_changed = proposed.filter("changed").count()
+            # the superseded cycle's checkpoint is dead the moment its
+            # successor materializes — free it NOW, not at ContextCleaner's
+            # leisure (a 20-round run would otherwise hold 20 generations of
+            # the full label set in block storage simultaneously)
+            labels_h.unpersist()
+            labels_h = CheckpointHandle(proposed)
+            labels = proposed.drop("changed")
+            if n_changed == 0:
+                break
 
     if n_changed:
         und_h.unpersist()

@@ -223,9 +223,18 @@ class aqe_off_for_small_input:
     # priors onto session B (ADVICE r8)
     _outermost: tuple | None = None
 
-    def __init__(self, df, threshold_bytes: int = 1 << 30) -> None:
+    def __init__(self, df, threshold_bytes: int = 1 << 30,
+                 fires: bool | None = None) -> None:
+        """`fires` overrides the plan-size gate with a caller-measured
+        decision: iterative operators (connected components, Bellman-Ford)
+        work on join-DERIVED inputs whose analyzed estimate is
+        conservative-huge (a join's sizeInBytes multiplies its sides), so
+        the plan gate never fires for them even on a 36-node graph; they
+        instead gate on the COUNTED size of the materialized frame the
+        loop iterates over."""
         self._spark = df.sparkSession
-        self._fires = plan_size_bytes(df) < threshold_bytes
+        self._fires = (plan_size_bytes(df) < threshold_bytes
+                       if fires is None else bool(fires))
         self._entered = False
 
     def __enter__(self) -> "aqe_off_for_small_input":
