@@ -132,8 +132,26 @@ def gopher_quality_flags(
     Python); at 100 TB this is a scan-side map with no shuffle at all.
     NULL text fails every rule (flags false, not NULL) so downstream
     filters need no three-valued-logic care."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    # Tokenize/split ONCE into stored array columns: interpreted HOF
+    # subtrees get no common-subexpression reuse (the q37/q62 lesson), so
+    # with `toks`/`lines` as raw expressions each of their 3 consumers
+    # below re-ran the split per row, and the stopword filter re-ran the
+    # lowercasing transform once per stopword (8×).
+    staged = df.select(
+        "*",
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).select(
+        "*",
+        F.filter(F.split(F.col("__t"), r"\s+"), lambda w: w != "").alias("__toks"),
+        F.split(F.col("__t"), "\n").alias("__lines"),
+    ).select(
+        "*",
+        F.transform(F.col("__toks"), lambda w: F.lower(w)).alias("__low"),
+    )
+    t = F.col("__t")
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    low_toks = F.col("__low")
     n_words = F.size(toks)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
@@ -142,13 +160,11 @@ def gopher_quality_flags(
     n_ellipsis = (
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
     ) / F.lit(3)
-    lines = F.split(t, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
     ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
     alpha_words = F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}")))
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    low_toks = F.transform(toks, lambda w: F.lower(w))
     n_stops = F.size(F.filter(stop_arr, lambda s: F.array_contains(low_toks, s)))
 
     flags = {
@@ -160,7 +176,7 @@ def gopher_quality_flags(
         "ok_alpha_words": (alpha_words / nw) > 0.8,
         "ok_stopwords": n_stops >= 2,
     }
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         *[v.alias(k) for k, v in flags.items()],
@@ -190,6 +206,23 @@ def rolling_hash_fingerprints(
     reproducible in any engine with an md5 function, which is what the q62
     DuckDB oracle does; use it when the sketch must be auditable outside
     Spark)."""
+    return rolling_hash_fingerprints_from_tokens(
+        tokens(text), window=window, keep_every=keep_every, hasher=hasher
+    )
+
+
+def rolling_hash_fingerprints_from_tokens(
+    toks: Column, window: int = 8, keep_every: int = 16, hasher: str = "xxhash64"
+) -> Column:
+    """rolling_hash_fingerprints over a PRE-TOKENIZED array column.
+
+    Interpreted higher-order lambdas get no common-subexpression reuse:
+    when `toks` is the tokens(text) EXPRESSION, the per-element
+    `slice(toks, i, window)` re-runs lower+regex-split+filter for EVERY
+    shingle — measured 8.4 s → 1.9 s on q62 (5 k docs, ~43 shingles each)
+    just by tokenizing once into a stored array column in a prior select
+    (the q37 idiom) and shingling from the attribute.  Pass a bare column
+    reference here, not a derived expression, to keep that property."""
     if hasher == "xxhash64":
         def shingle_hash(g: Column) -> Column:
             return F.xxhash64(g)
@@ -198,7 +231,6 @@ def rolling_hash_fingerprints(
             return F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hasher {hasher!r}")
-    toks = tokens(text)
     num = F.size(toks) - F.lit(window - 1)
     # guard: sequence(1, 0) DESCENDS ([1, 0]) and slice rejects start 0 —
     # a doc shorter than `window` tokens must yield an empty sketch, not

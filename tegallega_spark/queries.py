@@ -2352,11 +2352,15 @@ def q62(spark, sf_dir):
     with shift arithmetic — the sketch is engine-auditable, not a Spark-
     private hash."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
+    # tokenize ONCE into a stored array column: interpreted HOF lambdas get
+    # no subexpression reuse, so shingling directly over tokens(text) would
+    # re-run the regex split per shingle element (q37 idiom; measured
+    # 8.4 s → 1.9 s here)
+    return d.select("doc_id", TXT.tokens(F.col("text")).alias("__toks")).select(
         "doc_id",
         F.explode(
-            TXT.rolling_hash_fingerprints(
-                F.col("text"), window=8, keep_every=16, hasher="md5"
+            TXT.rolling_hash_fingerprints_from_tokens(
+                F.col("__toks"), window=8, keep_every=16, hasher="md5"
             )
         ).alias("fp"),
     )
