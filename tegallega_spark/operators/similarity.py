@@ -38,6 +38,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pairs_udf():
+    """Arrow-vectorized cosine over two array columns: one numpy pass per
+    batch instead of 3 interpreted F.aggregate folds per row (dot + two
+    norms).  The HOF `cosine` walks both arrays element-by-element in the
+    interpreter per pair; on q39's ~2M candidate pairs x 64 dims that was
+    ~8.7s of the query's 9.5s wall.  float32 inputs widen exactly to
+    float64 (same as the cast('array<double>') the HOF path used); IEEE
+    division semantics (0/0 -> NaN) match JVM double division."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            out = num / den
+        return pd.Series(out)
+
+    return cos
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -186,12 +212,13 @@ def all_pairs_above(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # vectorized rescore (guide §4.2): one numpy batch op instead of three
+    # interpreted array folds per candidate pair
+    cos_udf = cosine_pairs_udf()
     scored = pairs.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
-        cosine(
-            F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
-        ).alias("cos_sim"),
+        cos_udf(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
     )
     from tegallega_spark.session import attach_intermediates
 

@@ -193,10 +193,12 @@ def mini_clean_corpus(
     nt = TXT.normalize_text_udf()
     docs = docs.withColumn(text_col, nt(F.col(text_col)))
     docs = docs.withColumn(text_col, TXT.dedupe_paragraphs(F.col(text_col)))
-    passing = TXT.gopher_quality_flags(docs, id_col, text_col).filter(
-        F.col("gopher_pass")
-    ).select(id_col)
-    docs = docs.join(passing, id_col, "left_semi")
+    # Gate inline (gopher_pass_filter) instead of flags-frame + left-semi
+    # join: the join shape evaluated the whole upstream lineage TWICE —
+    # the Arrow normalize pass and the caller's text construction ran
+    # once per branch — plus a join exchange; the in-place filter is one
+    # pass and keeps the survivor set identical.
+    docs = TXT.gopher_pass_filter(docs, text_col)
     # mixture_sample's per-stratum count is an action; persist the gated
     # corpus so the final output doesn't re-run the Arrow normalize pass
     # (same rationale as clean_corpus stage 3.5).  The count's stage
@@ -452,12 +454,12 @@ def _clean_corpus_impl(
     # 0.5 optional rule/model quality gates — both scan-shaped, both
     # BEFORE the near-dup stages so junk never pays for shingling:
     if gopher_rules:
-        # the 7 MassiveText rules (scan-side column math, no shuffle);
-        # semi-join keeps only passing docs, flags don't travel further
-        passing = TXT.gopher_quality_flags(docs, id_col, text_col).filter(
-            F.col("gopher_pass")
-        ).select(id_col)
-        docs = docs.join(passing, id_col, "left_semi")
+        # the 7 MassiveText rules (scan-side column math, no shuffle),
+        # gated in place: the old flags-frame + left-semi-join shape ran
+        # everything upstream of the text twice (once per join branch)
+        # plus a join exchange — gopher_pass_filter is one pass and the
+        # identical survivor set (q72 evidence: 5.2 s -> 1.8 s)
+        docs = TXT.gopher_pass_filter(docs, text_col)
     if max_perplexity is not None:
         # CCNet-style LM filter: the model is trained on THIS corpus (the
         # in-domain convention when no external reference corpus is

@@ -2968,8 +2968,16 @@ def q72(spark, sf_dir):
     from tegallega_spark.pipeline.corpus import mini_clean_corpus
 
     d = T(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                    lambda t: t != "")
+    # stage the split ONCE as a stored array column (the q62 HOF-CSE
+    # lesson): with `toks` as a raw expression, the slice inside the
+    # paragraph transform re-ran the split once per paragraph per row
+    d = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                 lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     paras = F.concat(
         F.array(F.lit("the data have to be of use and note that with care")),
