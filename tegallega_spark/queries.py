@@ -2746,8 +2746,15 @@ def q69(spark, sf_dir):
     arithmetic hash-mismatches.  (Pruned-nprobe RECALL, the approximate
     regime, is pinned separately in test_pq/test_scale_ops — approximation
     quality is not SQL-expressible, exactness of the full-rerank limit
-    is.)"""
-    from tegallega_spark.operators.ivf import train_ivf_index
+    is.)
+
+    Coarse quantizer: train_ivf_index_sampled (bounded-sample Lloyd's +
+    one Arrow assignment pass) — at the full-probe/full-rerank limit the
+    output is the exact top-k for ANY centroid set, so the full
+    pyspark.ml KMeans (multiple distributed scans; ~4 s of fixed
+    training cost at every scale) buys nothing the sampled trainer
+    doesn't."""
+    from tegallega_spark.operators.ivf import train_ivf_index_sampled
     from tegallega_spark.operators.pq import ivfpq_topk, train_pq_codebooks
 
     emb = T(spark, sf_dir, "embeddings")
@@ -2755,7 +2762,7 @@ def q69(spark, sf_dir):
     qv = [float(x) for x in qrow[0]]
     n = emb.count()
     cb = train_pq_codebooks(emb, m=8, k=16)
-    idx = train_ivf_index(emb, k=8).encode(cb)
+    idx = train_ivf_index_sampled(emb, k=8, n=n).encode(cb)
     full = ivfpq_topk(idx, cb, qv, k=n, nprobe=8, rerank=n)
     return (
         full.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -3051,7 +3058,7 @@ def q73(spark, sf_dir):
     jobs, the batch costs ~2.)"""
     from pyspark.sql import Window
 
-    from tegallega_spark.operators.ivf import train_ivf_index
+    from tegallega_spark.operators.ivf import train_ivf_index_sampled
     from tegallega_spark.operators.pq import ivfpq_topk_batch, train_pq_codebooks
 
     emb = T(spark, sf_dir, "embeddings")
@@ -3061,7 +3068,9 @@ def q73(spark, sf_dir):
     ]
     n = emb.count()
     cb = train_pq_codebooks(emb, m=8, k=16)
-    idx = train_ivf_index(emb, k=8).encode(cb)
+    # sampled coarse quantizer: at full probe/rerank the exact per-query
+    # top-k is centroid-independent (same argument as q69)
+    idx = train_ivf_index_sampled(emb, k=8, n=n).encode(cb)
     full = ivfpq_topk_batch(idx, cb, queries, k=n, nprobe=8, rerank=n)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_r"), "vec_id")
     return (
