@@ -804,19 +804,30 @@ def duplicated_spans(
     Nothing persists, so there is nothing for callers to release.
     """
     sh = _token_shingle_positions(df, id_col, text_col, k)
-    # Size the wide exchange for the sort-based WindowExec behind it: the
-    # shingle frame carries ~one row per corpus token, so the per-
-    # partition sort is the stage's cost center and wants more, smaller
-    # partitions than a scan-agg would (measured at 320k docs/45M rows:
-    # 96 partitions beat the 32-partition default 36s vs 53s).  Respect a
-    # larger admin-configured shuffle.partitions (a real cluster sets it
-    # high); floor at 3× the core count for small-session defaults.
+    # Size the wide exchange for the sort-based WindowExec behind it from
+    # the INPUT size, not the core count: the shingle frame carries ~one
+    # row per corpus token (~64× the compressed text bytes — 320k docs /
+    # 16 MB parquet measured 45 M rows / 1.1 GB shuffled), and the per-
+    # partition sort wants smaller partitions than a scan-agg (~16 MB:
+    # 96 partitions beat 32 at that scale, 36 s vs 53 s).  When the
+    # derived width does not exceed the session's parallelism the fixed
+    # width is pure task overhead — repartition WITHOUT an explicit
+    # number instead, which stays AQE-coalescible (a numbered user
+    # repartition is exempt from coalescing): measured 1.63 s → 0.65 s
+    # at sf0.1 where the whole shingle frame is ~6 MB.
+    from tegallega_spark.session import plan_size_bytes
+
     spark = df.sparkSession
-    n_parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism * 3,
-    )
-    sh = sh.repartition(n_parts, "__h")
+    est_shuffle_bytes = plan_size_bytes(df) * 64
+    n_parts = est_shuffle_bytes // (16 << 20) + 1
+    if spark.sparkContext.defaultParallelism < n_parts <= (1 << 17):
+        # derived width is credible and exceeds the session's parallelism
+        sh = sh.repartition(int(n_parts), "__h")
+    else:
+        # small input, or a conservative-huge analyzer estimate (join-
+        # derived inputs multiply their sides; some plans report
+        # Long.Max): inherit the admin-set shuffle width, AQE-coalescible
+        sh = sh.repartition("__h")
     w = Window.partitionBy("__h")
     counted = sh.withColumn("__n", F.count("*").over(w))
     cond = F.col("__n") >= min_count
