@@ -37,13 +37,21 @@ UNK = "<unk>"
 
 class BigramLM(NamedTuple):
     """bigrams: (w1, w2, c12); contexts: (w1, c1); vocab: (word,);
-    vocab_size includes <unk>; alpha is the smoothing mass."""
+    vocab_size includes <unk>; alpha is the smoothing mass.
+    train_df/train_cols/doc_bigrams record the persisted unk-mapped
+    (__id, w1, w2) frame training derived its counts from, so scoring the
+    SAME frame reuses it instead of re-running the corpus tokenize +
+    vocab joins a second time (identity-gated: scoring any other frame
+    recomputes)."""
 
     bigrams: DataFrame
     contexts: DataFrame
     vocab: DataFrame
     vocab_size: int
     alpha: float
+    train_df: DataFrame | None = None
+    train_cols: tuple | None = None
+    doc_bigrams: DataFrame | None = None
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -106,10 +114,17 @@ def train_bigram_lm(
     vocab = tokens.filter(F.col("c") >= min_count).select("word").persist()
     vocab_size = vocab.count() + 1  # V = in-vocab types + <unk>
 
-    bg = _unk_map(_doc_bigrams(df, id_col, text_col), vocab)
+    # persist the unk-mapped per-doc bigram frame: the model counts AND a
+    # same-frame scoring pass both read it, saving scoring a second full
+    # corpus tokenize + vocab-join pass (identical row multiset, so
+    # results are unchanged)
+    bg = _unk_map(_doc_bigrams(df, id_col, text_col), vocab).persist()
     bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    return BigramLM(bigrams, contexts, vocab, vocab_size, alpha)
+    return BigramLM(
+        bigrams, contexts, vocab, vocab_size, alpha,
+        train_df=df, train_cols=(id_col, text_col), doc_bigrams=bg,
+    )
 
 
 def perplexity_score(
@@ -124,7 +139,14 @@ def perplexity_score(
     the smoothed floor alpha/(c1 + alpha*V); unseen contexts degrade to
     the uniform 1/V — both from the same formula with zero counts, no
     special cases."""
-    bg = _unk_map(_doc_bigrams(df, id_col, text_col), lm.vocab)
+    if (
+        lm.doc_bigrams is not None
+        and df is lm.train_df
+        and (id_col, text_col) == lm.train_cols
+    ):
+        bg = lm.doc_bigrams  # persisted by train_bigram_lm — one pass total
+    else:
+        bg = _unk_map(_doc_bigrams(df, id_col, text_col), lm.vocab)
     scored = (
         bg.join(F.broadcast(lm.bigrams), ["w1", "w2"], "left")
         .join(F.broadcast(lm.contexts), "w1", "left")
@@ -144,4 +166,7 @@ def perplexity_score(
     # ride the persisted model tables out for release_intermediates
     from tegallega_spark.session import attach_intermediates
 
-    return attach_intermediates(out, lm.vocab, lm.bigrams)
+    sources = [lm.vocab, lm.bigrams]
+    if lm.doc_bigrams is not None:
+        sources.append(lm.doc_bigrams)
+    return attach_intermediates(out, *sources)
