@@ -70,22 +70,39 @@ def detect_language(text: Column) -> Column:
     return detect_language_from_tokens(tokens(text))
 
 
-def detect_language_from_tokens(toks: Column) -> Column:
-    """Same as detect_language but over a pre-computed token array —
-    tokenize once in a prior select, score five languages over the stored
-    array."""
+def language_scores(toks: Column) -> dict:
+    """Per-language stopword hit counts (with multiplicity) over a token
+    array.  Hot paths should stage these as STORED columns in a
+    projection before feeding them to argmax_language: the argmax
+    when-chain references every score several times, and interpreted HOF
+    subtrees get no common-subexpression reuse, so the inline form
+    re-runs each five-way token scan ~3× (q37 measured 0.71 → 0.37 s at
+    sf0.1 from staging alone)."""
 
     def _hits(sw: list[str]):
         sw_arr = F.array(*[F.lit(w) for w in sw])
         return F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
 
-    scores = {lang: _hits(sw) for lang, sw in _STOPWORDS.items()}
+    return {lang: _hits(sw) for lang, sw in _STOPWORDS.items()}
+
+
+def argmax_language(scores: dict) -> Column:
+    """argmax over per-language score columns; 'und' if all zero.  Ties
+    break by language-key order (first max wins)."""
     langs = list(scores)
     best = F.greatest(*[scores[lang] for lang in langs])
     expr = F.lit("und")
     for lang in reversed(langs):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
+    """Same as detect_language but over a pre-computed token array —
+    tokenize once in a prior select, score five languages over the stored
+    array.  (Single-expression form; see language_scores for the staged
+    two-projection form hot paths want.)"""
+    return argmax_language(language_scores(toks))
 
 
 def quality_score(text: Column) -> Column:

@@ -1258,14 +1258,26 @@ def q36(spark, sf_dir):
 )
 def q37(spark, sf_dir):
     """Stopword-heuristic language ID (north-star text analysis).
-    Tokenizes once in a first select, then scores five languages over the
-    stored array (interpreted HOF subtrees don't get subexpression reuse)."""
+    Tokenizes once in a first select, stages the five per-language hit
+    counts as stored columns in a second, and only then runs the argmax
+    when-chain — the chain references every score ~3×, and interpreted
+    HOF subtrees get no subexpression reuse (staging measured
+    0.71 → 0.37 s at sf0.1)."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select(
         "doc_id", TXT.tokens(F.col("text")).alias("__toks")
     ).select(
         "doc_id",
-        TXT.detect_language_from_tokens(F.col("__toks")).alias("detected_lang"),
+        *[
+            s.alias(f"__h_{lang}")
+            for lang, s in TXT.language_scores(F.col("__toks")).items()
+        ],
+    )
+    return staged.select(
+        "doc_id",
+        TXT.argmax_language(
+            {lang: F.col(f"__h_{lang}") for lang in TXT._STOPWORDS}
+        ).alias("detected_lang"),
     )
 
 
@@ -1527,12 +1539,22 @@ def q44(spark, sf_dir):
 )
 def q45(spark, sf_dir):
     """Exact linear-interpolation percentiles (engine surface; the approx
-    variant q42 has no oracle by nature)."""
+    variant q42 has no oracle by nature).  The three quantiles come from
+    ONE percentile(array(...)) aggregate: three scalar percentile calls
+    each buffer the whole column into their own value->count map (no
+    partial reduction), tripling the aggregation state and merge work for
+    identical output (measured 2.42 s -> 0.92 s at sf0.1)."""
     l = T(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    ps = l.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("__ps")
+    )
+    return ps.select(
+        "l_returnflag",
+        F.round(F.element_at("__ps", 1), 4).alias("p25"),
+        F.round(F.element_at("__ps", 2), 4).alias("p50"),
+        F.round(F.element_at("__ps", 3), 4).alias("p75"),
     )
 
 
@@ -1907,7 +1929,10 @@ def q54(spark, sf_dir):
     def to_avi(ids):
         return pd.Series([variants[int(i) % 3] for i in ids])
 
-    d = T(spark, sf_dir, "documents").select(
+    # widen the CPU-bound demux stage to cluster parallelism: the tiny
+    # parquet scan yields ~2 splits, which would run the per-frame JPEG
+    # decode 2-way on a 32-core session (guide §2.6)
+    d = D.parallelize_for_udf(T(spark, sf_dir, "documents").select("doc_id")).select(
         "doc_id", to_avi(F.col("doc_id")).alias("payload")
     )
     return MM.decode_batches(d).select(
@@ -2112,6 +2137,10 @@ def q58(spark, sf_dir):
     def to_png(ids):
         return pd.Series([variants[int(i) % 251] for i in ids])
 
+    # NOT widened via parallelize_for_udf: after the shape-batched codec
+    # vectorization the per-row work is light enough that the extra
+    # exchange + 32 tiny Arrow partitions cost more than they buy
+    # (measured 0.65 s as-is vs 1.75 s widened at sf0.1)
     d = T(spark, sf_dir, "documents").select(
         "doc_id", to_png(F.col("doc_id")).alias("payload")
     )
@@ -3123,7 +3152,8 @@ def q74(spark, sf_dir):
     def to_mov(ids):
         return pd.Series([variants[int(i) % 3] for i in ids])
 
-    d = T(spark, sf_dir, "documents").select(
+    # widen the CPU-bound demux stage to cluster parallelism (see q54)
+    d = D.parallelize_for_udf(T(spark, sf_dir, "documents").select("doc_id")).select(
         "doc_id", to_mov(F.col("doc_id")).alias("payload")
     )
     return MM.decode_batches(d).select(
