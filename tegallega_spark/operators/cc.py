@@ -29,8 +29,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 
 from tegallega_spark.session import CheckpointHandle, attach_intermediates
+
+_NOT_CONVERGED = "connected_components did not converge"
+
+
+def _single_task_components(und: DataFrame, max_iter: int) -> DataFrame:
+    """One-job small-graph profile: the SAME per-round min-label
+    propagation, vectorized with numpy inside a single executor task.
+
+    The distributed loop below pays 2+ scheduled jobs and a checkpoint
+    barrier per UNROLL cycle; on a measured-small graph (the common case
+    for dedup pair graphs — q23 at sf0.1 is 256 edges) that is ~10 jobs
+    of pure scheduling latency around microseconds of work.  Below the
+    measured SMALL_GRAPH_EDGES gate the whole symmetrized edge list fits
+    one task (≤2·SMALL_GRAPH_EDGES rows ≈ 2^23 longs ≈ 130 MB), so the
+    rounds run as numpy sweeps (`np.minimum.at` over the edge arrays) in
+    ONE job.  Round semantics are identical to the join form — each
+    round reads the PREVIOUS round's labels, no intra-round cascading —
+    so converged labels match the distributed path exactly, and
+    non-convergence raises the same contract (re-wrapped driver-side by
+    the caller, since the task's RuntimeError surfaces as a
+    PythonException)."""
+    id_t = und.schema["s"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_t), T.StructField("label", id_t)]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        both = np.concatenate([pdf["s"].to_numpy(), pdf["d"].to_numpy()])
+        # np.unique sorts, so label INDEX order == id order and the min
+        # index of a component is the min id (numpy str compare is by
+        # code point, which matches Spark's binary UTF-8 ordering)
+        uniq, inv = np.unique(both, return_inverse=True)
+        e_s, e_d = inv[: len(pdf)], inv[len(pdf):]
+        lab = np.arange(len(uniq))
+        converged = len(e_s) == 0
+        for _ in range(max_iter):
+            if converged:
+                break
+            new = lab.copy()
+            np.minimum.at(new, e_d, lab[e_s])  # reads OLD lab: one round
+            if np.array_equal(new, lab):
+                converged = True
+                break
+            lab = new
+        if not converged:
+            raise RuntimeError(_NOT_CONVERGED)
+        yield pd.DataFrame({"node": uniq, "label": uniq[lab]})
+
+    return und.coalesce(1).mapInPandas(fn, schema)
 
 
 def connected_components(
@@ -63,6 +120,37 @@ def connected_components(
     und_h = CheckpointHandle(und)
     n_edges = und.count()
 
+    # On a small graph each round's two shuffles under AQE are separately
+    # planned stage jobs (~100 ms each) doing microseconds of work; below
+    # the measured SMALL_GRAPH_EDGES gate run ALL the rounds inside one
+    # executor task (one job, numpy sweeps — see _single_task_components).
+    # At real scale the gate never fires and the iterative join loop below
+    # keeps AQE's skew/coalesce wins.
+    small = n_edges < SMALL_GRAPH_EDGES
+    if small:
+        labels = _single_task_components(und, max_iter).localCheckpoint(
+            eager=False
+        )
+        final_h = CheckpointHandle(labels)
+        try:
+            # one job: materializes the checkpoint AND surfaces the
+            # task-side convergence failure eagerly (callers expect the
+            # RuntimeError at call time, not at their first action)
+            labels.count()
+        except Exception as e:  # PythonException wraps the task's error
+            und_h.unpersist()
+            final_h.unpersist()
+            if _NOT_CONVERGED in str(e):
+                raise RuntimeError(
+                    f"{_NOT_CONVERGED} in max_iter={max_iter} rounds; the "
+                    "graph diameter exceeds max_iter — raise it"
+                ) from None
+            raise
+        und_h.unpersist()
+        out = labels.select("node", F.col("label").alias("cluster_id"))
+        out._tegallega_persisted = [final_h]
+        return out
+
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
@@ -72,11 +160,6 @@ def connected_components(
     labels_h = CheckpointHandle(labels)
 
     n_changed = 0
-    # On a small graph each round's two shuffles under AQE are separately
-    # planned stage jobs (~100 ms each) doing microseconds of work; run the
-    # loop on the static 8-partition profile below SMALL_GRAPH_EDGES.  At
-    # real scale the gate never fires and AQE keeps skew/coalesce wins.
-    small = n_edges < SMALL_GRAPH_EDGES
     # Propagation rounds are batched UNROLL per checkpoint/convergence
     # cycle (the GraphX-Pregel checkpoint-interval trade): per-round fixed
     # costs — driver plan construction, the convergence action, the

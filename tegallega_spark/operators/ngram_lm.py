@@ -37,7 +37,13 @@ UNK = "<unk>"
 
 class BigramLM(NamedTuple):
     """bigrams: (w1, w2, c12); contexts: (w1, c1); vocab: (word,);
-    vocab_size includes <unk>; alpha is the smoothing mass.
+    vocab_size includes <unk> — either a plain int, or (from
+    train_bigram_lm) a LAZY 1-row DataFrame (__V) that scoring
+    broadcast-cross-joins in, so training triggers NO driver action:
+    the whole train+score program stays one action for the caller and
+    composes into larger single-action pipelines (clean_corpus's LM
+    gate no longer forces an eager corpus pass at plan-build time).
+    alpha is the smoothing mass.
     train_df/train_cols/doc_bigrams record the persisted unk-mapped
     (__id, w1, w2) frame training derived its counts from, so scoring the
     SAME frame reuses it instead of re-running the corpus tokenize +
@@ -47,20 +53,39 @@ class BigramLM(NamedTuple):
     bigrams: DataFrame
     contexts: DataFrame
     vocab: DataFrame
-    vocab_size: int
+    vocab_size: "int | DataFrame"
     alpha: float
     train_df: DataFrame | None = None
     train_cols: tuple | None = None
     doc_bigrams: DataFrame | None = None
+    token_arrays: DataFrame | None = None
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) for every adjacent token pair — arrays_zip of the
-    token array against itself shifted by one, all JVM-side."""
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __t): the tokenized corpus as STORED array columns.
+
+    Training needs the token stream twice (unigram counts for the vocab,
+    then adjacent pairs for the bigram counts); persisting the arrays
+    makes the regex split ONE pass instead of two — the split is the
+    dominant per-row cost of both derivations.  Storage trade at scale:
+    the cache is ≈ tokenized-corpus-sized (MEMORY_AND_DISK), the same
+    trade the fused MinHash path documents for its shingle arrays.
+    parallelize_for_udf widens the split to cluster parallelism when the
+    scan is byte-split narrower than the core count (no-op at scale)."""
+    from tegallega_spark.operators.dedup import parallelize_for_udf
+
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    n = F.size(toks)
+    return parallelize_for_udf(df).select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    )
+
+
+def _doc_bigrams(arr: DataFrame) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair — arrays_zip of the
+    stored token array against itself shifted by one, all JVM-side."""
+    n = F.size(F.col("__t"))
     return (
-        df.select(F.col(id_col).alias("__id"), toks.alias("__t"), n.alias("__n"))
+        arr.select("__id", F.col("__t"), n.alias("__n"))
         .filter(F.col("__n") >= 2)
         .select(
             "__id",
@@ -101,29 +126,36 @@ def train_bigram_lm(
     """Count-based smoothed bigram LM from the corpus.  Two single-
     exchange aggregates (token counts → vocab; bigram counts after <unk>
     mapping) plus one derived context-count aggregate."""
+    # tokenize ONCE into stored arrays (persisted): the vocab count and
+    # the bigram derivation both read the cached arrays instead of each
+    # re-running the regex split over the corpus
+    arr = _token_arrays(df, id_col, text_col).persist()
     tokens = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
+        arr.select(F.explode(F.col("__t")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
     # the model tables are vocabulary-bounded — persist them so scoring
     # (and repeated scoring calls) reuse the trained counts instead of
-    # re-scanning the corpus per consumer; the driver-side V count
-    # doubles as the materialization action for vocab
+    # re-scanning the corpus per consumer.  V stays a LAZY 1-row frame:
+    # a driver-side vocab.count() here would be a whole separate corpus
+    # action serialized before the caller's own (measured ~40% of q56's
+    # wall); scoring cross-joins the broadcast 1-row instead, and the
+    # vocab persist materializes under the first broadcast build
     vocab = tokens.filter(F.col("c") >= min_count).select("word").persist()
-    vocab_size = vocab.count() + 1  # V = in-vocab types + <unk>
+    vocab_size = vocab.agg((F.count("*") + F.lit(1)).alias("__V"))  # + <unk>
 
     # persist the unk-mapped per-doc bigram frame: the model counts AND a
     # same-frame scoring pass both read it, saving scoring a second full
     # corpus tokenize + vocab-join pass (identical row multiset, so
     # results are unchanged)
-    bg = _unk_map(_doc_bigrams(df, id_col, text_col), vocab).persist()
+    bg = _unk_map(_doc_bigrams(arr), vocab).persist()
     bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return BigramLM(
         bigrams, contexts, vocab, vocab_size, alpha,
         train_df=df, train_cols=(id_col, text_col), doc_bigrams=bg,
+        token_arrays=arr,
     )
 
 
@@ -146,7 +178,15 @@ def perplexity_score(
     ):
         bg = lm.doc_bigrams  # persisted by train_bigram_lm — one pass total
     else:
-        bg = _unk_map(_doc_bigrams(df, id_col, text_col), lm.vocab)
+        bg = _unk_map(_doc_bigrams(_token_arrays(df, id_col, text_col)), lm.vocab)
+    if isinstance(lm.vocab_size, DataFrame):
+        # lazy V: broadcast the 1-row count frame in (BroadcastNestedLoop
+        # with a single build row — free) so no driver action runs before
+        # the caller's own
+        bg = bg.crossJoin(F.broadcast(lm.vocab_size))
+        alpha_v = F.lit(lm.alpha) * F.col("__V")
+    else:
+        alpha_v = F.lit(lm.alpha * lm.vocab_size)
     scored = (
         bg.join(F.broadcast(lm.bigrams), ["w1", "w2"], "left")
         .join(F.broadcast(lm.contexts), "w1", "left")
@@ -155,7 +195,7 @@ def perplexity_score(
             (
                 -F.log(
                     (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(lm.alpha))
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(lm.alpha * lm.vocab_size))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + alpha_v)
                 )
             ).alias("nll"),
         )
@@ -169,4 +209,6 @@ def perplexity_score(
     sources = [lm.vocab, lm.bigrams]
     if lm.doc_bigrams is not None:
         sources.append(lm.doc_bigrams)
+    if lm.token_arrays is not None:
+        sources.append(lm.token_arrays)
     return attach_intermediates(out, *sources)
