@@ -197,6 +197,63 @@ def shortest_paths_distributed(
     # static 8-partition profile (aqe_off_for_small_input); at real scale
     # the gate never fires and AQE keeps its skew/coalesce wins.
     small = n_edges < SMALL_GRAPH_EDGES
+    if small:
+        # One-job small-graph profile (the cc.py single-task discipline):
+        # run the SAME per-round relaxation vectorized (numpy) inside one
+        # executor task.  The distributed loop pays one scheduled job plus
+        # a plan-construction that DOUBLES per unrolled round for every
+        # checkpoint cycle; on the 36-node bench graph that is ~12 cycles
+        # of pure latency around microseconds of work.  Round semantics
+        # identical: each round reads the previous round's distances
+        # (np.minimum.at indexes the OLD array), candidates are the same
+        # dist[src]+weight doubles, and min over the same value set is
+        # order-independent — distances bit-identical to the join form.
+        # Early-stop uses the same strict `new < old - 1e-12` improvement
+        # test (unreached = +inf reproduces the join form's null side).
+        import pyspark.sql.types as T
+
+        id_t = e.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_t), T.StructField("dist", T.DoubleType())]
+        )
+        cap = max_iterations
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+            else:
+                pdf = pd.DataFrame({"src": [], "dst": [], "weight_km": []})
+            n_e = len(pdf)
+            ids = np.concatenate(
+                [pdf["src"].to_numpy(), pdf["dst"].to_numpy(), np.array([src])]
+            )
+            uniq, inv = np.unique(ids, return_inverse=True)
+            e_s, e_d = inv[:n_e], inv[n_e : 2 * n_e]
+            s_i = inv[2 * n_e]
+            w = pdf["weight_km"].to_numpy(dtype=np.float64)
+            dist = np.full(len(uniq), np.inf)
+            dist[s_i] = 0.0
+            for _ in range(cap):
+                new = dist.copy()
+                np.minimum.at(new, e_d, dist[e_s] + w)
+                improved = bool((new < dist - 1e-12).any())
+                dist = new
+                if not improved:
+                    break
+            mask = np.isfinite(dist)
+            yield pd.DataFrame({"id": uniq[mask], "dist": dist[mask]})
+
+        out = e.coalesce(1).mapInPandas(fn, schema).localCheckpoint(eager=False)
+        out_h = CheckpointHandle(out)
+        out.count()  # one job: materializes the checkpoint
+        e.unpersist()
+        out._tegallega_persisted = [out_h]
+        return out
+
     unroll = max(1, int(rounds_per_checkpoint))
     with aqe_off_for_small_input(e, fires=small):
         rounds_left = max_iterations
