@@ -18,6 +18,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1124,6 +1126,91 @@ def minhash_near_duplicates_mllib(
 # Exact shingle-Jaccard pairs + decontamination (training-data hygiene)
 # ---------------------------------------------------------------------------
 
+SMALL_PAIRGEN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_PAIRGEN_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def _single_task_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """One-job small-corpus profile for exact_shingle_jaccard_pairs: the
+    SAME inverted-index algorithm (same blake2b shingle kernel, same
+    postings/DF-cut/cardinality/Jaccard math, same id_a < id_b contract)
+    run inside a single executor task.  The distributed shape is ~15
+    AQE stage jobs of scheduling latency around one postings exchange at
+    bench scale; below the measured byte gate the whole corpus fits one
+    task, so pair generation is ONE scheduled job.  Duplicate-id inputs
+    aggregate per id exactly as the distributed groupBys do (postings
+    keep per-row multiplicity; cardinalities sum; self-pairs excluded by
+    the strict id order).  Jaccard is the same long/long → double
+    division, so values are bit-identical."""
+    import pyspark.sql.types as T
+
+    kernel = _make_shingle_kernel(shingle_n)
+    id_t = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        from collections import defaultdict
+
+        import pandas as pd
+
+        card: dict = defaultdict(int)
+        post: dict = defaultdict(list)
+        for pdf in batches:
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                s = kernel(t).view("int64")
+                if max_df is None:
+                    card[i] += len(s)
+                for g in s.tolist():
+                    post[g].append(i)
+        if max_df is not None:
+            # DF counts rows (multiplicity), and cardinalities come from
+            # the CUT postings — both exactly as the distributed window
+            # form computes them
+            for ds in post.values():
+                if len(ds) <= max_df:
+                    for i in ds:
+                        card[i] += 1
+        common: dict = defaultdict(int)
+        for ds in post.values():
+            n = len(ds)
+            if n < 2 or (max_df is not None and n > max_df):
+                continue
+            for x in range(n):
+                ix = ds[x]
+                for y in range(x + 1, n):
+                    iy = ds[y]
+                    if ix == iy:
+                        continue
+                    common[(ix, iy) if ix < iy else (iy, ix)] += 1
+        out_a, out_b, out_j = [], [], []
+        for (a, b), c in common.items():
+            j = c / (card[a] + card[b] - c)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return (
+        df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+    )
+
+
 def exact_shingle_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1131,6 +1218,7 @@ def exact_shingle_jaccard_pairs(
     shingle_n: int = 4,
     threshold: float = 0.5,
     max_df: int | None = None,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard over all pairs via an inverted index.
 
@@ -1154,7 +1242,25 @@ def exact_shingle_jaccard_pairs(
     bounded by N·(#shingles) rows.  Near-universal shingles carry almost no
     pair-discriminating signal, so at sane N the reported Jaccard barely
     moves (test-pinned).  Default None = exact classic semantics.
+
+    `single_task`: None (default) auto-gates — a SCAN-rooted input whose
+    analyzed-plan size estimate is under SMALL_PAIRGEN_BYTES runs the
+    whole computation in one executor task (_single_task_jaccard_pairs,
+    one job; the cc.py small-graph discipline applied to pair
+    generation).  Shuffle-origin inputs (post-join/filter frames, whose
+    estimates are unreliable upward) and large corpora always take the
+    distributed shape below.  True/False force the choice (tests pin
+    both shapes and their parity).
     """
+    if single_task is None:
+        analyzed = df._jdf.queryExecution().analyzed()
+        single_task = (not _has_shuffle_origin_node(analyzed)) and int(
+            str(analyzed.stats().sizeInBytes())
+        ) < SMALL_PAIRGEN_BYTES
+    if single_task:
+        return _single_task_jaccard_pairs(
+            df, id_col, text_col, shingle_n, threshold, max_df
+        )
     sh_udf = make_shingle_hash_udf(shingle_n)
     sh_raw = (
         parallelize_for_udf(df)

@@ -564,11 +564,25 @@ def test_exact_jaccard_pair_gen_no_cartesian(spark):
     rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} common tail text {i % 3}")
             for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = exact_shingle_jaccard_pairs(df, shingle_n=2, threshold=0.5)
+    # distributed shape (forced: the r13 auto-gate would route this tiny
+    # frame down the single-task path)
+    pairs = exact_shingle_jaccard_pairs(df, shingle_n=2, threshold=0.5,
+                                        single_task=False)
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_intermediates(pairs)
+    # r13 small-corpus profile: ONE task — a single MapInPandas, no join,
+    # no exchange in the pair generation at all.  (Forced: createDataFrame
+    # frames are LogicalRDDs with unknown stats, so the auto byte-gate
+    # conservatively keeps them distributed; parquet scans with real
+    # stats — q23's input — gate automatically.)
+    small = exact_shingle_jaccard_pairs(df, shingle_n=2, threshold=0.5,
+                                        single_task=True)
+    small_plan = plan_of(small)
+    assert "MapInPandas" in small_plan
+    assert "Exchange" not in small_plan
+    assert "CartesianProduct" not in small_plan
 
 
 def test_all_pairs_above_band_join_shuffles_ids_not_vectors(spark):
