@@ -72,6 +72,15 @@ def _assert_parity(spark, name: str, sf_dir: str,
     spark_cols = sdf.columns
     if timings is not None:
         timings["spark_s"] = round(_time.perf_counter() - t0, 2)
+    # free this query's persisted intermediates NOW: in a 74-query sweep
+    # session the un-released caches (LSH encodes, LM model tables,
+    # checkpointed label frames, ...) otherwise accumulate until storage
+    # eviction/GC pressure inflates later queries' walls — NIGHTLY_r13
+    # measured q54 at 15.7 s mid-sweep vs 1.0 s isolated before this fix
+    from tegallega_spark.session import release_intermediates
+
+    release_intermediates(sdf, blocking=False)
+    spark.catalog.clearCache()
 
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
