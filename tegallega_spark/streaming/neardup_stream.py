@@ -44,18 +44,23 @@ def _make_bucket_matcher(max_ids: int):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         ids: list[int] = list(state.get[0]) if state.exists else []
+        # membership mirror of `ids`: the list scan was O(max_ids) per
+        # arrival — a 1024-deep hot bucket paid a kiloscan per doc
+        seen = set(ids)
         band_idx = key[0]
         out = []
         for pdf in pdfs:
             # deterministic arrival order inside a batch: by doc id
             for doc_id in sorted(int(x) for x in pdf["doc_id"]):
-                if doc_id in ids:
+                if doc_id in seen:
                     continue
                 for prev in ids:
                     a, b = (prev, doc_id) if prev < doc_id else (doc_id, prev)
                     out.append((a, b, band_idx))
                 ids.append(doc_id)
+                seen.add(doc_id)
                 if len(ids) > max_ids:
+                    seen.difference_update(ids[:-max_ids])
                     ids = ids[-max_ids:]
         state.update((ids,))
         if out:
