@@ -664,6 +664,80 @@ def exact_jaccard_for_pairs(
     )
 
 
+def _single_task_minhash_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """One-job small-corpus profile for the FUSED verified-MinHash path:
+    the SAME shingle kernel, band kernel, banded candidate generation and
+    exact-Jaccard verification run inside a single executor task (the
+    pair-gen / cc.py small-input discipline).  At bench scale the
+    distributed shape schedules ~11 AQE stage jobs around the band
+    self-join and the two verify joins — each microseconds of work on a
+    5 k-doc corpus.  Semantics replicated exactly: candidates are doc-id
+    pairs sharing >= 1 (band, hash) bucket with id_a < id_b (self-pairs
+    of a duplicated id excluded, just like the join filter); duplicate
+    ids emit one verify row per row-pair exactly as the two id-equi-joins
+    do; Jaccard is the same |A∩B| / (|A|+|B|-|A∩B|) long→double division
+    over the same distinct kernel-hash sets, so values are
+    bit-identical."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    kernel = _make_shingle_kernel(shingle_n)
+    band_kernel = _make_band_kernel(num_hashes, bands)
+    id_t = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        from collections import defaultdict
+
+        import pandas as pd
+
+        sh_rows: dict = defaultdict(list)  # id -> [distinct-hash arrays]
+        buckets: dict = defaultdict(set)  # (band, hash) -> {ids}
+        for pdf in batches:
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                sh = kernel(t)
+                sh_rows[i].append(sh.view(np.int64))
+                for b, h in enumerate(band_kernel(sh).tolist()):
+                    buckets[(b, h)].add(i)
+        cand: set = set()
+        for ids in buckets.values():
+            if len(ids) < 2:
+                continue
+            members = sorted(ids)
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+        out_a, out_b, out_j = [], [], []
+        for ia, ib in cand:
+            for sa in sh_rows[ia]:
+                for sb in sh_rows[ib]:
+                    common = int(np.intersect1d(sa, sb, assume_unique=True).size)
+                    union = int(sa.size) + int(sb.size) - common
+                    j = common / union
+                    if j >= threshold:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_j.append(j)
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+
+
 def minhash_near_duplicates_verified(
     df: DataFrame,
     id_col: str,
@@ -676,6 +750,7 @@ def minhash_near_duplicates_verified(
     max_bucket: int | None = None,
     fused: bool = True,
     remediate_dropped: bool = False,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
 
@@ -704,8 +779,34 @@ def minhash_near_duplicates_verified(
     shingle arrays (≈ tokenized corpus size, MEMORY_AND_DISK) instead of
     just `bands` longs/doc.  fused=False keeps the two-scan shape for
     storage-constrained clusters: bands-only persist, then shingle hashes
-    recomputed for the (typically tiny) candidate subset only."""
+    recomputed for the (typically tiny) candidate subset only.
+
+    single_task: None (default) auto-gates the fused EXACT-semantics shape
+    (max_bucket=None, no remediation) — a SCAN-rooted input under
+    SMALL_PAIRGEN_BYTES runs the whole LSH+verify in one executor task
+    (_single_task_minhash_verified, one job); shuffle-origin or large
+    inputs keep the distributed shape.  True forces it (valid only
+    without max_bucket); False forces distributed."""
+    if single_task and max_bucket is not None:
+        raise ValueError(
+            "single_task implements the exact banded semantics only; "
+            "max_bucket guarding requires the distributed shape"
+        )
     if use_arrow and fused:
+        if (
+            single_task is None
+            and max_bucket is None
+            and not remediate_dropped
+        ):
+            analyzed = df._jdf.queryExecution().analyzed()
+            single_task = (not _has_shuffle_origin_node(analyzed)) and int(
+                str(analyzed.stats().sizeInBytes())
+            ) < SMALL_PAIRGEN_BYTES
+        if single_task:
+            return _single_task_minhash_verified(
+                df, id_col, text_col, shingle_n, num_hashes, bands,
+                jaccard_threshold,
+            )
         enc_udf = make_band_shingle_udf(shingle_n, num_hashes, bands)
         enc = parallelize_for_udf(df).select(
             F.col(id_col).alias("__id"), enc_udf(F.col(text_col)).alias("__e")

@@ -157,15 +157,27 @@ def train_centroids_sampled(
     iters: int = 8,
     sample_salt: int = 0,
     n: int | None = None,
+    sample_x: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """The training half of train_ivf_index_sampled, without the
     assignment pass: a (k, d) centroid table from bounded-sample Lloyd's.
     Callers that derive the assignment from a probe pass anyway (semdedup
     blocks each vector into its top-p cells, of which cell 0 IS the
-    assignment) use this to avoid a redundant full-corpus GEMM pass."""
+    assignment) use this to avoid a redundant full-corpus GEMM pass.
+
+    `sample_x`: a caller-supplied hash-ordered draw (the first rows of
+    _sample_vectors(df, vec_col, >= sample, sample_salt)) — its `sample`
+    prefix IS what this function's own collect would return, so a caller
+    training several quantizers from the same salt-0 draw (q69: PQ
+    codebooks + IVF coarse lists) pays ONE sample scan instead of one
+    per trainer, result-identical."""
     if sample is None:
         sample = max(32 * k, 8192)
-    x = _sample_vectors(df, vec_col, sample, sample_salt, n=n)
+    x = (
+        np.asarray(sample_x, dtype=np.float64)[:sample]
+        if sample_x is not None
+        else _sample_vectors(df, vec_col, sample, sample_salt, n=n)
+    )
     if len(x) < k:
         raise ValueError(
             f"IVF training sample has {len(x)} rows < k={k} lists; "
@@ -182,6 +194,7 @@ def train_ivf_index_sampled(
     sample: int | None = None,
     iters: int = 8,
     sample_salt: int = 0,
+    sample_x: "np.ndarray | None" = None,
 ) -> "IVFIndex":
     """Coarse quantizer trained on a bounded hash-ordered SAMPLE —
     the scale path `train_ivf_index` (full pyspark.ml KMeans) isn't.
@@ -212,7 +225,8 @@ def train_ivf_index_sampled(
             n = df.count()
         k = auto_k_lists(n)
     centroids = train_centroids_sampled(
-        df, vec_col, k, sample=sample, iters=iters, sample_salt=sample_salt, n=n
+        df, vec_col, k, sample=sample, iters=iters, sample_salt=sample_salt,
+        n=n, sample_x=sample_x,
     )
     assigned = assign_ivf_lists(df, centroids, vec_col)
     return IVFIndex(assigned, [c.tolist() for c in centroids], vec_col)

@@ -25,6 +25,7 @@ Nothing quadratic, nothing driver-side except the scalar V.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import pyspark.sql.functions as F
@@ -33,6 +34,13 @@ from pyspark.sql import DataFrame
 __all__ = ["BigramLM", "train_bigram_lm", "perplexity_score"]
 
 UNK = "<unk>"
+
+# Self-scoring corpora whose analyzed-plan size estimate is under this run
+# the whole train+score COUNTING pass in one executor task (the cc.py /
+# pair-gen small-input discipline).  At 100 TB the gate never fires.
+SMALL_LM_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_LM_BYTES", str(32 * 1024 * 1024))
+)
 
 
 class BigramLM(NamedTuple):
@@ -59,6 +67,8 @@ class BigramLM(NamedTuple):
     train_cols: tuple | None = None
     doc_bigrams: DataFrame | None = None
     token_arrays: DataFrame | None = None
+    min_count: int | None = None
+    small_gate: bool = False
 
 
 def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -116,20 +126,132 @@ def _unk_map(bg: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _single_task_bigram_counts(
+    df: DataFrame, id_col: str, text_col: str, min_count: int
+) -> DataFrame:
+    """(__id, c12, c1, __V) — one row per bigram OCCURRENCE of the
+    self-scored corpus, counted inside ONE executor task.
+
+    The distributed train+score program schedules ~21 jobs at bench scale
+    (four cache materializations + five broadcast builds + the final
+    aggregate), each microseconds of work behind ~100 ms of scheduling;
+    below the byte gate the whole corpus fits one task, so the counting
+    collapses to one MapInPandas job.  ONLY integer counting moves to
+    Python: tokenization replicates F.split(text, '\\s+') exactly
+    (re.ASCII — Java's \\s and Python's ASCII \\s are the same
+    [ \\t\\n\\x0B\\f\\r] set; corpus equivalence additionally pinned in
+    tests), and the float scoring (-log((c12+a)/(c1+a*V)), avg) stays in
+    the caller's unchanged JVM expressions over these exact longs, so
+    scores are bit-identical to the distributed path's.
+
+    Semantics replicated from the distributed derivations:
+    - NULL text -> split->NULL -> no tokens counted, no bigrams;
+    - vocab = tokens of ALL docs (incl. single-token docs) with
+      count >= min_count; V = |vocab| + 1 (<unk>);
+    - bigrams from docs with >= 2 tokens, OOV slots mapped to <unk>
+      BEFORE counting (a literal '<unk>' token merges with the mapped
+      ones, exactly as the distributed unk-join does);
+    - c1 is the CONTEXT count: sum of c12 over w2 = count of w1 in
+      bigram-first position."""
+    import pyspark.sql.types as T
+
+    id_t = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("__id", id_t),
+            T.StructField("c12", T.LongType()),
+            T.StructField("c1", T.LongType()),
+            T.StructField("__V", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        docs: list = []  # (id, tokens) for docs with >= 2 tokens
+        tok_counts: Counter = Counter()
+        for pdf in batches:
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if t is None:
+                    continue
+                toks = [w for w in ws.split(t) if w != ""]
+                tok_counts.update(toks)
+                if len(toks) >= 2:
+                    docs.append((i, toks))
+        vocab = {w for w, c in tok_counts.items() if c >= min_count}
+        V = len(vocab) + 1
+        mapped = [
+            (i, [w if w in vocab else UNK for w in toks]) for i, toks in docs
+        ]
+        c12: Counter = Counter()
+        c1: Counter = Counter()
+        for _, toks in mapped:
+            for x in range(len(toks) - 1):
+                c12[(toks[x], toks[x + 1])] += 1
+                c1[toks[x]] += 1
+        out_id, out_c12, out_c1 = [], [], []
+        for i, toks in mapped:
+            for x in range(len(toks) - 1):
+                out_id.append(i)
+                out_c12.append(c12[(toks[x], toks[x + 1])])
+                out_c1.append(c1[toks[x]])
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "__id": out_id,
+                    "c12": out_c12,
+                    "c1": out_c1,
+                    "__V": [V] * len(out_id),
+                }
+            )
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+
+
 def train_bigram_lm(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
     alpha: float = 0.1,
+    single_task: bool | None = None,
 ) -> BigramLM:
     """Count-based smoothed bigram LM from the corpus.  Two single-
     exchange aggregates (token counts → vocab; bigram counts after <unk>
-    mapping) plus one derived context-count aggregate."""
+    mapping) plus one derived context-count aggregate.
+
+    single_task: None (default) auto-gates the small-input single-task
+    SELF-scoring profile (see below); True/False force it (tests pin both
+    shapes; plan-shape tests force False to audit the scale plan)."""
+    # small-input single-task profile, decided ONCE here: a scan-rooted
+    # corpus under SMALL_LM_BYTES will be SELF-scored in one executor
+    # task (perplexity_score), so the distributed model frames below are
+    # never executed — skip their persist registrations and the UDF-
+    # widening plan probes, which are pure driver-side py4j cost at this
+    # scale (measured ~0.45 s of q56's plan build).  A caller that
+    # cross-scores a DIFFERENT frame against a gated model still gets
+    # correct results (the lazy frames recompute per consumer).
+    if single_task is None:
+        from tegallega_spark.operators.dedup import _has_shuffle_origin_node
+
+        analyzed = df._jdf.queryExecution().analyzed()
+        small_gate = (not _has_shuffle_origin_node(analyzed)) and int(
+            str(analyzed.stats().sizeInBytes())
+        ) < SMALL_LM_BYTES
+    else:
+        small_gate = bool(single_task)
     # tokenize ONCE into stored arrays (persisted): the vocab count and
     # the bigram derivation both read the cached arrays instead of each
     # re-running the regex split over the corpus
-    arr = _token_arrays(df, id_col, text_col).persist()
+    if small_gate:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        arr = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    else:
+        arr = _token_arrays(df, id_col, text_col).persist()
     tokens = (
         arr.select(F.explode(F.col("__t")).alias("word"))
         .groupBy("word")
@@ -142,20 +264,26 @@ def train_bigram_lm(
     # action serialized before the caller's own (measured ~40% of q56's
     # wall); scoring cross-joins the broadcast 1-row instead, and the
     # vocab persist materializes under the first broadcast build
-    vocab = tokens.filter(F.col("c") >= min_count).select("word").persist()
+    vocab = tokens.filter(F.col("c") >= min_count).select("word")
+    if not small_gate:
+        vocab = vocab.persist()
     vocab_size = vocab.agg((F.count("*") + F.lit(1)).alias("__V"))  # + <unk>
 
     # persist the unk-mapped per-doc bigram frame: the model counts AND a
     # same-frame scoring pass both read it, saving scoring a second full
     # corpus tokenize + vocab-join pass (identical row multiset, so
     # results are unchanged)
-    bg = _unk_map(_doc_bigrams(arr), vocab).persist()
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist()
+    bg = _unk_map(_doc_bigrams(arr), vocab)
+    if not small_gate:
+        bg = bg.persist()
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if not small_gate:
+        bigrams = bigrams.persist()
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return BigramLM(
         bigrams, contexts, vocab, vocab_size, alpha,
         train_df=df, train_cols=(id_col, text_col), doc_bigrams=bg,
-        token_arrays=arr,
+        token_arrays=arr, min_count=min_count, small_gate=small_gate,
     )
 
 
@@ -171,11 +299,32 @@ def perplexity_score(
     the smoothed floor alpha/(c1 + alpha*V); unseen contexts degrade to
     the uniform 1/V — both from the same formula with zero counts, no
     special cases."""
-    if (
-        lm.doc_bigrams is not None
-        and df is lm.train_df
-        and (id_col, text_col) == lm.train_cols
-    ):
+    self_scoring = df is lm.train_df and (id_col, text_col) == lm.train_cols
+    if self_scoring and lm.small_gate and lm.min_count is not None:
+        # small-input single-task profile (gate decided at train time):
+        # count (c12, c1, V) for every bigram occurrence in one
+        # MapInPandas job — the lazily trained model frames are never
+        # executed (train skipped their persist marks for the same
+        # reason).  The nll expression and the final aggregate are the
+        # SAME JVM expressions over the same longs, so scores are
+        # bit-identical to the distributed path's.
+        cnt = _single_task_bigram_counts(df, id_col, text_col, lm.min_count)
+        scored = cnt.select(
+            "__id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(lm.alpha))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(lm.alpha) * F.col("__V")
+                    )
+                )
+            ).alias("nll"),
+        )
+        return scored.groupBy("__id").agg(
+            F.count("*").alias("n_bigrams"), F.avg("nll").alias("avg_nll")
+        ).select(F.col("__id").alias(id_col), "n_bigrams", "avg_nll")
+    if lm.doc_bigrams is not None and self_scoring:
         bg = lm.doc_bigrams  # persisted by train_bigram_lm — one pass total
     else:
         bg = _unk_map(_doc_bigrams(_token_arrays(df, id_col, text_col)), lm.vocab)

@@ -62,19 +62,29 @@ def train_pq_codebooks(
     iters: int = 8,
     sample: int = 4096,
     normalize: bool = False,
+    sample_x: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """(m, k, d/m) codebooks trained on a deterministic hash-ordered sample.
 
     The sample bound makes training cost independent of corpus size — on
     100 TB this is one pruned scan of `sample` rows, not an iterative job.
+
+    `sample_x`: a caller-supplied salt-0 hash-ordered draw of >= `sample`
+    rows (ivf._sample_vectors order — the same xxhash64(vec_col) this
+    function sorts by), whose `sample` prefix IS what the collect below
+    would return; callers training PQ + IVF quantizers share one sample
+    scan (result-identical — ties are value-identical vectors).
     """
-    rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(vec_col).alias("h"))
-        .orderBy("h")
-        .limit(sample)
-        .collect()
-    )
-    x = np.array([r.v for r in rows], dtype=np.float64)
+    if sample_x is not None:
+        x = np.asarray(sample_x, dtype=np.float64)[:sample]
+    else:
+        rows = (
+            df.select(F.col(vec_col).alias("v"), F.xxhash64(vec_col).alias("h"))
+            .orderBy("h")
+            .limit(sample)
+            .collect()
+        )
+        x = np.array([r.v for r in rows], dtype=np.float64)
     if len(x) < k:
         raise ValueError(
             f"PQ training sample has {len(x)} rows < k={k} centroids; "

@@ -2787,11 +2787,22 @@ def q69(spark, sf_dir):
     from tegallega_spark.operators.pq import ivfpq_topk, train_pq_codebooks
 
     emb = T(spark, sf_dir, "embeddings")
-    qrow = emb.orderBy("vec_id").select("embedding").first()
-    qv = [float(x) for x in qrow[0]]
-    n = emb.count()
-    cb = train_pq_codebooks(emb, m=8, k=16)
-    idx = train_ivf_index_sampled(emb, k=8, n=n).encode(cb)
+    # one action for (query vector, corpus size) instead of an orderBy
+    # .first() job followed by a count() job: min_by(embedding, vec_id)
+    # IS the first-by-vec_id embedding (vec_id unique), so both scalars
+    # come back from a single scan-agg
+    hdr = emb.agg(
+        F.min_by("embedding", "vec_id").alias("qv"), F.count("*").alias("n")
+    ).first()
+    qv = [float(x) for x in hdr["qv"]]
+    n = int(hdr["n"])
+    # ONE hash-ordered sample scan feeds both trainers (salt-0 draw; the
+    # PQ trainer reads its 4096-row prefix) instead of one collect each
+    from tegallega_spark.operators.ivf import _sample_vectors
+
+    sx = _sample_vectors(emb, "embedding", 8192, 0, n=n)
+    cb = train_pq_codebooks(emb, m=8, k=16, sample_x=sx)
+    idx = train_ivf_index_sampled(emb, k=8, n=n, sample_x=sx).encode(cb)
     full = ivfpq_topk(idx, cb, qv, k=n, nprobe=8, rerank=n)
     return (
         full.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
@@ -3096,10 +3107,14 @@ def q73(spark, sf_dir):
         for r in emb.orderBy("vec_id").select("embedding").limit(3).collect()
     ]
     n = emb.count()
-    cb = train_pq_codebooks(emb, m=8, k=16)
+    # ONE hash-ordered sample scan feeds both trainers (q69 pattern)
+    from tegallega_spark.operators.ivf import _sample_vectors
+
+    sx = _sample_vectors(emb, "embedding", 8192, 0, n=n)
+    cb = train_pq_codebooks(emb, m=8, k=16, sample_x=sx)
     # sampled coarse quantizer: at full probe/rerank the exact per-query
     # top-k is centroid-independent (same argument as q69)
-    idx = train_ivf_index_sampled(emb, k=8, n=n).encode(cb)
+    idx = train_ivf_index_sampled(emb, k=8, n=n, sample_x=sx).encode(cb)
     full = ivfpq_topk_batch(idx, cb, queries, k=n, nprobe=8, rerank=n)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim_r"), "vec_id")
     return (

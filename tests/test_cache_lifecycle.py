@@ -35,9 +35,13 @@ def _emb(spark):
 
 
 OPERATORS = {
+    # single_task=False: the r13 small-input profile persists nothing —
+    # this test audits the DISTRIBUTED shape's persist-release contract
     "minhash": lambda spark: __import__(
         "tegallega_spark.operators.dedup", fromlist=["x"]
-    ).minhash_near_duplicates_verified(_docs(spark), "doc_id", "text"),
+    ).minhash_near_duplicates_verified(
+        _docs(spark), "doc_id", "text", single_task=False
+    ),
     "simhash": lambda spark: __import__(
         "tegallega_spark.operators.dedup", fromlist=["x"]
     ).simhash_near_duplicates_verified(_docs(spark), "doc_id", "text"),
@@ -65,13 +69,17 @@ OPERATORS = {
         min_quality=0.0, max_dup_ngram_frac=1.0,
         dedup_strategy="exact",
     ),
+    # single_task=False: same reason as "minhash" above.  NOTE the two
+    # _docs() calls return different objects, so this is CROSS-scoring
+    # (distributed regardless); the force makes the persist contract
+    # explicit rather than incidental
     "ngram_lm_score": lambda spark: __import__(
         "tegallega_spark.operators.ngram_lm", fromlist=["x"]
     ).perplexity_score(
         _docs(spark),
         __import__(
             "tegallega_spark.operators.ngram_lm", fromlist=["x"]
-        ).train_bigram_lm(_docs(spark)),
+        ).train_bigram_lm(_docs(spark), single_task=False),
     ),
     "clean_corpus_lm_gate": lambda spark: __import__(
         "tegallega_spark.pipeline.corpus", fromlist=["x"]

@@ -138,9 +138,56 @@ def test_model_joins_broadcast(spark, sf_dir):
     from tegallega_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = train_bigram_lm(docs)
+    # force the distributed (scale) shape: the auto gate would take the
+    # single-task profile at this input size, which has no joins at all
+    lm = train_bigram_lm(docs, single_task=False)
     plan = (
         perplexity_score(docs, lm)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") >= 4  # 2 unk-map + 2 model joins
     assert "SortMergeJoin" not in plan
+
+
+def test_single_task_matches_distributed_bitwise(spark):
+    """r13 single-task profile: the gated one-job counting pass must give
+    BIT-identical scores to the distributed train+score (the floats come
+    from the same JVM expressions over the same longs).  Edge rows: NULL
+    text, empty text, single token, a literal '<unk>' colliding with the
+    OOV sentinel, and Java-\\s whitespace variants."""
+    import struct
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat sat on the log again"),
+        (4, "xyzzy plugh"),
+        (5, "single"),
+        (6, ""),
+        (7, None),
+        (8, "<unk> foo <unk> bar foo"),
+        (9, "a\tb\nc\x0bd\x0ce\rf a\tb"),
+        (10, "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def run(st):
+        lm = train_bigram_lm(df, min_count=2, alpha=0.1, single_task=st)
+        assert lm.small_gate is st
+        return sorted(
+            (r.doc_id, r.n_bigrams, struct.pack("<d", r.avg_nll).hex())
+            for r in perplexity_score(df, lm).collect()
+        )
+
+    dist, single = run(False), run(True)
+    assert dist and dist == single
+
+
+def test_single_task_gate_scan_rooted_only(spark, sf_dir):
+    """The auto gate must NOT fire for shuffle-origin inputs (their size
+    estimates are unreliable) and must fire for a small scan-rooted one."""
+    from tegallega_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert train_bigram_lm(docs).small_gate is True
+    shuffled = docs.repartition(4)
+    assert train_bigram_lm(shuffled).small_gate is False

@@ -281,7 +281,11 @@ def test_release_intermediates_frees_operator_caches(spark):
     from tests.conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    pairs = minhash_near_duplicates_verified(docs, "doc_id", "text")
+    # force the distributed shape: the r13 single-task profile persists
+    # nothing (this test audits the distributed path's cache lifecycle)
+    pairs = minhash_near_duplicates_verified(
+        docs, "doc_id", "text", single_task=False
+    )
     pairs.collect()
     handles = pairs._tegallega_persisted
     # fused path: one encoded frame (band hashes + shingle sets together)
@@ -882,3 +886,50 @@ def test_chunk_documents_whitespace_class_matches_token_count(spark):
     rows = chunk_documents(df, chunk_tokens=100).collect()
     assert len(rows) == 1 and rows[0].n_tokens == total == 5
     assert rows[0].chunk_text == "a b c d e"
+
+
+def test_minhash_single_task_matches_distributed_bitwise(spark):
+    """r13 single-task profile for the fused verified-MinHash: the gated
+    one-job shape must emit the IDENTICAL pair multiset with bit-identical
+    Jaccards (same kernels, same long->double division).  Edge rows:
+    NULL/empty text, a duplicated doc_id (the distributed verify joins
+    emit one row per row-pair), and string-vs-long id ordering."""
+    import struct
+
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base + " today"),
+        (3, base),
+        (3, base + " again"),   # duplicated id, different text
+        (4, None),
+        (5, ""),
+        (6, "completely different vocabulary with no shared shingles here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(st):
+        out = minhash_near_duplicates_verified(
+            docs, "doc_id", "text", jaccard_threshold=0.5, single_task=st
+        )
+        return sorted(
+            (r.id_a, r.id_b, struct.pack("<d", r.jaccard).hex())
+            for r in out.collect()
+        )
+
+    dist, single = run(False), run(True)
+    assert dist and dist == single
+
+
+def test_minhash_single_task_rejects_max_bucket(spark):
+    import pytest
+
+    from tegallega_spark.operators.dedup import minhash_near_duplicates_verified
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_near_duplicates_verified(
+            docs, "doc_id", "text", max_bucket=5, single_task=True
+        )
