@@ -779,6 +779,150 @@ def _token_shingle_positions(
     )
 
 
+def _single_task_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    keep_first: bool,
+) -> DataFrame:
+    """One-job small-corpus profile for duplicated_spans (the pair-gen /
+    cc.py small-input discipline): the SAME batch-vectorized shingle
+    hashing (_span_shingle_udf's factorize + polynomial, identical coef
+    stream and word hashes), corpus-wide window counts, keep-first
+    arbitration and interval merge run inside a single executor task.
+    Every quantity is an integer (hashes, counts, token positions), so
+    the output is exactly the distributed result — no float boundary at
+    all.  At bench scale the distributed shape schedules ~5 AQE stage
+    jobs around one hash-keyed exchange; below the byte gate the whole
+    shingle frame fits one task."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pyspark.sql.types as T
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, exactly
+    rng = np.random.default_rng(0xD5FA)  # same stream as _span_shingle_udf
+    coef = (
+        rng.integers(0, 2**62, size=k, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    id_t = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_t),
+            T.StructField("start_tok", T.IntegerType()),
+            T.StructField("end_tok", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+
+        def word_hash(w: str) -> int:
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                )
+                cache[w] = h
+            return h
+
+        doc_ids: list = []
+        doc_wins: list = []  # per row: uint64 window-hash array
+        for pdf in batches:
+            texts = pdf[text_col]
+            per_doc = [[w for w in ws_re.split(t or "") if w] for t in texts]
+            flat_words = [w for ws in per_doc for w in ws]
+            if flat_words:
+                codes, uniques = pd.factorize(
+                    np.asarray(flat_words, dtype=object)
+                )
+                uh = np.fromiter(
+                    (word_hash(w) for w in uniques),
+                    dtype=np.uint64,
+                    count=len(uniques),
+                )
+                flat = uh[codes]
+            else:
+                flat = np.empty(0, dtype=np.uint64)
+            if len(flat) >= k:
+                win = np.lib.stride_tricks.sliding_window_view(flat, k)
+                win_h = (win * coef).sum(axis=1, dtype=np.uint64)
+            else:
+                win_h = np.empty(0, dtype=np.uint64)
+            off = 0
+            for i, ws in zip(pdf[id_col].tolist(), per_doc):
+                m = len(ws) - k + 1
+                doc_ids.append(i)
+                doc_wins.append(
+                    win_h[off : off + m] if m > 0 else np.empty(0, np.uint64)
+                )
+                off += len(ws)
+        if not doc_ids:
+            return
+        all_h = np.concatenate(doc_wins) if doc_wins else np.empty(0, np.uint64)
+        uniq, inv, cnt = np.unique(all_h, return_inverse=True, return_counts=True)
+        dup_mask_flat = cnt[inv] >= min_count
+        first_of: dict = {}
+        if keep_first:
+            # min (doc, pos) per duplicated hash — same struct order as
+            # the distributed window arbitration (field-lexicographic)
+            off = 0
+            for i, wh in zip(doc_ids, doc_wins):
+                dm = dup_mask_flat[off : off + len(wh)]
+                for pos in np.flatnonzero(dm):
+                    h = int(wh[pos])
+                    key = (i, int(pos))
+                    cur = first_of.get(h)
+                    if cur is None or key < cur:
+                        first_of[h] = key
+                off += len(wh)
+        # group hits by id VALUE (the distributed merge window partitions
+        # by __doc value, so duplicate-id rows merge together)
+        hits: dict = {}
+        off = 0
+        for i, wh in zip(doc_ids, doc_wins):
+            dm = dup_mask_flat[off : off + len(wh)]
+            off += len(wh)
+            for pos in np.flatnonzero(dm):
+                if keep_first and first_of[int(wh[pos])] == (i, int(pos)):
+                    continue
+                hits.setdefault(i, []).append(int(pos))
+        out_id, out_s, out_e = [], [], []
+        for i, poss in hits.items():
+            poss.sort()
+            cur_s = cur_e = None
+            for s in poss:
+                e = s + k
+                if cur_e is None:
+                    cur_s, cur_e = s, e
+                elif s > cur_e:
+                    out_id.append(i)
+                    out_s.append(cur_s)
+                    out_e.append(cur_e)
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = e
+            if cur_e is not None:
+                out_id.append(i)
+                out_s.append(cur_s)
+                out_e.append(cur_e)
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "start_tok": np.array(out_s, dtype=np.int32),
+                    "end_tok": np.array(out_e, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -786,6 +930,7 @@ def duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     keep_first: bool = False,
+    single_task: bool | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every span of ≥ k
     whitespace tokens whose every k-token window occurs ≥ `min_count`
@@ -819,7 +964,27 @@ def duplicated_spans(
     duplicated set can be a large fraction of a crawl corpus.  The
     interval merge is the classic running-max window per doc, JVM-side.
     Nothing persists, so there is nothing for callers to release.
+
+    single_task: None (default) auto-gates — a SCAN-rooted input whose
+    analyzed-plan estimate is under dedup.SMALL_PAIRGEN_BYTES runs the
+    whole computation in one executor task (_single_task_duplicated_spans,
+    one job — every quantity here is an integer, so the result is exactly
+    the distributed one); True/False force the shape (tests pin both).
     """
+    if single_task is None:
+        from tegallega_spark.operators.dedup import (
+            SMALL_PAIRGEN_BYTES,
+            _has_shuffle_origin_node,
+        )
+
+        analyzed = df._jdf.queryExecution().analyzed()
+        single_task = (not _has_shuffle_origin_node(analyzed)) and int(
+            str(analyzed.stats().sizeInBytes())
+        ) < SMALL_PAIRGEN_BYTES
+    if single_task:
+        return _single_task_duplicated_spans(
+            df, id_col, text_col, k, min_count, keep_first
+        )
     sh = _token_shingle_positions(df, id_col, text_col, k)
     # Size the wide exchange for the sort-based WindowExec behind it from
     # the INPUT size, not the core count: the shingle frame carries ~one

@@ -234,7 +234,11 @@ def test_duplicated_spans_plan_shape(spark):
 
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     for kf in (False, True):
-        plan = plan_of(duplicated_spans(docs, keep_first=kf), "simple")
+        # single_task=False: audit the DISTRIBUTED (scale) shape — the
+        # r13 auto gate would take the one-task profile at this size
+        plan = plan_of(
+            duplicated_spans(docs, keep_first=kf, single_task=False), "simple"
+        )
         assert "Window" in plan
         assert "SinglePartition" not in plan
         assert "CartesianProduct" not in plan
@@ -245,6 +249,12 @@ def test_duplicated_spans_plan_shape(spark):
         # exchange as the occurrence count — exactly one hash-keyed
         # exchange feeding the window stage, not a second shuffle
         assert plan.count("Exchange hashpartitioning(__h") == 1
+        # and the gated single-task shape: one MapInPandas, no exchange
+        st = plan_of(
+            duplicated_spans(docs, keep_first=kf, single_task=True), "simple"
+        )
+        assert "MapInPandas" in st
+        assert "Exchange" not in st
 
 
 def test_semantic_dedup_no_cartesian_and_bounded_exchanges(spark):

@@ -933,3 +933,36 @@ def test_minhash_single_task_rejects_max_bucket(spark):
         minhash_near_duplicates_verified(
             docs, "doc_id", "text", max_bucket=5, single_task=True
         )
+
+
+def test_duplicated_spans_single_task_matches_distributed(spark):
+    """r13 single-task profile for duplicated_spans: identical row set to
+    the distributed window shape (all-integer pipeline, so exact equality
+    with no float caveat).  Edge rows: a duplicated doc_id whose two rows
+    must MERGE in one interval pass (the window partitions by id value),
+    NULL/empty text, and a below-k doc."""
+    from tegallega_spark.operators.textual import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h i j a b c d e f g h i j"),
+        (1, "x y a b c d e f g h i j z"),
+        (2, "a b c d e f g h i j"),
+        (3, None),
+        (4, ""),
+        (5, "just seven tokens here not enough pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kf in (False, True):
+        dist = sorted(
+            tuple(r)
+            for r in duplicated_spans(
+                docs, k=8, min_count=2, keep_first=kf, single_task=False
+            ).collect()
+        )
+        single = sorted(
+            tuple(r)
+            for r in duplicated_spans(
+                docs, k=8, min_count=2, keep_first=kf, single_task=True
+            ).collect()
+        )
+        assert dist and dist == single
