@@ -673,24 +673,28 @@ def _single_task_minhash_verified(
     bands: int,
     threshold: float,
 ) -> DataFrame:
-    """One-job small-corpus profile for the FUSED verified-MinHash path:
-    the SAME shingle kernel, band kernel, banded candidate generation and
-    exact-Jaccard verification run inside a single executor task (the
-    pair-gen / cc.py small-input discipline).  At bench scale the
-    distributed shape schedules ~11 AQE stage jobs around the band
-    self-join and the two verify joins — each microseconds of work on a
-    5 k-doc corpus.  Semantics replicated exactly: candidates are doc-id
-    pairs sharing >= 1 (band, hash) bucket with id_a < id_b (self-pairs
-    of a duplicated id excluded, just like the join filter); duplicate
-    ids emit one verify row per row-pair exactly as the two id-equi-joins
-    do; Jaccard is the same |A∩B| / (|A|+|B|-|A∩B|) long→double division
-    over the same distinct kernel-hash sets, so values are
-    bit-identical."""
+    """Small-corpus HYBRID profile for the FUSED verified-MinHash path:
+    the encode (tokenize → shingle hash → band hash, the CPU-heavy part)
+    stays the SAME parallel Arrow UDF the distributed shape uses, and
+    only the latency-bound tail — bucket grouping, candidate generation,
+    exact-Jaccard verification, microseconds of integer work at gate
+    sizes — funnels through ONE executor task via a round-robin
+    repartition(1).  The distributed shape schedules ~11 AQE stage jobs
+    around the band self-join and two verify joins; this shape is one
+    UDF stage + one funnel exchange + one task (~3 jobs), and unlike a
+    fully serial profile the encode still scales with cores (a 4× bench
+    input measured the serial per-doc kernel overtaking the saved
+    scheduling latency).  Semantics replicated exactly: candidates are
+    doc-id pairs sharing >= 1 (band, hash) bucket with id_a < id_b
+    (self-pairs of a duplicated id excluded, just like the join filter);
+    duplicate ids emit one verify row per row-pair exactly as the two
+    id-equi-joins do; Jaccard is the same |A∩B| / (|A|+|B|-|A∩B|)
+    long→double division over the same distinct kernel-hash sets (which
+    pass through Arrow unchanged), so values are bit-identical."""
     import numpy as np
     import pyspark.sql.types as T
 
-    kernel = _make_shingle_kernel(shingle_n)
-    band_kernel = _make_band_kernel(num_hashes, bands)
+    enc_udf = make_band_shingle_udf(shingle_n, num_hashes, bands)
     id_t = df.schema[id_col].dataType
     schema = T.StructType(
         [
@@ -699,6 +703,9 @@ def _single_task_minhash_verified(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
+    enc = parallelize_for_udf(df).select(
+        F.col(id_col).alias("__id"), enc_udf(F.col(text_col)).alias("__e")
+    ).select("__id", F.col("__e.bh").alias("__bh"), F.col("__e.sh").alias("__sh"))
 
     def fn(batches):
         from collections import defaultdict
@@ -708,11 +715,12 @@ def _single_task_minhash_verified(
         sh_rows: dict = defaultdict(list)  # id -> [distinct-hash arrays]
         buckets: dict = defaultdict(set)  # (band, hash) -> {ids}
         for pdf in batches:
-            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                sh = kernel(t)
-                sh_rows[i].append(sh.view(np.int64))
-                for b, h in enumerate(band_kernel(sh).tolist()):
-                    buckets[(b, h)].add(i)
+            for i, bh, sh in zip(
+                pdf["__id"].tolist(), pdf["__bh"], pdf["__sh"]
+            ):
+                sh_rows[i].append(np.asarray(sh, dtype=np.int64))
+                for b, h in enumerate(bh):
+                    buckets[(b, int(h))].add(i)
         cand: set = set()
         for ids in buckets.values():
             if len(ids) < 2:
@@ -735,7 +743,7 @@ def _single_task_minhash_verified(
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-    return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+    return enc.repartition(1).mapInPandas(fn, schema)
 
 
 def minhash_near_duplicates_verified(

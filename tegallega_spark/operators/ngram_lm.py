@@ -130,22 +130,26 @@ def _single_task_bigram_counts(
     df: DataFrame, id_col: str, text_col: str, min_count: int
 ) -> DataFrame:
     """(__id, c12, c1, __V) — one row per bigram OCCURRENCE of the
-    self-scored corpus, counted inside ONE executor task.
+    self-scored corpus, counted inside ONE executor task (HYBRID: the
+    tokenize runs as the SAME JVM split expression the distributed path
+    uses, at scan parallelism, and only the token ARRAYS funnel through
+    a round-robin repartition(1) into the counting task).
 
     The distributed train+score program schedules ~21 jobs at bench scale
     (four cache materializations + five broadcast builds + the final
     aggregate), each microseconds of work behind ~100 ms of scheduling;
-    below the byte gate the whole corpus fits one task, so the counting
-    collapses to one MapInPandas job.  ONLY integer counting moves to
-    Python: tokenization replicates F.split(text, '\\s+') exactly
-    (re.ASCII — Java's \\s and Python's ASCII \\s are the same
-    [ \\t\\n\\x0B\\f\\r] set; corpus equivalence additionally pinned in
-    tests), and the float scoring (-log((c12+a)/(c1+a*V)), avg) stays in
-    the caller's unchanged JVM expressions over these exact longs, so
-    scores are bit-identical to the distributed path's.
+    below the byte gate the counting collapses to one funnel exchange +
+    one MapInPandas job (~3 jobs), while the regex split — the dominant
+    per-row cost — still scales with cores (a 4× bench input measured a
+    fully serial Python profile overtaking the saved latency).  ONLY
+    integer counting runs in Python, over tokens produced by the
+    IDENTICAL Catalyst expression; the float scoring
+    (-log((c12+a)/(c1+a*V)), avg) stays in the caller's unchanged JVM
+    expressions over these exact longs, so scores are bit-identical to
+    the distributed path's.
 
     Semantics replicated from the distributed derivations:
-    - NULL text -> split->NULL -> no tokens counted, no bigrams;
+    - NULL text -> split->NULL tokens -> nothing counted, no bigrams;
     - vocab = tokens of ALL docs (incl. single-token docs) with
       count >= min_count; V = |vocab| + 1 (<unk>);
     - bigrams from docs with >= 2 tokens, OOV slots mapped to <unk>
@@ -164,52 +168,79 @@ def _single_task_bigram_counts(
             T.StructField("__V", T.LongType()),
         ]
     )
+    toks_col = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    arr = df.select(F.col(id_col).alias("__id"), toks_col.alias("__t"))
 
     def fn(batches):
-        import re
-        from collections import Counter
-
+        import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+", re.ASCII)
-        docs: list = []  # (id, tokens) for docs with >= 2 tokens
-        tok_counts: Counter = Counter()
+        # Vectorized counting (a per-occurrence Python loop measured ~4×
+        # the whole distributed wall at the gate's upper sizes): factorize
+        # every token of the corpus to int codes once, then all counts are
+        # np.unique/bincount over code arrays.  String semantics are
+        # preserved exactly — factorize maps DISTINCT strings to distinct
+        # codes, and the <unk> merge below reproduces the distributed
+        # "OOV -> literal '<unk>' string" counting (including merging
+        # with an in-vocab literal '<unk>' token).
+        ids: list = []
+        tok_lists: list = []
         for pdf in batches:
-            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                if t is None:
+            for i, toks in zip(pdf["__id"].tolist(), pdf["__t"]):
+                if toks is None:
                     continue
-                toks = [w for w in ws.split(t) if w != ""]
-                tok_counts.update(toks)
-                if len(toks) >= 2:
-                    docs.append((i, toks))
-        vocab = {w for w, c in tok_counts.items() if c >= min_count}
-        V = len(vocab) + 1
-        mapped = [
-            (i, [w if w in vocab else UNK for w in toks]) for i, toks in docs
-        ]
-        c12: Counter = Counter()
-        c1: Counter = Counter()
-        for _, toks in mapped:
-            for x in range(len(toks) - 1):
-                c12[(toks[x], toks[x + 1])] += 1
-                c1[toks[x]] += 1
-        out_id, out_c12, out_c1 = [], [], []
-        for i, toks in mapped:
-            for x in range(len(toks) - 1):
-                out_id.append(i)
-                out_c12.append(c12[(toks[x], toks[x + 1])])
-                out_c1.append(c1[toks[x]])
-        if out_id:
-            yield pd.DataFrame(
-                {
-                    "__id": out_id,
-                    "c12": out_c12,
-                    "c1": out_c1,
-                    "__V": [V] * len(out_id),
-                }
-            )
+                ids.append(i)
+                tok_lists.append(toks)
+        if not ids:
+            return
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat_words = [w for t in tok_lists for w in t]
+        if not flat_words:
+            return
+        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        tok_counts = np.bincount(codes, minlength=len(uniques))
+        in_vocab = tok_counts >= min_count
+        V = int(in_vocab.sum()) + 1
+        # OOV codes collapse onto the '<unk>' bucket: the in-vocab literal
+        # '<unk>' code if one exists, else a fresh code
+        unk_candidates = np.flatnonzero(uniques == UNK)
+        if len(unk_candidates) and in_vocab[unk_candidates[0]]:
+            unk_code = int(unk_candidates[0])
+        else:
+            unk_code = len(uniques)
+        mapped = np.where(in_vocab[codes], codes, unk_code)
+        # per-doc adjacent pairs (docs with >= 2 tokens), flat index form
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        w1_idx = np.concatenate(
+            [
+                np.arange(offs[d], offs[d] + lens[d] - 1)
+                for d in range(len(ids))
+                if lens[d] >= 2
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        ).astype(np.int64)
+        if w1_idx.size == 0:
+            return
+        w1 = mapped[w1_idx]
+        w2 = mapped[w1_idx + 1]
+        K = len(uniques) + 1
+        key = w1.astype(np.int64) * K + w2
+        _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        c12_occ = cnt[inv]
+        c1_all = np.bincount(w1, minlength=K)
+        c1_occ = c1_all[w1]
+        n_bg = np.maximum(lens - 1, 0) * (lens >= 2)
+        id_occ = np.repeat(np.asarray(ids, dtype=object), n_bg)
+        yield pd.DataFrame(
+            {
+                "__id": id_occ,
+                "c12": c12_occ.astype(np.int64),
+                "c1": c1_occ.astype(np.int64),
+                "__V": np.full(len(id_occ), V, dtype=np.int64),
+            }
+        )
 
-    return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
+    return arr.repartition(1).mapInPandas(fn, schema)
 
 
 def train_bigram_lm(

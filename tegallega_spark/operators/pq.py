@@ -118,17 +118,20 @@ def encode_pq(
 
     @pandas_udf("array<smallint>")
     def enc(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            x = np.asarray(v, dtype=np.float64)
-            if normalize:
-                x = x / max(np.linalg.norm(x), 1e-12)
-            codes = np.empty(m, dtype=np.int16)
-            for i in range(m):
-                sub = x[i * dsub : (i + 1) * dsub]
-                codes[i] = ((cb[i] - sub) ** 2).sum(axis=1).argmin()
-            out.append(codes)
-        return pd.Series(out)
+        # whole-batch vectorization (r13): the per-row loop paid m small
+        # numpy calls per vector — ~0.4 s serial at bench scale when the
+        # tiny scan gives the UDF one task.  One broadcasted subtraction
+        # computes every (row, subspace, centroid) distance; sums run
+        # over the same dsub axis in the same order and argmin keeps
+        # numpy's first-minimum rule, so codes are bit-identical to the
+        # per-row form.
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        xs = x.reshape(len(x), m, 1, dsub)
+        d2 = ((xs - cb[None]) ** 2).sum(axis=3)  # (batch, m, k)
+        codes = d2.argmin(axis=2).astype(np.int16)
+        return pd.Series(list(codes))
 
     return df.withColumn(code_col, enc(F.col(vec_col)))
 
