@@ -379,13 +379,11 @@ def assign_ivf_lists(
     """Nearest-centroid assignment as ONE Arrow pass: the (k, d) table
     rides the closure (≤ MB), each batch is a GEMM + argmin.  At 100 TB
     this is the embarrassingly-parallel half of the build — no shuffle,
-    no iteration, scan-partitioned.  parallelize_for_udf widens the pass
-    when the scan is byte-split narrower than the core count (a tiny
-    embeddings table otherwise runs the assign+encode chain 1-way; no-op
-    at scale)."""
-    from tegallega_spark.operators.dedup import parallelize_for_udf
-
-    df = parallelize_for_udf(df)
+    no iteration, scan-partitioned.  (Deliberately NOT widened with
+    parallelize_for_udf: with the batch-vectorized GEMM assign and PQ
+    encode, a byte-split-narrow scan runs the whole chain in
+    milliseconds, and the widening exchange measured as a net loss —
+    one more scheduled stage for trivial work.)"""
     c = np.ascontiguousarray(centroids, dtype=np.float64)
     c2 = (c * c).sum(axis=1)
 

@@ -60,4 +60,9 @@ def replicate_tables(spark, base: str, out: str, n: int) -> None:
             for c in copies[1:]:
                 replicated = replicated.unionByName(c)
         replicated.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    # a memoized plan for `out` from before this rewrite would hold the
+    # OLD part-file listing — drop any such entries
+    from tegallega_spark.session import invalidate_table_cache
+
+    invalidate_table_cache(spark, out)
     open(marker, "w").close()

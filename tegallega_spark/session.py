@@ -335,14 +335,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+def load_table(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False):
     """Read one synthetic table. Parquet → full predicate/column pushdown.
 
     events.ts is TIMESTAMP(NANOS) in the source parquet, which Spark's
     vectorized reader rejects; read it as raw nanos (legacy conf) and
     convert to a proper TimestampType (microsecond truncation — sub-µs
     precision is irrelevant to every consumer here).
-    """
+
+    The resolved DataFrame is memoized PER SESSION keyed on (dir, name) —
+    the catalog role: `spark.read.parquet` re-lists the directory and
+    re-reads a footer for the schema on EVERY call (~0.1 s here), and a
+    bench pass builds each query fresh per run, so table resolution was
+    being paid dozens of times per session for identical immutable plans.
+    On a real deployment tables are registered once in a catalog and
+    queries resolve against it; the memo gives local mode the same
+    treatment.  This caches the lazy PLAN only — every action still scans
+    the parquet — and `invalidate_table_cache` (or fresh=True) drops the
+    entry for paths a caller rewrites mid-session (scale_data does this
+    after replicating)."""
+    memo = getattr(spark, "_tegallega_table_memo", None)
+    if memo is None:
+        memo = spark._tegallega_table_memo = {}
+    key = (sf_dir, name)
+    if not fresh and key in memo:
+        return memo[key]
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -352,5 +369,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    memo[key] = df
+    return df
+
+
+def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop load_table's per-session plan memo — for `sf_dir` only, or all
+    entries.  Call after rewriting a table directory in-session (the
+    memoized plan holds the old file listing)."""
+    memo = getattr(spark, "_tegallega_table_memo", None)
+    if memo:
+        if sf_dir is None:
+            memo.clear()
+        else:
+            for k in [k for k in memo if k[0] == sf_dir]:
+                del memo[k]
