@@ -2752,6 +2752,46 @@ def q68(spark, sf_dir):
     return out.select("o_orderkey", "custkey", "mktsegment", "totalprice")
 
 
+def _ann_setup(spark, emb, n_queries: int, sample: int = 8192):
+    """(query vectors, corpus size, hash-ordered training sample) for the
+    IVF-PQ queries in as few driver actions as possible.
+
+    ONE collect fetches (vec_id, embedding, xxhash64) ordered by the
+    hash, limited to `sample`: when fewer than `sample` rows come back
+    the whole corpus is in hand, so n = len(rows), the query vectors are
+    the lowest-vec_id embeddings, and the rows ARE the salt-0 sample in
+    _sample_vectors order (ties are value-identical vectors) — every
+    scalar the old three actions (orderBy.first/limit-collect, count,
+    sample collect) produced, bit-identically, from one job.  A corpus
+    larger than `sample` falls back to exactly those bounded actions
+    (min_by agg + prefiltered sample scan), so nothing corpus-sized is
+    ever collected at scale."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", F.col("embedding").alias("v"),
+                   F.xxhash64("embedding").alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    if len(rows) < sample:
+        n = len(rows)
+        by_id = sorted(rows, key=lambda r: r.vec_id)[:n_queries]
+        qvs = [[float(x) for x in r.v] for r in by_id]
+        sx = np.array([r.v for r in rows], dtype=np.float64)
+        return qvs, n, sx
+    from tegallega_spark.operators.ivf import _sample_vectors
+
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").select("embedding").limit(n_queries).collect()
+    ]
+    n = emb.count()
+    sx = _sample_vectors(emb, "embedding", sample, 0, n=n)
+    return qvs, n, sx
+
+
 @register(
     "q69_ivfpq_full_rerank",
     oracle=r"""
@@ -2787,20 +2827,8 @@ def q69(spark, sf_dir):
     from tegallega_spark.operators.pq import ivfpq_topk, train_pq_codebooks
 
     emb = T(spark, sf_dir, "embeddings")
-    # one action for (query vector, corpus size) instead of an orderBy
-    # .first() job followed by a count() job: min_by(embedding, vec_id)
-    # IS the first-by-vec_id embedding (vec_id unique), so both scalars
-    # come back from a single scan-agg
-    hdr = emb.agg(
-        F.min_by("embedding", "vec_id").alias("qv"), F.count("*").alias("n")
-    ).first()
-    qv = [float(x) for x in hdr["qv"]]
-    n = int(hdr["n"])
-    # ONE hash-ordered sample scan feeds both trainers (salt-0 draw; the
-    # PQ trainer reads its 4096-row prefix) instead of one collect each
-    from tegallega_spark.operators.ivf import _sample_vectors
-
-    sx = _sample_vectors(emb, "embedding", 8192, 0, n=n)
+    qvs, n, sx = _ann_setup(spark, emb, n_queries=1)
+    qv = qvs[0]
     cb = train_pq_codebooks(emb, m=8, k=16, sample_x=sx)
     idx = train_ivf_index_sampled(emb, k=8, n=n, sample_x=sx).encode(cb)
     full = ivfpq_topk(idx, cb, qv, k=n, nprobe=8, rerank=n)
@@ -3102,15 +3130,7 @@ def q73(spark, sf_dir):
     from tegallega_spark.operators.pq import ivfpq_topk_batch, train_pq_codebooks
 
     emb = T(spark, sf_dir, "embeddings")
-    queries = [
-        [float(x) for x in r.embedding]
-        for r in emb.orderBy("vec_id").select("embedding").limit(3).collect()
-    ]
-    n = emb.count()
-    # ONE hash-ordered sample scan feeds both trainers (q69 pattern)
-    from tegallega_spark.operators.ivf import _sample_vectors
-
-    sx = _sample_vectors(emb, "embedding", 8192, 0, n=n)
+    queries, n, sx = _ann_setup(spark, emb, n_queries=3)
     cb = train_pq_codebooks(emb, m=8, k=16, sample_x=sx)
     # sampled coarse quantizer: at full probe/rerank the exact per-query
     # top-k is centroid-independent (same argument as q69)
