@@ -14,6 +14,8 @@ North-star extension (BASELINE.json): approximate-nearest-neighbor over the
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 
 from pyspark.sql import Column, DataFrame
@@ -174,6 +176,142 @@ def make_bucket_udf(num_planes: int, num_tables: int, dim: int):
     return buckets
 
 
+class _BroadcastHandle:
+    """release_intermediates-compatible wrapper for a sc.broadcast value."""
+
+    def __init__(self, b) -> None:
+        self._b = b
+        self._cached = True
+
+    @property
+    def is_cached(self) -> bool:
+        return self._cached
+
+    def unpersist(self, blocking: bool = False):
+        if self._cached:
+            self._b.unpersist(blocking)
+            self._cached = False
+        return self
+
+
+# Vector tables whose analyzed-plan estimate is under this broadcast the
+# (id -> vector) matrix into the rescore UDF instead of joining the raw
+# vectors onto the candidate pairs (guide-§8 "move heavy bytes once":
+# at weak LSH parameters the candidate set approaches all-pairs, and the
+# two id-equi-joins were shuffling ~2 GB of vector payload per run at
+# bench scale).  At 100 TB the gate never fires and the joins stay.
+SMALL_VEC_BROADCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_VEC_BROADCAST_BYTES", str(32 * 1024 * 1024))
+)
+
+# Row-count bound for the one-task all-pairs profile: the in-task
+# candidate mask is n² bools (16 MB at the default), and the worst-case
+# pair enumeration is n²/2 — quadratic in rows, so this gate is a ROW
+# bound on top of the byte gate above.
+SMALL_ALLPAIRS_TASK_N = int(
+    os.environ.get("SPARK_GRAFT_SMALL_ALLPAIRS_TASK_N", "4096")
+)
+
+
+def _single_task_all_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    idx,
+    M,
+) -> DataFrame:
+    """One-task profile of all_pairs_above for collected (idx, M): bucket
+    signs via the same plane matmul as make_bucket_udf, candidate pairs
+    via an (n, n) mask over shared (table, bucket) groups, rescore via
+    the same chunked einsum as cosine_pairs_udf.  Ships (ids, M) to the
+    task as a broadcast; the 1-row trigger frame carries no data."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    planes = np.array(
+        [
+            _plane_components(t * 1009 + p, dim)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = np.array(
+        [1 << (num_planes - 1 - p) for p in range(num_planes)], dtype=np.int64
+    )
+    spark = df.sparkSession
+    bcast = spark.sparkContext.broadcast((list(idx), M))
+    id_t = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for _ in batches:  # drain the 1-row trigger
+            pass
+        ids, mat = bcast.value
+        n = len(mat)
+        if n < 2:
+            return
+        signs = (mat @ planes.T >= 0).astype(np.int64)
+        buckets = (signs.reshape(n, num_tables, num_planes) * weights).sum(axis=2)
+        mask = np.zeros((n, n), dtype=bool)
+        for t in range(num_tables):
+            col = buckets[:, t]
+            order = np.argsort(col, kind="stable")
+            sc = col[order]
+            starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+            ends = np.concatenate([starts[1:], [n]])
+            for s, e in zip(starts, ends):
+                if e - s > 1:
+                    g = order[s:e]
+                    mask[np.ix_(g, g)] = True
+        ra, rb = np.nonzero(np.triu(mask, 1))
+        if len(ra) == 0:
+            return
+        ids_arr = np.array(ids, dtype=object)
+        out_a, out_b, out_c = [], [], []
+        chunk = 1 << 18
+        for lo in range(0, len(ra), chunk):
+            ia, ib = ra[lo : lo + chunk], rb[lo : lo + chunk]
+            A, B = mat[ia], mat[ib]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                cos = num / den
+            keep = cos >= min_cosine
+            if not keep.any():
+                continue
+            ka, kb, kc = ia[keep], ib[keep], cos[keep]
+            a_ids, b_ids = ids_arr[ka], ids_arr[kb]
+            swap = a_ids > b_ids  # id order, not row order
+            lo_ids = np.where(swap, b_ids, a_ids)
+            hi_ids = np.where(swap, a_ids, b_ids)
+            out_a.extend(lo_ids.tolist())
+            out_b.extend(hi_ids.tolist())
+            out_c.extend(kc.tolist())
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_c})
+
+    trigger = spark.range(1).coalesce(1)
+    out = trigger.mapInPandas(fn, schema)
+    from tegallega_spark.session import attach_intermediates
+
+    return attach_intermediates(out, _BroadcastHandle(bcast))
+
+
 def all_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -182,6 +320,7 @@ def all_pairs_above(
     num_planes: int = 6,
     num_tables: int = 1,
     dim: int | None = None,
+    broadcast_rescore: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: multi-table LSH-bucket self-join, bare-pair
     dedup, then exact cosine recomputed per candidate.  Returns
@@ -191,9 +330,51 @@ def all_pairs_above(
     Recall per pair at angle θ is 1-(1-(1-θ/π)^planes)^tables — tables is
     the recall knob, planes the candidate-sparsity knob.  The band join
     shuffles only (id, table, bucket) rows; vectors are joined back for the
-    deduped candidate set only."""
+    deduped candidate set only — or, when the vector table is small enough
+    to broadcast (`broadcast_rescore`, auto-gated on the analyzed scan
+    size), gathered from a broadcast (id -> row) matrix inside the SAME
+    einsum rescore, so the candidate pairs shuffle as bare id pairs and
+    the vector payload never moves at all (float64 widening is identical
+    on both routes, so cos_sim is bit-identical)."""
+    if broadcast_rescore is None:
+        from tegallega_spark.operators.dedup import _has_shuffle_origin_node
+
+        analyzed = df._jdf.queryExecution().analyzed()
+        broadcast_rescore = (not _has_shuffle_origin_node(analyzed)) and int(
+            str(analyzed.stats().sizeInBytes())
+        ) < SMALL_VEC_BROADCAST_BYTES
+    from tegallega_spark.session import attach_intermediates
+
+    if broadcast_rescore:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        rows = df.select(id_col, vec_col).collect()
+        M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        idx = pd.Index([r[0] for r in rows])
+        if dim is None and M.ndim == 2 and len(M):
+            dim = M.shape[1]  # saves the dim-probe action below
+        if not idx.is_unique:
+            # duplicate ids need the join semantics (one rescore row per
+            # row-pair) — the gather can't represent that
+            broadcast_rescore = False
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if broadcast_rescore and len(M) <= SMALL_ALLPAIRS_TASK_N:
+        # With the vectors in hand and at weak-LSH parameters where the
+        # candidate set approaches ALL pairs, the distributed shape's
+        # cost is the 8M-row band self-join + pair-dedup exchange —
+        # ~4-5 s of shuffle for microseconds of per-pair math.  Run the
+        # WHOLE operator in one executor task instead: same plane matrix
+        # and sign-bit bucket math (the identical numpy matmul the
+        # bucket UDF runs), same pair-set semantics (distinct id pairs
+        # sharing >= 1 (table, bucket), id_a < id_b), same chunked
+        # einsum rescore doubles.  Memory is a (n, n) candidate mask —
+        # the SMALL_ALLPAIRS_TASK_N row gate bounds it (16 MB at 4096).
+        return _single_task_all_pairs(
+            df, id_col, vec_col, min_cosine, num_planes, num_tables,
+            dim, idx, M,
+        )
     # persist: both sides of the bucket self-join read the exploded buckets —
     # without it the bucket computation runs twice per row
     bucket_udf = make_bucket_udf(num_planes, num_tables, dim)
@@ -210,6 +391,30 @@ def all_pairs_above(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if broadcast_rescore:
+        bcast = df.sparkSession.sparkContext.broadcast((idx, M))
+
+        @pandas_udf("double")
+        def cos_by_id(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            index, mat = bcast.value
+            A = mat[index.get_indexer(ia)]
+            B = mat[index.get_indexer(ib)]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                out = num / den
+            return pd.Series(out)
+
+        scored = pairs.select(
+            "id_a", "id_b", cos_by_id(F.col("id_a"), F.col("id_b")).alias("cos_sim")
+        )
+        return attach_intermediates(
+            scored.filter(F.col("cos_sim") >= min_cosine),
+            with_buckets,
+            _BroadcastHandle(bcast),
+        )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     # vectorized rescore (guide §4.2): one numpy batch op instead of three
@@ -220,8 +425,6 @@ def all_pairs_above(
         "id_b",
         cos_udf(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"),
     )
-    from tegallega_spark.session import attach_intermediates
-
     return attach_intermediates(
         scored.filter(F.col("cos_sim") >= min_cosine), with_buckets
     )

@@ -614,8 +614,39 @@ def test_all_pairs_above_band_join_shuffles_ids_not_vectors(spark):
     rng = np.random.default_rng(7)
     rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(48)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = all_pairs_above(df, min_cosine=0.5, num_planes=2, num_tables=4)
+    # broadcast_rescore=False: audit the DISTRIBUTED (scale) shape — the
+    # r13 auto gate would broadcast the vectors at this input size
+    pairs = all_pairs_above(
+        df, min_cosine=0.5, num_planes=2, num_tables=4, broadcast_rescore=False
+    )
     plan = plan_of(pairs)
+    # and the gated shapes.  (a) small row count -> the whole operator is
+    # one MapInPandas task fed by a broadcast, no join anywhere:
+    gated = plan_of(
+        all_pairs_above(
+            df, min_cosine=0.5, num_planes=2, num_tables=4,
+            broadcast_rescore=True,
+        )
+    )
+    assert "MapInPandas" in gated and "Join" not in gated
+    # (b) mid-size (row gate exceeded, byte gate not): candidate pairs
+    # rescore from the broadcast matrix — the vector payload is never
+    # joined onto the pair frame
+    import tegallega_spark.operators.similarity as SIM_MOD
+
+    old_n = SIM_MOD.SMALL_ALLPAIRS_TASK_N
+    SIM_MOD.SMALL_ALLPAIRS_TASK_N = 0
+    try:
+        mid = plan_of(
+            all_pairs_above(
+                df, min_cosine=0.5, num_planes=2, num_tables=4,
+                broadcast_rescore=True,
+            )
+        )
+    finally:
+        SIM_MOD.SMALL_ALLPAIRS_TASK_N = old_n
+    assert "ArrowEvalPython" in mid
+    assert "vec_a" not in mid and "vec_b" not in mid
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # the band self-join subtree must not carry the vector column: every
