@@ -1428,12 +1428,31 @@ def q41(spark, sf_dir):
                 )
         yield pdf.iloc[keep][["user_id", "event_id"]]
 
-    # explicit key repartition: without it AQE coalesces the small
-    # exchange to ONE partition and the Python fold runs single-threaded
-    # (measured: the whole query was one task at sf0.1); a user
-    # repartition is not AQE-coalesced, so the fold keeps cluster-width
-    # parallelism — no-op at real scale where the shuffle is already wide
-    e = e.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    # Size the fold's exchange from INPUT BYTES, not the core count (r13
+    # verdict #1): `repartition(defaultParallelism, key)` pins the
+    # exchange to exactly the core count — repartition(n, key) never
+    # widens with data — and thin_partition pd.concat's the WHOLE
+    # partition, so at 100 TB of events each task would buffer ~input/n
+    # GB of pandas.  Derive the width so each task's scan-byte share
+    # stays under THIN_TASK_BYTES (pandas expands parquet ~4×; 64 MB of
+    # parquet ≈ 256 MB of pandas per task), floored at the session
+    # parallelism (below the floor AQE would coalesce the tiny exchange
+    # to ONE task and serialize the fold — measured at sf0.1).  A
+    # conservative-huge analyzer estimate (only join/union-derived
+    # lineage produces those; this input is scan-rooted) falls back to
+    # the admin-set shuffle width rather than trusting it.
+    import os
+
+    from tegallega_spark.session import plan_size_bytes
+
+    dp = spark.sparkContext.defaultParallelism
+    task_bytes = int(os.environ.get("SPARK_GRAFT_THIN_TASK_BYTES", str(64 << 20)))
+    n_parts = plan_size_bytes(e) // task_bytes + 1
+    if n_parts <= dp:
+        n_parts = dp
+    elif n_parts > (1 << 21):  # estimate not credible (Long.Max-ish)
+        n_parts = max(dp, int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    e = e.repartition(int(n_parts), "user_id")
     return e.mapInPandas(thin_partition, "user_id bigint, event_id bigint")
 
 
