@@ -800,6 +800,14 @@ def minhash_near_duplicates_verified(
             "single_task implements the exact banded semantics only; "
             "max_bucket guarding requires the distributed shape"
         )
+    if single_task and not (use_arrow and fused):
+        # ADVICE r13: a forced True used to fall through to the
+        # distributed two-scan shapes silently — inconsistent with the
+        # max_bucket case above, which raises
+        raise ValueError(
+            "single_task is implemented for the fused Arrow path only "
+            "(use_arrow=True, fused=True)"
+        )
     if use_arrow and fused:
         if (
             single_task is None

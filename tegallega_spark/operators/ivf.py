@@ -173,11 +173,20 @@ def train_centroids_sampled(
     per trainer, result-identical."""
     if sample is None:
         sample = max(32 * k, 8192)
-    x = (
-        np.asarray(sample_x, dtype=np.float64)[:sample]
-        if sample_x is not None
-        else _sample_vectors(df, vec_col, sample, sample_salt, n=n)
-    )
+    if sample_x is not None:
+        # A draw SHORTER than `sample` is only result-identical when it
+        # holds the whole corpus (the _ann_setup under-fill case); a
+        # short draw from a larger corpus would silently train on a
+        # different sample than the documented result (ADVICE r13).
+        if len(sample_x) < sample and n is not None and n > len(sample_x):
+            raise ValueError(
+                f"sample_x has {len(sample_x)} rows < sample={sample} on a "
+                f"corpus of {n} — the draw must cover `sample` rows (or the "
+                "whole corpus) to be result-identical"
+            )
+        x = np.asarray(sample_x, dtype=np.float64)[:sample]
+    else:
+        x = _sample_vectors(df, vec_col, sample, sample_salt, n=n)
     if len(x) < k:
         raise ValueError(
             f"IVF training sample has {len(x)} rows < k={k} lists; "

@@ -74,6 +74,11 @@ def train_pq_codebooks(
     function sorts by), whose `sample` prefix IS what the collect below
     would return; callers training PQ + IVF quantizers share one sample
     scan (result-identical — ties are value-identical vectors).
+    A SHORTER draw is result-identical only when it holds the WHOLE
+    corpus (the _ann_setup under-fill case); a short draw from a larger
+    corpus trains on a different sample than this function's own collect
+    would (ADVICE r13) — this function cannot detect that case (no
+    corpus count in scope), so honoring it is on the caller.
     """
     if sample_x is not None:
         x = np.asarray(sample_x, dtype=np.float64)[:sample]
@@ -125,6 +130,10 @@ def encode_pq(
         # over the same dsub axis in the same order and argmin keeps
         # numpy's first-minimum rule, so codes are bit-identical to the
         # per-row form.
+        if len(vs) == 0:
+            # np.stack raises on an empty batch where the old per-row
+            # loop returned an empty Series (ADVICE r13)
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         if normalize:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

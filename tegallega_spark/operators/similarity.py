@@ -335,7 +335,20 @@ def all_pairs_above(
     size), gathered from a broadcast (id -> row) matrix inside the SAME
     einsum rescore, so the candidate pairs shuffle as bare id pairs and
     the vector payload never moves at all (float64 widening is identical
-    on both routes, so cos_sim is bit-identical)."""
+    on both routes, so cos_sim is bit-identical).
+
+    Auto-gate caveats (ADVICE r13, on the record): when the gate fires,
+    the vector table is collected EAGERLY at query-BUILD time (before any
+    caller action) — that is the point of the design (the matrix must be
+    in hand to pick the one-task profile and to broadcast), but a caller
+    building many never-executed plans pays it, and when the collected
+    ids turn out non-unique the collect is discarded and the distributed
+    shape used (duplicate ids need join semantics).  The 32 MB byte gate
+    reads the ANALYZED-plan estimate (compressed scan bytes), which can
+    understate the decoded float64 footprint several-fold — at the
+    default gate the decoded matrix is still ≤ a few hundred MB, within
+    broadcast practice; lower SPARK_GRAFT_SMALL_VEC_BROADCAST_BYTES if
+    executors are memory-tight."""
     if broadcast_rescore is None:
         from tegallega_spark.operators.dedup import _has_shuffle_origin_node
 

@@ -2799,9 +2799,11 @@ def _ann_setup(spark, emb, n_queries: int, sample: int = 8192):
     _sample_vectors order (ties are value-identical vectors) — every
     scalar the old three actions (orderBy.first/limit-collect, count,
     sample collect) produced, bit-identically, from one job.  A corpus
-    larger than `sample` falls back to exactly those bounded actions
-    (min_by agg + prefiltered sample scan), so nothing corpus-sized is
-    ever collected at scale."""
+    larger than `sample` falls back to exactly those bounded actions —
+    an orderBy(vec_id).limit(n_queries) collect for the query vectors, a
+    count() for n, and the `_sample_vectors` hash-ordered limited scan —
+    so nothing corpus-sized is ever collected at scale (ADVICE r13:
+    docstring now matches the code)."""
     import numpy as np
 
     rows = (
