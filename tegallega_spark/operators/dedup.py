@@ -708,40 +708,95 @@ def _single_task_minhash_verified(
     ).select("__id", F.col("__e.bh").alias("__bh"), F.col("__e.sh").alias("__sh"))
 
     def fn(batches):
-        from collections import defaultdict
-
         import pandas as pd
 
-        sh_rows: dict = defaultdict(list)  # id -> [distinct-hash arrays]
-        buckets: dict = defaultdict(set)  # (band, hash) -> {ids}
-        for pdf in batches:
-            for i, bh, sh in zip(
-                pdf["__id"].tolist(), pdf["__bh"], pdf["__sh"]
-            ):
-                sh_rows[i].append(np.asarray(sh, dtype=np.int64))
-                for b, h in enumerate(bh):
-                    buckets[(b, int(h))].add(i)
-        cand: set = set()
-        for ids in buckets.values():
-            if len(ids) < 2:
-                continue
-            members = sorted(ids)
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    cand.add((members[x], members[y]))
+        # Vectorized tail (r14): the per-row bucket dict loop, per-bucket
+        # nested pair loops, and per-pair np.intersect1d measured 0.86 s
+        # serial at the 4× bench point — rebuilt as numpy group-by
+        # (lexsort over band-major (band, hash, row) triples), same-size
+        # batched triu pair enumeration, lexsort pair dedup, and a
+        # presorted searchsorted set-intersection per pair (0.64 s, pair
+        # set and Jaccard doubles identical — same distinct-hash sets,
+        # same |A∩B| / (|A|+|B|-|A∩B|) long→double division).
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ids_np = pdf["__id"].to_numpy()
+        n = len(ids_np)
+        if n < 2:
+            return
+        # id -> dense code with CODE ORDER == ID ORDER (sorted uniques),
+        # so the id_a < id_b canonicalization and pair dedup run on ints
+        # for any comparable id type (bigint here, strings in tests)
+        uniq_ids = np.unique(ids_np)
+        codes = np.searchsorted(uniq_ids, ids_np)
+        BH = np.stack(pdf["__bh"].to_numpy())  # (n, bands) int64
+        n_bands = BH.shape[1]
+        flat_h = BH.T.reshape(-1)  # band-major
+        rows_r = np.tile(np.arange(n), n_bands)
+        band_of = np.repeat(np.arange(n_bands), n)
+        order = np.lexsort((rows_r, flat_h, band_of))
+        fh, bo, rr = flat_h[order], band_of[order], rows_r[order]
+        newgrp = np.concatenate([[True], (fh[1:] != fh[:-1]) | (bo[1:] != bo[:-1])])
+        starts = np.flatnonzero(newgrp)
+        sizes = np.diff(np.concatenate([starts, [len(fh)]]))
+        pair_a, pair_b = [], []
+        for g in np.unique(sizes[sizes >= 2]):
+            sel = starts[sizes == g]
+            memb = rr[sel[:, None] + np.arange(g)[None, :]]  # (k, g) rows
+            iu, ju = np.triu_indices(int(g), 1)
+            pair_a.append(memb[:, iu].ravel())
+            pair_b.append(memb[:, ju].ravel())
+        if not pair_a:
+            return
+        ra = np.concatenate(pair_a)
+        rb = np.concatenate(pair_b)
+        ca, cb = codes[ra], codes[rb]
+        neq = ca != cb  # a duplicated id never pairs with itself
+        ca, cb = ca[neq], cb[neq]
+        if not len(ca):
+            return
+        swap = ca > cb
+        lo = np.where(swap, cb, ca)
+        hi = np.where(swap, ca, cb)
+        po = np.lexsort((hi, lo))
+        lo, hi = lo[po], hi[po]
+        keep = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        lo, hi = lo[keep], hi[keep]
+        # code -> [presorted distinct-hash arrays]; duplicate ids keep one
+        # entry per ROW (one verify row per row-pair, like the equi-joins)
+        by_code: dict = {}
+        for c, sh in zip(codes.tolist(), pdf["__sh"]):
+            by_code.setdefault(c, []).append(np.sort(np.asarray(sh, dtype=np.int64)))
         out_a, out_b, out_j = [], [], []
-        for ia, ib in cand:
-            for sa in sh_rows[ia]:
-                for sb in sh_rows[ib]:
-                    common = int(np.intersect1d(sa, sb, assume_unique=True).size)
-                    union = int(sa.size) + int(sb.size) - common
+        for ia, ib in zip(lo.tolist(), hi.tolist()):
+            for sa in by_code[ia]:
+                for sb in by_code[ib]:
+                    if len(sb) < len(sa):
+                        s_small, s_big = sb, sa
+                    else:
+                        s_small, s_big = sa, sb
+                    if len(s_big) == 0:
+                        common = 0
+                    else:
+                        idx = np.searchsorted(s_big, s_small)
+                        idx[idx == len(s_big)] = 0
+                        common = int(np.count_nonzero(s_big[idx] == s_small))
+                    union = int(len(sa)) + int(len(sb)) - common
                     j = common / union
                     if j >= threshold:
                         out_a.append(ia)
                         out_b.append(ib)
                         out_j.append(j)
         if out_a:
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+            yield pd.DataFrame(
+                {
+                    "id_a": uniq_ids[np.array(out_a, dtype=np.int64)],
+                    "id_b": uniq_ids[np.array(out_b, dtype=np.int64)],
+                    "jaccard": out_j,
+                }
+            )
 
     return enc.repartition(1).mapInPandas(fn, schema)
 

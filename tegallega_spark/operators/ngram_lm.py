@@ -178,26 +178,37 @@ def _single_task_bigram_counts(
         # Vectorized counting (a per-occurrence Python loop measured ~4×
         # the whole distributed wall at the gate's upper sizes): factorize
         # every token of the corpus to int codes once, then all counts are
-        # np.unique/bincount over code arrays.  String semantics are
-        # preserved exactly — factorize maps DISTINCT strings to distinct
-        # codes, and the <unk> merge below reproduces the distributed
+        # bincounts over code arrays.  String semantics are preserved
+        # exactly — factorize maps DISTINCT strings to distinct codes,
+        # and the <unk> merge below reproduces the distributed
         # "OOV -> literal '<unk>' string" counting (including merging
         # with an in-vocab literal '<unk>' token).
-        ids: list = []
-        tok_lists: list = []
+        # r14 second pass (the 4× secondary point put ~0.97 s in this
+        # task): the per-doc row loop, the per-doc np.arange list
+        # comprehension, and the object-dtype id column were ~60% of the
+        # kernel — replaced with batch concatenation, a boolean doc-
+        # boundary mask, and native-dtype ids (identical values).
+        ids_parts: list = []
+        tok_parts: list = []
         for pdf in batches:
-            for i, toks in zip(pdf["__id"].tolist(), pdf["__t"]):
-                if toks is None:
-                    continue
-                ids.append(i)
-                tok_lists.append(toks)
-        if not ids:
+            mask = pdf["__t"].notna().to_numpy()
+            ids_parts.append(pdf["__id"].to_numpy()[mask])
+            tok_parts.extend(pdf["__t"].to_numpy()[mask])
+        if not ids_parts:
             return
-        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        flat_words = [w for t in tok_lists for w in t]
-        if not flat_words:
+        ids = np.concatenate(ids_parts)
+        if len(ids) == 0:
             return
-        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        lens = np.fromiter(
+            (len(t) for t in tok_parts), dtype=np.int64, count=len(tok_parts)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in tok_parts if len(t)]
+        )
+        codes, uniques = pd.factorize(flat)
         tok_counts = np.bincount(codes, minlength=len(uniques))
         in_vocab = tok_counts >= min_count
         V = int(in_vocab.sum()) + 1
@@ -209,28 +220,32 @@ def _single_task_bigram_counts(
         else:
             unk_code = len(uniques)
         mapped = np.where(in_vocab[codes], codes, unk_code)
-        # per-doc adjacent pairs (docs with >= 2 tokens), flat index form
+        # per-doc adjacent pairs: every flat index except each doc's LAST
+        # token is a w1 (a 1-token doc's only index IS its last, so docs
+        # with < 2 tokens contribute nothing — same set as the old
+        # per-doc arange comprehension, np.array_equal-verified)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        w1_idx = np.concatenate(
-            [
-                np.arange(offs[d], offs[d] + lens[d] - 1)
-                for d in range(len(ids))
-                if lens[d] >= 2
-            ]
-            or [np.empty(0, dtype=np.int64)]
-        ).astype(np.int64)
+        bmask = np.ones(total, dtype=bool)
+        bmask[offs[1:] - 1] = False
+        w1_idx = np.flatnonzero(bmask)
         if w1_idx.size == 0:
             return
         w1 = mapped[w1_idx]
         w2 = mapped[w1_idx + 1]
         K = len(uniques) + 1
         key = w1.astype(np.int64) * K + w2
-        _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
-        c12_occ = cnt[inv]
+        if K * K <= (1 << 26):
+            # dense pair space: one bincount instead of a sort-based
+            # np.unique (identical counts)
+            c12_all = np.bincount(key, minlength=K * K)
+            c12_occ = c12_all[key]
+        else:
+            _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+            c12_occ = cnt[inv]
         c1_all = np.bincount(w1, minlength=K)
         c1_occ = c1_all[w1]
         n_bg = np.maximum(lens - 1, 0) * (lens >= 2)
-        id_occ = np.repeat(np.asarray(ids, dtype=object), n_bg)
+        id_occ = np.repeat(ids, n_bg)
         yield pd.DataFrame(
             {
                 "__id": id_occ,

@@ -865,60 +865,76 @@ def _single_task_duplicated_spans(
         if not doc_ids:
             return
         all_h = np.concatenate(doc_wins) if doc_wins else np.empty(0, np.uint64)
-        uniq, inv, cnt = np.unique(all_h, return_inverse=True, return_counts=True)
-        dup_mask_flat = cnt[inv] >= min_count
-        first_of: dict = {}
+        if len(all_h) == 0:
+            return
+        # Vectorized tail (r14 — on the 4× bench corpus 98% of positions
+        # are duplicated, so the per-position Python loops below were
+        # ~0.5 s and np.unique's inverse+counts another 0.5 s): ONE
+        # argsort groups equal hashes; duplication flags scatter back to
+        # flat positions; the keep-first arbitration and the interval
+        # merge run as grouped numpy scans.  Every quantity is the same
+        # integer the loops produced (np.array_equal-pinned by the
+        # single-task-vs-distributed parity tests).
+        o = np.argsort(all_h, kind="stable")
+        h_sorted = all_h[o]
+        grp_start = np.concatenate([[True], h_sorted[1:] != h_sorted[:-1]])
+        gid_sorted = np.cumsum(grp_start) - 1
+        counts = np.bincount(gid_sorted)
+        dup_sorted = counts[gid_sorted] >= min_count
+        dup_mask_flat = np.empty(len(all_h), dtype=bool)
+        dup_mask_flat[o] = dup_sorted
+        dup_pos = np.flatnonzero(dup_mask_flat)
+        if len(dup_pos) == 0:
+            return
+        # flat position -> (id code, local token position); code order ==
+        # id order (sorted uniques) so (doc, pos) comparisons and the
+        # merge grouping behave identically for any comparable id type
+        lens_w = np.fromiter(
+            (len(w) for w in doc_wins), dtype=np.int64, count=len(doc_wins)
+        )
+        offs = np.concatenate([[0], np.cumsum(lens_w)])
+        ids_arr = np.asarray(doc_ids, dtype=object)
+        uniq_ids = np.unique(ids_arr)
+        codes_row = np.searchsorted(uniq_ids, ids_arr)
+        row_of = np.searchsorted(offs, dup_pos, side="right") - 1
+        code_of = codes_row[row_of]
+        local = dup_pos - offs[row_of]
         if keep_first:
-            # min (doc, pos) per duplicated hash — same struct order as
-            # the distributed window arbitration (field-lexicographic)
-            off = 0
-            for i, wh in zip(doc_ids, doc_wins):
-                dm = dup_mask_flat[off : off + len(wh)]
-                for pos in np.flatnonzero(dm):
-                    h = int(wh[pos])
-                    key = (i, int(pos))
-                    cur = first_of.get(h)
-                    if cur is None or key < cur:
-                        first_of[h] = key
-                off += len(wh)
-        # group hits by id VALUE (the distributed merge window partitions
-        # by __doc value, so duplicate-id rows merge together)
-        hits: dict = {}
-        off = 0
-        for i, wh in zip(doc_ids, doc_wins):
-            dm = dup_mask_flat[off : off + len(wh)]
-            off += len(wh)
-            for pos in np.flatnonzero(dm):
-                if keep_first and first_of[int(wh[pos])] == (i, int(pos)):
-                    continue
-                hits.setdefault(i, []).append(int(pos))
-        out_id, out_s, out_e = [], [], []
-        for i, poss in hits.items():
-            poss.sort()
-            cur_s = cur_e = None
-            for s in poss:
-                e = s + k
-                if cur_e is None:
-                    cur_s, cur_e = s, e
-                elif s > cur_e:
-                    out_id.append(i)
-                    out_s.append(cur_s)
-                    out_e.append(cur_e)
-                    cur_s, cur_e = s, e
-                else:
-                    cur_e = e
-            if cur_e is not None:
-                out_id.append(i)
-                out_s.append(cur_s)
-                out_e.append(cur_e)
-        if out_id:
-            yield pd.DataFrame(
-                {
-                    id_col: out_id,
-                    "start_tok": np.array(out_s, dtype=np.int32),
-                    "end_tok": np.array(out_e, dtype=np.int32),
-                }
-            )
+            # exempt each duplicated hash's min (doc, pos) occurrence —
+            # ALL copies of that exact (doc, pos), as the dict-equality
+            # form did for duplicate-id rows
+            g = np.empty(len(all_h), dtype=np.int64)
+            g[o] = gid_sorted
+            gd = g[dup_pos]
+            o2 = np.lexsort((local, code_of, gd))
+            gs, cs, ls = gd[o2], code_of[o2], local[o2]
+            first_in_g = np.concatenate([[True], gs[1:] != gs[:-1]])
+            grp_no = np.cumsum(first_in_g) - 1
+            idx_first = np.flatnonzero(first_in_g)
+            exempt = (cs == cs[idx_first][grp_no]) & (ls == ls[idx_first][grp_no])
+            code_l, local_l = cs[~exempt], ls[~exempt]
+        else:
+            code_l, local_l = code_of, local
+        if len(code_l) == 0:
+            return
+        # interval merge, grouped by id code: with starts sorted, ends
+        # (s + k) are monotone too, so a new span begins exactly when the
+        # start exceeds the previous window's end — the same running-max
+        # rule the per-doc loop applied
+        o3 = np.lexsort((local_l, code_l))
+        c_s, p_s = code_l[o3], local_l[o3]
+        brk = np.concatenate(
+            [[True], (c_s[1:] != c_s[:-1]) | (p_s[1:] > p_s[:-1] + k)]
+        )
+        span_first = np.flatnonzero(brk)
+        span_last = np.concatenate([span_first[1:] - 1, [len(p_s) - 1]])
+        yield pd.DataFrame(
+            {
+                id_col: uniq_ids[c_s[span_first]],
+                "start_tok": p_s[span_first].astype(np.int32),
+                "end_tok": (p_s[span_last] + k).astype(np.int32),
+            }
+        )
 
     return df.select(id_col, text_col).coalesce(1).mapInPandas(fn, schema)
 
