@@ -420,6 +420,13 @@ def all_pairs_above(
                 out = num / den
             return pd.Series(out)
 
+        # asNondeterministic (guide §4.4): the min_cosine filter references
+        # the UDF column, and the optimizer otherwise duplicates the UDF
+        # below the pushed filter AND in the projection — two
+        # ArrowEvalPython evaluations of the same einsum per candidate
+        # pair (verified in the plan dump).  Values are unchanged; the
+        # mark only pins a single evaluation.
+        cos_by_id = cos_by_id.asNondeterministic()
         scored = pairs.select(
             "id_a", "id_b", cos_by_id(F.col("id_a"), F.col("id_b")).alias("cos_sim")
         )
@@ -431,8 +438,11 @@ def all_pairs_above(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     # vectorized rescore (guide §4.2): one numpy batch op instead of three
-    # interpreted array folds per candidate pair
-    cos_udf = cosine_pairs_udf()
+    # interpreted array folds per candidate pair.  asNondeterministic
+    # (§4.4): without it the min_cosine filter's pushdown duplicated the
+    # UDF — every candidate pair paid the einsum TWICE (plan-verified,
+    # two ArrowEvalPython nodes); values are unchanged.
+    cos_udf = cosine_pairs_udf().asNondeterministic()
     scored = pairs.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",

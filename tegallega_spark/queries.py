@@ -3081,36 +3081,49 @@ def q72(spark, sf_dir):
     from tegallega_spark.pipeline.corpus import mini_clean_corpus
 
     d = T(spark, sf_dir, "documents")
-    # stage the split ONCE as a stored array column (the q62 HOF-CSE
-    # lesson): with `toks` as a raw expression, the slice inside the
-    # paragraph transform re-ran the split once per paragraph per row
-    d = d.select(
-        "doc_id",
-        "source",
-        F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                 lambda t: t != "").alias("__toks"),
-    )
-    toks = F.col("__toks")
-    n = F.size(toks)
-    paras = F.concat(
-        F.array(F.lit("the data have to be of use and note that with care")),
-        F.transform(
-            F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
-            # double-space joiner: noise the normalize stage must collapse
-            lambda i: F.concat_ws("  ", F.slice(toks, i * 8 + 1, 8)),
-        ),
-    )
-    doubled = F.flatten(
-        F.transform(
-            paras,
-            lambda p, i: F.when(i % 3 == 0, F.array(p, p)).otherwise(F.array(p)),
+    # r14 (verdict #3): the corpus CONSTRUCT runs as a pandas UDF chained
+    # under mini_clean_corpus's Arrow normalize pass, so the constructed
+    # text never crosses the JVM boundary — ExtractPythonUDFs fuses the
+    # chain into ONE ArrowEvalPython node (plan-pinned) where the old
+    # interpreted HOF construct (transform/slice/concat_ws) was a
+    # separate 0.27 s JVM interpreter pass feeding a second Arrow
+    # transfer.  The Python construct replicates the JVM expressions
+    # exactly on this verified [a-z0-9 ] corpus: split on literal ' '
+    # with empties dropped, 8-token paragraphs joined by DOUBLE spaces
+    # (noise the normalize stage must collapse), a stopword-rich lead
+    # paragraph, every 3rd paragraph doubled, ' \n\n' joiners (trailing
+    # space the normalize stage must strip).
+    from pyspark.sql.functions import pandas_udf
+
+    lead = "the data have to be of use and note that with care"
+
+    @pandas_udf("string")
+    def construct(texts):
+        import pandas as pd
+
+        def one(t: str) -> str:
+            toks = [w for w in (t or "").split(" ") if w]
+            paras = [lead]
+            for i in range((len(toks) - 1) // 8 + 1):
+                paras.append("  ".join(toks[i * 8 : i * 8 + 8]))
+            out = []
+            for idx, p in enumerate(paras):
+                out.append(p)
+                if idx % 3 == 0:
+                    out.append(p)
+            return " \n\n".join(out)
+
+        return pd.Series([one(t) for t in texts])
+
+    # the >=1-token row gate stays a cheap codegen filter on the scan
+    n = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda t: t != "",
         )
     )
     built = d.filter(n >= 1).select(
-        "doc_id",
-        "source",
-        # ' \n\n' joiner: trailing space the normalize stage must strip
-        F.array_join(doubled, " \n\n").alias("text"),
+        "doc_id", "source", construct(F.col("text")).alias("text")
     )
     out = mini_clean_corpus(
         built,

@@ -36,33 +36,67 @@ from tegallega_spark.operators.dedup import (
 from tegallega_spark.session import release_intermediates
 
 PAIR_SCHEMA = "id_a bigint, id_b bigint, band_idx int"
-STATE_SCHEMA = "ids array<bigint>"
+# Shard state: the shard's buckets as parallel arrays — bucket band
+# hashes, all bucket id lists flattened, and offsets delimiting each
+# bucket's slice of the flat list (len(offsets) == len(hashes) + 1).
+STATE_SCHEMA = "hashes array<bigint>, flat_ids array<bigint>, offsets array<int>"
 
 
-def _make_bucket_matcher(max_ids: int):
+def _make_shard_matcher(max_ids: int):
+    """Per-(band, hash-shard) stateful matcher.  The state cell holds the
+    SHARD's bucket table (hash -> retained ids); per-bucket matching
+    semantics are identical to the old per-(band, hash) keying — each
+    bucket's arrivals are processed in sorted-doc-id order per delivered
+    chunk, emit one pair per retained id, and evict beyond `max_ids`.
+
+    Why shards (r14): keying state by (band, band_hash) made every
+    distinct bucket a separate applyInPandasWithState GROUP — ~19k
+    Python calls + pandas frame constructions per ~1k-doc trigger at
+    ~3.7 ms each (the stress race's measured wall, 92 s for 40k docs).
+    Sharding the hash space bounds the per-trigger group count at
+    bands × state_shards while keeping bucket semantics bit-identical."""
+
     def _match(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        ids: list[int] = list(state.get[0]) if state.exists else []
-        # membership mirror of `ids`: the list scan was O(max_ids) per
-        # arrival — a 1024-deep hot bucket paid a kiloscan per doc
-        seen = set(ids)
+        if state.exists:
+            hs, flat, offs = state.get
+            table: dict[int, list[int]] = {
+                int(h): [int(x) for x in flat[offs[i]:offs[i + 1]]]
+                for i, h in enumerate(hs)
+            }
+        else:
+            table = {}
         band_idx = key[0]
         out = []
         for pdf in pdfs:
-            # deterministic arrival order inside a batch: by doc id
-            for doc_id in sorted(int(x) for x in pdf["doc_id"]):
-                if doc_id in seen:
-                    continue
-                for prev in ids:
-                    a, b = (prev, doc_id) if prev < doc_id else (doc_id, prev)
-                    out.append((a, b, band_idx))
-                ids.append(doc_id)
-                seen.add(doc_id)
-                if len(ids) > max_ids:
-                    seen.difference_update(ids[:-max_ids])
-                    ids = ids[-max_ids:]
-        state.update((ids,))
+            # deterministic arrival order inside a batch chunk: per
+            # bucket, by doc id (bucket cells are independent, so the
+            # bucket iteration order is immaterial)
+            by_hash: dict[int, list[int]] = {}
+            for h, doc_id in zip(pdf["band_hash"], pdf["doc_id"]):
+                by_hash.setdefault(int(h), []).append(int(doc_id))
+            for h, arrivals in by_hash.items():
+                ids = table.get(h, [])
+                seen = set(ids)
+                for doc_id in sorted(arrivals):
+                    if doc_id in seen:
+                        continue
+                    for prev in ids:
+                        a, b = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                        out.append((a, b, band_idx))
+                    ids.append(doc_id)
+                    seen.add(doc_id)
+                    if len(ids) > max_ids:
+                        seen.difference_update(ids[:-max_ids])
+                        ids = ids[-max_ids:]
+                table[h] = ids
+        hs_out, flat_out, offs_out = [], [], [0]
+        for h, ids in table.items():
+            hs_out.append(h)
+            flat_out.extend(ids)
+            offs_out.append(len(flat_out))
+        state.update((hs_out, flat_out, offs_out))
         if out:
             yield pd.DataFrame(out, columns=["id_a", "id_b", "band_idx"])
 
@@ -77,17 +111,42 @@ def neardup_candidates_stream(
     num_hashes: int = 32,
     bands: int = 16,
     max_ids_per_bucket: int = 1024,
+    state_shards: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, band_idx) candidate pairs; distinct (id_a, id_b) over
     the stream equals the batch `_pairs_from_band_hashes` candidate set for
     the same corpus (while bucket state stays within max_ids_per_bucket).
+
+    state_shards (r14): state is keyed by (band_idx, band_hash mod
+    state_shards), not by raw bucket — per-bucket matching semantics are
+    unchanged (each shard's state holds its buckets' id lists), but the
+    per-trigger applyInPandasWithState GROUP count is bounded at
+    bands × state_shards instead of one group per distinct bucket.  The
+    old keying paid ~3.7 ms of Python-call + pandas-construction overhead
+    per bucket per trigger (the stress race's measured wall).  Size it so
+    a shard's state value stays comfortably row-sized:
+    expected buckets / (bands × state_shards) ≈ tens of buckets per
+    shard; raise it with corpus scale (the per-shard value grows linearly
+    with corpus buckets at fixed shards).  Changing it invalidates
+    existing checkpoints (different grouping key).  Default: the
+    SPARK_GRAFT_STREAM_STATE_SHARDS env knob, else 128 — the measured
+    knee of the 40k-doc stress race (433 → 819 docs/s; 1024 shards
+    measured 526 — with ~19k distinct buckets per trigger nearly every
+    shard was still hit, so the group count barely dropped).
     """
+    if state_shards is None:
+        import os
+
+        state_shards = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_SHARDS", "128"))
     bh_udf = make_band_hash_udf(shingle_n, num_hashes, bands)
     banded = docs.select(
         F.col(id_col).alias("doc_id"), bh_udf(F.col(text_col)).alias("__bh")
     ).select("doc_id", F.posexplode("__bh").alias("band_idx", "band_hash"))
-    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _make_bucket_matcher(max_ids_per_bucket),
+    banded = banded.withColumn(
+        "__shard", F.pmod(F.col("band_hash"), F.lit(int(state_shards)))
+    )
+    return banded.groupBy("band_idx", "__shard").applyInPandasWithState(
+        _make_shard_matcher(max_ids_per_bucket),
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
