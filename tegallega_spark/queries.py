@@ -301,23 +301,38 @@ def q07(spark, sf_dir):
 )
 def q08(spark, sf_dir):
     """Argmin AND argmax per group — the reference's nearest-neighbor join
-    shape (generate_gtfs.py:354-365) as min/max(struct(...)): one shuffle,
-    no window sort, map-side combinable.  Tie-break baked into the struct
-    ordering (price, then linenumber)."""
+    shape (generate_gtfs.py:354-365).  Tie-break baked into the packing
+    order (price, then linenumber).
+
+    r14: min/max over STRUCTS have no fixed-width mutable buffer, so the
+    old min(struct(price, line)) planned a SortAggregate — two full sorts
+    of the fact table around the exchange.  Packing (cents, linenumber)
+    into ONE long (cents < 2^27, line < 2^32; lexicographic order
+    preserved exactly) turns both argmins into plain long min/max — a
+    codegen HashAggregate with map-side partials, no sort.  Prices are
+    2-decimal by construction (probe: round(price,2) == round(price*100)
+    / 100.0 on EVERY row at all SFs), so cents/100.0 reproduces the old
+    round(price, 2) double bit-for-bit (both are the correctly-rounded
+    double of the same 2-decimal value)."""
     l = T(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_orderkey")
-        .agg(
-            F.min(F.struct("l_extendedprice", "l_linenumber")).alias("mn"),
-            F.max(F.struct("l_extendedprice", "l_linenumber")).alias("mx"),
-        )
-        .select(
-            "l_orderkey",
-            F.col("mn.l_linenumber").alias("best_line"),
-            F.round(F.col("mn.l_extendedprice"), 2).alias("min_price"),
-            F.col("mx.l_linenumber").alias("worst_line"),
-            F.round(F.col("mx.l_extendedprice"), 2).alias("max_price"),
-        )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    packed = cents * F.lit(1 << 32).cast("long") + F.col("l_linenumber").cast("long")
+    g = l.groupBy("l_orderkey").agg(
+        F.min(packed).alias("__mn"), F.max(packed).alias("__mx")
+    )
+
+    def line_of(p):
+        return F.pmod(F.col(p), F.lit(1 << 32).cast("long")).cast("int")
+
+    def price_of(p):
+        return F.shiftright(F.col(p), 32).cast("double") / F.lit(100.0)
+
+    return g.select(
+        "l_orderkey",
+        line_of("__mn").alias("best_line"),
+        price_of("__mn").alias("min_price"),
+        line_of("__mx").alias("worst_line"),
+        price_of("__mx").alias("max_price"),
     )
 
 
